@@ -6,6 +6,7 @@ if [ ! -d /tmp/refbuild ]; then
     cp -r /root/reference /tmp/refbuild
 fi
 cd /tmp/refbuild/Release && make all -j"$(nproc)"
-cd /tmp/refbuild/deBGA_release/src && make -j"$(nproc)"
+# -fcommon needed: deBGA relies on pre-C99 tentative definitions
+cd /tmp/refbuild/deBGA_release/src && make CC="gcc -fcommon" -j"$(nproc)"
 echo "panSVR: /tmp/refbuild/Release/panSVR"
 echo "deBGA:  /tmp/refbuild/deBGA_release/deBGA"
