@@ -1,0 +1,180 @@
+"""Batched seed chaining (sparse dynamic programming) on device.
+
+Re-implementation of the reference's Graph_handler::process +
+dynamic_programming_path (src/cpp_lib/graph.cpp:53-150) as JAX ops:
+seeds sorted by (ref_end, ref_begin); edges computed as a dense
+(seed, forward-offset) tensor with the reference's exact rules, then a
+scan relaxes nodes in sorted order.
+
+Edge rules (graph.cpp:89-118), from predecessor i to successor j = i+o:
+  - no edge if seed_id equal or ref_end equal (continue; such j do NOT
+    trigger the break below);
+  - the j-scan from i BREAKS at the first non-skipped j with
+    dis_ref = ref_begin[j] - ref_end[i] > max_ref_dis (50 / 400 STR) —
+    reproduced with a cumulative-or along the offset axis;
+  - dis_read > max_read_dis (50/400) or |gap| > max_gap (50/20 STR): skip;
+  - penalty = 0 if gap == 0 else (|gap| >> 3) + 3;
+  - weight = cov[j] - max(1-dis_read, 0)      if dis_read == dis_ref
+           = cov[j]                            if both distances > 0
+           = cov[j] + min(dis_read, dis_ref)   if -5 <= dis_read <= 0
+                                                  and dis_ref >= -5
+           = (no edge) otherwise;
+  - look-ahead window o in [1, 40) normal, [1, 80) STR (MAX_SEARCH_STEP).
+
+DP (graph.cpp:125-150): nodes without incoming edges keep dist = cov;
+nodes with edges get dist = max(0, max_i(dist[i] + w - p)), pre = the
+LATEST i attaining the max when >= 0, else -1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+WINDOW = 80  # static look-ahead; offsets >= 40 masked for non-STR reads
+NEG = jnp.int32(-0x40000000)
+
+MAX_REF_DIS, MAX_REF_DIS_STR = 50, 400
+MAX_READ_DIS, MAX_READ_DIS_STR = 50, 400
+MAX_SEARCH_STEP, MAX_SEARCH_STEP_STR = 40, 80
+MAX_ABS_GAP, MAX_ABS_GAP_STR = 50, 20
+
+
+class ChainResult(NamedTuple):
+    order: jnp.ndarray      # (B, S) sorted position -> original seed row
+    dist: jnp.ndarray       # (B, S) chain score per sorted position
+    pre: jnp.ndarray        # (B, S) predecessor sorted position or -1
+    n_valid: jnp.ndarray    # (B,)
+    read_begin: jnp.ndarray  # attributes in sorted order:
+    read_end: jnp.ndarray
+    ref_begin: jnp.ndarray
+    ref_end: jnp.ndarray
+    cov: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def _sort_seeds(read_begin, read_end, ref_begin, ref_end, cov, seed_id, valid):
+    """Stable sort by (ref_end, ref_begin); invalid rows to the back.
+    Two-pass stable argsort (lexsort) keeps everything int32 (no x64)."""
+    ord1 = jnp.argsort(ref_begin, axis=-1, stable=True).astype(jnp.int32)
+    fe1 = jnp.take_along_axis(ref_end, ord1, axis=-1)
+    val1 = jnp.take_along_axis(valid, ord1, axis=-1)
+    key = jnp.where(val1, fe1, jnp.int32(0x7FFFFFFF))
+    ord2 = jnp.argsort(key, axis=-1, stable=True).astype(jnp.int32)
+    order = jnp.take_along_axis(ord1, ord2, axis=-1)
+    g = lambda a: jnp.take_along_axis(a, order, axis=-1)
+    return order, g(read_begin), g(read_end), g(ref_begin), g(ref_end), \
+        g(cov), g(seed_id), g(valid)
+
+
+@jax.jit
+def chain_batch(read_begin, read_end, ref_begin, ref_end, cov, seed_id,
+                valid, is_str) -> ChainResult:
+    """All inputs (B, S) int32 except valid (B, S) bool, is_str (B,) bool."""
+    B, S = read_begin.shape
+    order, rb, re_, fb, fe, cv, sid, val = _sort_seeds(
+        read_begin, read_end, ref_begin, ref_end, cov, seed_id, valid
+    )
+    n_valid = jnp.sum(val, axis=-1).astype(jnp.int32)
+
+    max_ref = jnp.where(is_str, MAX_REF_DIS_STR, MAX_REF_DIS)[:, None, None]
+    max_read = jnp.where(is_str, MAX_READ_DIS_STR, MAX_READ_DIS)[:, None, None]
+    max_step = jnp.where(is_str, MAX_SEARCH_STEP_STR, MAX_SEARCH_STEP)[:, None, None]
+    max_gap = jnp.where(is_str, MAX_ABS_GAP_STR, MAX_ABS_GAP)[:, None, None]
+
+    offs = jnp.arange(1, WINDOW + 1, dtype=jnp.int32)[None, None, :]  # (1,1,W)
+
+    # gather successor attributes: succ[b, i, o] = attr[b, i+o]
+    cols = jnp.arange(S, dtype=jnp.int32)[:, None] + offs[0]          # (S, W)
+    in_range = (cols < S)[None]
+    colsc = jnp.clip(cols, 0, S - 1)
+
+    def succ(a):
+        return a[:, colsc]  # (B, S, W)
+
+    fb_j = succ(fb)
+    rb_j = succ(rb)
+    fe_j = succ(fe)
+    cv_j = succ(cv)
+    sid_j = succ(sid)
+    val_j = succ(val.astype(jnp.int32)) > 0
+
+    dis_ref = fb_j - fe[:, :, None]
+    dis_read = rb_j - re_[:, :, None]
+    skip = (sid_j == sid[:, :, None]) | (fe_j == fe[:, :, None])
+    # break: first non-skipped offset with dis_ref > max kills itself and
+    # all later offsets from this i
+    brk_flag = (~skip) & (dis_ref > max_ref) & in_range & val_j
+    broke = jax.lax.associative_scan(jnp.logical_or, brk_flag, axis=2)
+
+    gap = jnp.abs(dis_read - dis_ref)
+    has_w = (
+        (dis_read == dis_ref)
+        | ((dis_read > 0) & (dis_ref > 0))
+        | ((dis_read >= -5) & (dis_read <= 0) & (dis_ref >= -5))
+    )
+    cond = (
+        val[:, :, None] & val_j & in_range & ~skip & ~broke
+        & (offs <= max_step - 1)
+        & (dis_read <= max_read)
+        & (gap <= max_gap)
+        & has_w
+    )
+    penalty = jnp.where(gap == 0, 0, (gap >> 3) + 3)
+    weight = jnp.where(
+        dis_read == dis_ref, cv_j - jnp.maximum(1 - dis_read, 0),
+        jnp.where((dis_read > 0) & (dis_ref > 0), cv_j,
+                  cv_j + jnp.minimum(dis_read, dis_ref)),
+    )
+    delta = jnp.where(cond, weight - penalty, NEG)  # (B, S=i, W=o)
+
+    # rearrange to incoming-edge view: inc[b, j, o] = delta[b, j-o, o]
+    rows = jnp.arange(S, dtype=jnp.int32)[None, :, None] - offs  # (1,S,W)
+    rows_ok = rows >= 0
+    rowsc = jnp.clip(rows, 0, S - 1)
+    inc = jnp.take_along_axis(delta, rowsc, axis=1)
+    inc = jnp.where(rows_ok, inc, NEG)
+    inc_cond = jnp.take_along_axis(cond, rowsc, axis=1) & rows_ok
+
+    # sequential relaxation in sorted order
+    dist_pad0 = jnp.zeros((B, WINDOW + S), jnp.int32)
+
+    def step(dist_pad, j):
+        win = jax.lax.dynamic_slice(
+            dist_pad, (0, j), (B, WINDOW)
+        )  # dist[j-W .. j-1] at index m -> i = j - W + m -> o = W - m
+        win = win[:, ::-1]  # index o-1 -> dist[j-o]
+        inc_j = jax.lax.dynamic_slice(inc, (0, j, 0), (B, 1, WINDOW))[:, 0, :]
+        cond_j = jax.lax.dynamic_slice(
+            inc_cond, (0, j, 0), (B, 1, WINDOW))[:, 0, :]
+        value = win + inc_j
+        # later predecessor (smaller o) wins ties; int32 lex key
+        # (|dist| bounded by total coverage << 2^22, so *256 is safe)
+        vclamp = jnp.clip(value, -(1 << 21), 1 << 21)
+        lex = vclamp * (1 << 8) + (WINDOW - offs[0])
+        lex = jnp.where(cond_j, lex, jnp.int32(-0x7F000000))
+        bo = jnp.argmax(lex, axis=-1)
+        best_value = jnp.take_along_axis(value, bo[:, None], axis=-1)[:, 0]
+        any_edge = jnp.any(cond_j, axis=-1)
+        cv_jj = jax.lax.dynamic_slice(cv, (0, j), (B, 1))[:, 0]
+        val_jj = jax.lax.dynamic_slice(val, (0, j), (B, 1))[:, 0]
+        dist_j = jnp.where(any_edge, jnp.maximum(best_value, 0),
+                           cv_jj * val_jj)
+        pre_j = jnp.where(any_edge & (best_value >= 0),
+                          j - (bo.astype(jnp.int32) + 1), -1)
+        dist_pad = jax.lax.dynamic_update_slice(
+            dist_pad, dist_j[:, None], (0, j + WINDOW)
+        )
+        return dist_pad, (dist_j, pre_j)
+
+    _, (dists, pres) = jax.lax.scan(step, dist_pad0, jnp.arange(S))
+    dist = jnp.transpose(dists)
+    pre = jnp.transpose(pres)
+    return ChainResult(
+        order=order, dist=dist, pre=pre, n_valid=n_valid,
+        read_begin=rb, read_end=re_, ref_begin=fb, ref_end=fe, cov=cv,
+        valid=val,
+    )
