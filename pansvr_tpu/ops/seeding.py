@@ -1,0 +1,390 @@
+"""Batched device seeding: k-mer lookup + unitig MEM extension.
+
+Device re-implementation of the reference's per-read seeding loop
+(chainning_one_read, read_realignment.cpp:615-644 + deBGA_index.cpp
+search_kmer/UNITIG_MEM_search): every SEED_STEP=5 bases, look up the
+20-mer in the two-level hash, skip seeds with more than UNI_POS_N_MAX=32
+table entries, and extend each entry to a maximal exact match within its
+unitig.
+
+Layout: reads are packed 16 bases per int32 word (MSB-first). MEM
+extension compares 16 bases per step via XOR + leading/trailing
+zero-pair counts — the TPU analog of the reference's 64-bit bit-parallel
+compare (deBGA_index.cpp:116-128). All shapes static: B reads x S0 seed
+positions x H=32 hit slots.
+
+The sequential MEM-coverage skip (read_realignment.cpp:617,634-643:
+a seed is skipped when the previous used seed's rightmost MEM reach
+covers it) is applied as a cheap post-scan over the S0 axis: each seed's
+extension depends only on itself, so extensions are computed for all
+seeds and the skip just masks outputs — identical results, wasted
+compute bounded by the skip rate.
+
+Merging (merge_seed_in_unipath) and reference expansion (expand_seed)
+are vectorized host-side in merge_expand_batch below (runs of
+adjacent-linked MEMs after a (uid, read_pos) sort).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.device import DeviceIndex
+
+SEED_STEP = 5
+UNI_POS_N_MAX = 32
+H_SLOTS = 32
+POS_N_MAX = 500
+POS_N_MAX_LEVEL2 = 8000
+RANDOM_NUM = 500
+WAITING_LEN = 3
+
+
+class SeedBatch(NamedTuple):
+    """Raw MEM output, (B, S0, H) int32 unless noted."""
+    uid: jnp.ndarray
+    read_pos: jnp.ndarray
+    uni_pos_off: jnp.ndarray
+    length: jnp.ndarray
+    pos_n: jnp.ndarray
+    valid: jnp.ndarray       # (B, S0, H) bool
+    seed_used: jnp.ndarray   # (B, S0) bool — after the coverage skip
+
+
+def pack_reads(codes: np.ndarray) -> np.ndarray:
+    """(B, L) uint8 codes -> (B, ceil(L/16)) int32 packed words."""
+    B, L = codes.shape
+    Wr = (L + 15) // 16
+    padded = np.zeros((B, Wr * 16), dtype=np.uint32)
+    padded[:, :L] = codes & 3
+    mat = padded.reshape(B, Wr, 16)
+    shifts = np.uint32(2) * (np.uint32(15) - np.arange(16, dtype=np.uint32))
+    return (mat << shifts).sum(axis=2, dtype=np.uint32).view(np.int32)
+
+
+def _window32(words_u32, p):
+    """32-bit window of bases [p, p+16) from packed words (1-D array).
+    words_u32: (W,) uint32; p: any int32 shape; returns uint32."""
+    w = p >> 4
+    sh = (p & 15).astype(jnp.uint32) * 2
+    n = words_u32.shape[0]
+    hi = words_u32[jnp.clip(w, 0, n - 1)]
+    lo = words_u32[jnp.clip(w + 1, 0, n - 1)]
+    # sh==0 must not shift by 32 (undefined); mask it
+    lo_part = jnp.where(sh == 0, jnp.uint32(0), lo >> (jnp.uint32(32) - sh))
+    return (hi << sh) | lo_part
+
+
+def _window32_rows(words_u32, p):
+    """Row-wise variant: words_u32 (B, W), p (B, ...) positions."""
+    w = p >> 4
+    sh = (p & 15).astype(jnp.uint32) * 2
+    n = words_u32.shape[1]
+    wc = jnp.clip(w, 0, n - 1)
+    wc1 = jnp.clip(w + 1, 0, n - 1)
+    hi = jnp.take_along_axis(words_u32, wc.reshape(p.shape[0], -1), axis=1).reshape(p.shape)
+    lo = jnp.take_along_axis(words_u32, wc1.reshape(p.shape[0], -1), axis=1).reshape(p.shape)
+    lo_part = jnp.where(sh == 0, jnp.uint32(0), lo >> (jnp.uint32(32) - sh))
+    return (hi << sh) | lo_part
+
+
+def _clz32(x):
+    return jax.lax.clz(x.astype(jnp.int32)).astype(jnp.int32)
+
+
+def _ctz32(x):
+    xi = x.astype(jnp.uint32)
+    blsi = xi & (jnp.uint32(0) - xi)          # lowest set bit
+    return jax.lax.population_count((blsi - jnp.uint32(1)).astype(jnp.int32)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("S0", "n_ext_steps"))
+def seed_reads(
+    didx: DeviceIndex,
+    read_words: jnp.ndarray,   # (B, Wr) int32 packed
+    read_lens: jnp.ndarray,    # (B,) int32
+    seed_mask: jnp.ndarray,    # (B, S0) bool: STR whitelist (True = usable)
+    S0: int,
+    n_ext_steps: int = 11,
+) -> SeedBatch:
+    B = read_words.shape[0]
+    fl = didx.first_level_bases
+    sk = didx.search_k
+    resid_bases = sk - fl
+    entry_shift = jnp.uint32(2 * (didx.k - sk))
+
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    rw_u = bc(read_words)
+    uni_u = bc(didx.uni_words)
+    hash_g = didx.hash_g
+    kmer_g_u = bc(didx.kmer_g)
+
+    offs = jnp.arange(S0, dtype=jnp.int32) * SEED_STEP      # (S0,)
+    o = jnp.broadcast_to(offs[None, :], (B, S0))            # (B, S0)
+    n_kmer = read_lens[:, None] - sk + 1
+    seed_ok = (o < n_kmer) & seed_mask
+
+    # --- k-mer split keys -------------------------------------------------
+    win_a = _window32_rows(rw_u, o)                         # bases [o, o+16)
+    win_b = _window32_rows(rw_u, o + fl)                    # bases [o+fl, ..)
+    bucket = (win_a >> jnp.uint32(32 - 2 * fl)).astype(jnp.int32)
+    residue = (win_b >> jnp.uint32(32 - 2 * resid_bases)).astype(jnp.int32)
+
+    lo0 = hash_g[jnp.clip(bucket, 0, hash_g.shape[0] - 2)]
+    hi0 = hash_g[jnp.clip(bucket + 1, 0, hash_g.shape[0] - 1)]
+
+    # --- branchless lower/upper bound on (kmer_g >> shift) == residue -----
+    def bisect(pred):
+        lo = lo0
+        hi = hi0
+        for _ in range(24):
+            mid = (lo + hi) >> 1
+            key = (kmer_g_u[jnp.clip(mid, 0, max(didx.n_kmer - 1, 0))]
+                   >> entry_shift).astype(jnp.int32)
+            go_right = pred(key)
+            active = lo < hi
+            lo = jnp.where(active & go_right, mid + 1, lo)
+            hi = jnp.where(active & ~go_right, mid, hi)
+        return lo
+
+    left = bisect(lambda key: key < residue)
+    right = bisect(lambda key: key <= residue)
+    count = right - left
+    found = seed_ok & (count > 0) & (count <= UNI_POS_N_MAX)
+
+    # --- per-hit MEM extension -------------------------------------------
+    h = jnp.arange(H_SLOTS, dtype=jnp.int32)                # (H,)
+    entry = left[:, :, None] + h[None, None, :]             # (B, S0, H)
+    hit_ok = found[:, :, None] & (h[None, None, :] < count[:, :, None])
+    entry_c = jnp.clip(entry, 0, max(didx.n_kmer - 1, 0))
+    off = didx.off_g[entry_c]                               # (B, S0, H)
+    uid = jnp.searchsorted(didx.uni_seqf, off, side="right").astype(jnp.int32) - 1
+    uid = jnp.clip(uid, 0, max(didx.n_uni - 1, 0))
+    pos_n = didx.uni_posp[uid + 1] - didx.uni_posp[uid]
+    off_l = off - didx.uni_seqf[uid]
+    off_r = didx.uni_seqf[uid + 1] - (off + sk)
+
+    o3 = o[:, :, None]
+    max_left = jnp.minimum(off_l, o3)
+    max_right = jnp.minimum(off_r, read_lens[:, None, None] - o3 - sk)
+
+    # left: compare 16-base blocks ending just before the k-mer
+    left_m = jnp.zeros_like(off)
+    still = jnp.ones_like(off, dtype=bool)
+    for step in range(n_ext_steps):
+        base = (step + 1) * 16
+        rp = o3 - base                                    # window [rp, rp+16)
+        up = off - base
+        # negative rp/up read garbage in the high window bits, but the
+        # max_left clip below caps the counted match before base 0
+        wr = _window32_rows(rw_u, rp)
+        wu = _window32(uni_u, up)
+        x = wr ^ wu
+        m = jnp.where(x == 0, 16, _ctz32(x) >> 1)         # matching suffix
+        take = jnp.where(still, jnp.minimum(m, max_left - left_m), 0)
+        left_m = left_m + jnp.maximum(take, 0)
+        still = still & (m >= 16) & (left_m < max_left)
+    left_m = jnp.minimum(left_m, max_left)
+
+    # right: compare 16-base blocks after the k-mer
+    right_m = jnp.zeros_like(off)
+    still = jnp.ones_like(off, dtype=bool)
+    for step in range(n_ext_steps):
+        rp = o3 + sk + step * 16
+        up = off + sk + step * 16
+        wr = _window32_rows(rw_u, rp)
+        wu = _window32(uni_u, up)
+        x = wr ^ wu
+        m = jnp.where(x == 0, 16, _clz32(x) >> 1)         # matching prefix
+        take = jnp.where(still, jnp.minimum(m, max_right - right_m), 0)
+        right_m = right_m + jnp.maximum(take, 0)
+        still = still & (m >= 16) & (right_m < max_right)
+    right_m = jnp.minimum(right_m, max_right)
+
+    read_pos = o3 - left_m
+    uni_pos_off = off_l - left_m
+    length = sk + left_m + right_m
+
+    # --- sequential coverage skip over seed positions ---------------------
+    # msr carries the rightmost covered read position; a seed is used iff
+    # o + sk - 1 > msr (read_realignment.cpp:617)
+    per_seed_max_right = jnp.max(
+        jnp.where(hit_ok, right_m, -1), axis=2
+    )  # (B, S0); -1 when no hits
+    def skip_step(msr, s):
+        o_s = offs[s]
+        used = (o_s + sk - 1 > msr) & found[:, s]
+        max_right_i = jnp.maximum(per_seed_max_right[:, s] + 1, 1)
+        msr_new = jnp.where(used, o_s + sk + max_right_i - 1, msr)
+        return msr_new, used
+    _, used_list = jax.lax.scan(skip_step, jnp.zeros((B,), jnp.int32),
+                                jnp.arange(S0))
+    seed_used = jnp.transpose(used_list)                   # (B, S0)
+
+    valid = hit_ok & seed_used[:, :, None]
+    return SeedBatch(
+        uid=jnp.where(valid, uid, 0),
+        read_pos=jnp.where(valid, read_pos, 0),
+        uni_pos_off=jnp.where(valid, uni_pos_off, 0),
+        length=jnp.where(valid, length, 0),
+        pos_n=jnp.where(valid, pos_n, 0),
+        valid=valid,
+        seed_used=seed_used,
+    )
+
+
+# -------------------------------------------------------------------------
+# host-side (vectorized NumPy) merge + expand
+# -------------------------------------------------------------------------
+
+class ExpandedSeeds(NamedTuple):
+    """Padded per-read reference seeds, ready for ops.chain.chain_batch."""
+    read_begin: np.ndarray   # (B, S) int32
+    read_end: np.ndarray
+    ref_begin: np.ndarray
+    ref_end: np.ndarray
+    cov: np.ndarray
+    seed_id: np.ndarray
+    valid: np.ndarray        # (B, S) bool
+    n_dropped: np.ndarray    # (B,) seeds lost to the S cap (0 in-parity)
+
+
+def merge_expand_batch(sb: SeedBatch, idx, S: int,
+                       rng: np.random.Generator | None = None) -> ExpandedSeeds:
+    """merge_seed_in_unipath + expand_seed (deBGA_index.cpp:151-251),
+    vectorized across the batch. ``idx`` is the host RdBGIndex (for
+    uni_posp/uni_pos lookup)."""
+    uid = np.asarray(sb.uid)
+    read_pos = np.asarray(sb.read_pos)
+    uni_off = np.asarray(sb.uni_pos_off)
+    length = np.asarray(sb.length)
+    pos_n = np.asarray(sb.pos_n)
+    valid = np.asarray(sb.valid)
+    B = uid.shape[0]
+
+    rows, s_idx, h_idx = np.nonzero(valid)
+    if len(rows) == 0:
+        z = np.zeros((B, S), np.int32)
+        return ExpandedSeeds(z, z, z, z, z, z, np.zeros((B, S), bool),
+                             np.zeros(B, np.int32))
+    u = uid[rows, s_idx, h_idx].astype(np.int64)
+    rp = read_pos[rows, s_idx, h_idx].astype(np.int64)
+    uo = uni_off[rows, s_idx, h_idx].astype(np.int64)
+    ln = length[rows, s_idx, h_idx].astype(np.int64)
+    pn = pos_n[rows, s_idx, h_idx].astype(np.int64)
+
+    order = np.lexsort((rp, u, rows))
+    rows, u, rp, uo, ln, pn = (a[order] for a in (rows, u, rp, uo, ln, pn))
+
+    # adjacent-linked runs (same row+uid, increasing uni_off, read gap <= 3,
+    # zero indel drift)
+    n = len(rows)
+    linked = np.zeros(n, dtype=bool)
+    if n > 1:
+        same = (rows[1:] == rows[:-1]) & (u[1:] == u[:-1]) & (uo[1:] > uo[:-1])
+        diff = rp[1:] - rp[:-1] - ln[:-1]
+        drift = (uo[1:] - uo[:-1]) - (rp[1:] - rp[:-1])
+        linked[1:] = same & (diff <= WAITING_LEN) & (drift == 0)
+    run_id = np.cumsum(~linked) - 1
+    n_runs = run_id[-1] + 1
+    first = np.nonzero(~linked)[0]
+    last = np.append(first[1:], n) - 1
+
+    contrib = ln.copy()
+    if n > 1:
+        diff_full = np.concatenate([[0], rp[1:] - rp[:-1] - ln[:-1]])
+        inner = linked
+        contrib = np.where(inner & (diff_full <= 0), diff_full + ln, ln)
+    cov = np.zeros(n_runs, dtype=np.int64)
+    np.add.at(cov, run_id, contrib)
+
+    m_row = rows[first]
+    m_uid = u[first]
+    m_read_pos = rp[first]
+    m_uni_off = uo[first]
+    m_pos_n = pn[first]
+    single = first == last
+    m_len1 = np.where(single, ln[first], rp[last] + ln[last] - rp[first])
+    m_len2 = np.where(single, ln[first], uo[last] + ln[last] - uo[first])
+
+    # --- expand ----------------------------------------------------------
+    # per-row merged order = sorted order; level-2 abort: drop this and all
+    # later merged seeds of the row (deBGA_index.cpp:226 `return`)
+    over2 = m_pos_n > POS_N_MAX_LEVEL2
+    abort_from = np.full(B, np.iinfo(np.int64).max, dtype=np.int64)
+    if over2.any():
+        np.minimum.at(abort_from, m_row[over2], np.nonzero(over2)[0])
+    keep = np.arange(n_runs) < abort_from[m_row]
+
+    sample = (m_pos_n > POS_N_MAX) & keep
+    full = ~sample & keep
+    occ_count = np.where(full, m_pos_n, np.where(sample, RANDOM_NUM, 0))
+
+    # seed_id within each row = merged index within row (expand_seed uses
+    # the loop index i over vertexu_v)
+    row_change = np.concatenate([[True], m_row[1:] != m_row[:-1]])
+    row_start_run = np.maximum.accumulate(np.where(row_change, np.arange(n_runs), 0))
+    seed_id_in_row = np.arange(n_runs) - row_start_run
+
+    total = int(occ_count.sum())
+    rep = np.repeat(np.arange(n_runs), occ_count)
+    within = _ranges_np(occ_count)
+    posp = idx.uni_posp
+    upos = idx.uni_pos
+    base = posp[m_uid[rep]]
+    if rng is None:
+        rng = np.random.default_rng(0)
+    pick = np.where(
+        sample[rep],
+        (base + rng.integers(0, 1 << 30, size=total) % np.maximum(m_pos_n[rep], 1)),
+        base + within,
+    )
+    ref_begin = upos[pick] + m_uni_off[rep]
+    e_row = m_row[rep]
+    e_read_begin = m_read_pos[rep]
+    e_read_end = m_read_pos[rep] + m_len1[rep] - 1
+    e_ref_end = ref_begin + m_len2[rep] - 1
+    e_cov = cov[rep]
+    e_sid = seed_id_in_row[rep]
+
+    # --- pad to (B, S) ---------------------------------------------------
+    out = {k: np.zeros((B, S), np.int32) for k in
+           ["rb", "re", "fb", "fe", "cov", "sid"]}
+    vmask = np.zeros((B, S), bool)
+    # position of each expanded seed within its row:
+    order2 = np.argsort(e_row, kind="stable")
+    e_row = e_row[order2]
+    per_row_pos = _ranges_np(np.bincount(e_row, minlength=B))
+    sel = per_row_pos < S
+    rsel = e_row[sel]
+    csel = per_row_pos[sel]
+    src = order2[sel]
+    out["rb"][rsel, csel] = e_read_begin[src]
+    out["re"][rsel, csel] = e_read_end[src]
+    out["fb"][rsel, csel] = ref_begin[src]
+    out["fe"][rsel, csel] = e_ref_end[src]
+    out["cov"][rsel, csel] = e_cov[src]
+    out["sid"][rsel, csel] = e_sid[src]
+    vmask[rsel, csel] = True
+    counts = np.bincount(e_row, minlength=B)
+    n_dropped = np.maximum(counts - S, 0).astype(np.int32)
+
+    return ExpandedSeeds(
+        read_begin=out["rb"], read_end=out["re"], ref_begin=out["fb"],
+        ref_end=out["fe"], cov=out["cov"], seed_id=out["sid"],
+        valid=vmask, n_dropped=n_dropped,
+    )
+
+
+def _ranges_np(counts: np.ndarray) -> np.ndarray:
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)

@@ -1,0 +1,119 @@
+"""Device seeding + host merge/expand vs the scalar index-query oracle."""
+
+import numpy as np
+import pytest
+
+from pansvr_tpu.align.host_align import HostAligner, SEED_STEP
+from pansvr_tpu.index import query as Q
+from pansvr_tpu.index.builder import build_index
+from pansvr_tpu.index.device import to_device
+from pansvr_tpu.ops.seeding import merge_expand_batch, pack_reads, seed_reads
+from pansvr_tpu.utils import dna
+from pansvr_tpu.utils.simulate import random_genome
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(30)
+    contigs = list(random_genome(rng, {f"c{i}": 2500 for i in range(4)}).items())
+    # plant an exact repeat across two contigs so some unitigs have pos_n > 1
+    rep = contigs[0][1][500:900]
+    c1 = contigs[1][1]
+    contigs[1] = (contigs[1][0], c1[:1000] + rep + c1[1400:])
+    idx = build_index(contigs, first_level_bases=10)
+    didx = to_device(idx)
+    aligner = HostAligner(idx) if False else None
+    return idx, didx, contigs
+
+
+def _host_mems(idx, codes):
+    """Oracle seeding identical to HostAligner._seed_read."""
+    al = HostAligner.__new__(HostAligner)
+    al.idx = idx
+    return al._seed_read(codes, None)
+
+
+def _reads_from(contigs, rng, n, L=150, err=0.01):
+    reads = []
+    for _ in range(n):
+        name, seq = contigs[int(rng.integers(len(contigs)))]
+        p = int(rng.integers(0, len(seq) - L))
+        codes = dna.encode(seq[p : p + L])
+        mask = rng.random(L) < err
+        codes[mask] = (codes[mask] + 1) % 4
+        reads.append(codes)
+    return reads
+
+
+def test_device_seeding_matches_oracle(world):
+    idx, didx, contigs = world
+    rng = np.random.default_rng(31)
+    reads = _reads_from(contigs, rng, 16)
+    L = 150
+    B = len(reads)
+    codes = np.stack(reads)
+    words = pack_reads(codes)
+    lens = np.full(B, L, np.int32)
+    S0 = (L - idx.search_k) // SEED_STEP + 1
+    mask = np.ones((B, S0), bool)
+
+    sb = seed_reads(didx, words, lens, mask, S0=S0)
+    for b in range(B):
+        expect = _host_mems(idx, reads[b])
+        got = []
+        valid = np.asarray(sb.valid[b])
+        for s, h in zip(*np.nonzero(valid)):
+            got.append(
+                (int(sb.uid[b, s, h]), int(sb.read_pos[b, s, h]),
+                 int(sb.uni_pos_off[b, s, h]), int(sb.length[b, s, h]),
+                 int(sb.pos_n[b, s, h]))
+            )
+        exp = [(m.uid, m.read_pos, m.uni_pos_off, m.length, m.pos_n)
+               for m in expect]
+        assert sorted(got) == sorted(exp), f"read {b}: {got} != {exp}"
+
+
+def test_merge_expand_matches_oracle(world):
+    idx, didx, contigs = world
+    rng = np.random.default_rng(32)
+    reads = _reads_from(contigs, rng, 12, err=0.02)
+    L = 150
+    B = len(reads)
+    codes = np.stack(reads)
+    words = pack_reads(codes)
+    lens = np.full(B, L, np.int32)
+    S0 = (L - idx.search_k) // SEED_STEP + 1
+    mask = np.ones((B, S0), bool)
+    sb = seed_reads(didx, words, lens, mask, S0=S0)
+    es = merge_expand_batch(sb, idx, S=128)
+
+    for b in range(B):
+        mems = _host_mems(idx, reads[b])
+        merged = Q.merge_seeds(mems)
+        seeds = Q.expand_seeds(idx, merged)
+        exp = sorted(
+            (s.read_begin, s.read_end, s.ref_begin, s.ref_end, s.cov)
+            for s in seeds
+        )
+        got = sorted(
+            (int(es.read_begin[b, i]), int(es.read_end[b, i]),
+             int(es.ref_begin[b, i]), int(es.ref_end[b, i]),
+             int(es.cov[b, i]))
+            for i in np.nonzero(es.valid[b])[0]
+        )
+        assert got == exp, f"read {b}"
+        assert es.n_dropped[b] == 0
+
+
+def test_seed_mask_respected(world):
+    idx, didx, contigs = world
+    rng = np.random.default_rng(33)
+    reads = _reads_from(contigs, rng, 2, err=0.0)
+    codes = np.stack(reads)
+    words = pack_reads(codes)
+    L = 150
+    S0 = (L - idx.search_k) // SEED_STEP + 1
+    lens = np.full(2, L, np.int32)
+    mask = np.zeros((2, S0), bool)  # everything masked -> no seeds
+    sb = seed_reads(didx, words, lens, mask, S0=S0)
+    assert not bool(np.asarray(sb.valid).any())
