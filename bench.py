@@ -1,0 +1,83 @@
+"""Benchmark: reads realigned per second per chip through the batched
+device engine (seeding + chaining + banded DP + CIGAR assembly).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the reference CPU panSVR fc_aln when a
+baseline measurement file exists (tools/measure_cpu_baseline.py writes
+it); 0.0 until then.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FILE = "/tmp/pansvr_cpu_baseline.json"
+
+
+def build_world(seed=123, n_sv=64, n_pairs=4000):
+    from pansvr_tpu.anchor.builder import AnchorConfig, build_anchor_contigs
+    from pansvr_tpu.index.builder import build_index
+    from pansvr_tpu.utils.simulate import DictGenome, make_dataset
+
+    ds = make_dataset(
+        seed=seed, n_sv=n_sv, n_pairs=n_pairs, types=("DEL", "INS"),
+        chrom_lengths={"chr1": 2_000_000},
+    )
+    contigs = list(
+        build_anchor_contigs(ds.vcf_records, DictGenome(ds.genome), AnchorConfig())
+    )
+    idx = build_index([(c.name, c.seq) for c in contigs], first_level_bases=12)
+    return ds, idx
+
+
+def main():
+    from pansvr_tpu.align.engine import AlignEngine
+    from pansvr_tpu.align.host_align import OriResult
+
+    ds, idx = build_world()
+    eng = AlignEngine(idx, ori_chrom_names=list(ds.genome))
+
+    seqs = []
+    for r in ds.reads:
+        seqs.append(r.seq1)
+        seqs.append(r.seq2)
+    oris = [OriResult(unmapped=True)] * len(seqs)
+
+    batch = 2048
+    n_batches = len(seqs) // batch
+    # warm-up/compile on one batch (same shapes as the measured runs)
+    eng.align_batch(seqs[:batch], oris[:batch])
+
+    n_done = 0
+    t0 = time.time()
+    for b in range(1, n_batches):
+        eng.align_batch(seqs[b * batch : (b + 1) * batch], oris[:batch])
+        n_done += batch
+    dt = time.time() - t0
+    reads_per_s = n_done / dt
+
+    vs_baseline = 0.0
+    if os.path.exists(BASELINE_FILE):
+        try:
+            base = json.load(open(BASELINE_FILE))
+            cpu = float(base.get("cpu_reads_per_s_32t", 0))
+            if cpu > 0:
+                vs_baseline = reads_per_s / cpu
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": "reads_realigned_per_s_per_chip",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,385 @@
+"""Batched TPU realignment engine.
+
+Orchestrates the device pipeline per batch of reads:
+
+  1. host:   2-bit encode fwd+rev, STR detection, packing;
+  2. device: seeding (ops.seeding.seed_reads) over fwd+rev rows;
+  3. host:   colinear merge + reference expansion (vectorized NumPy);
+  4. device: SDP chaining (ops.chain.chain_batch);
+  5. host:   chain extraction (top-6 per direction, cutoff rules);
+  6. host:   chain walk -> segment plan; simple-compare segments resolved
+             inline, full-DP segments COLLECTED;
+  7. device: one extd2_batch call over all collected DP segments;
+  8. host:   replay the walks with the batched DP results -> scores,
+             CIGARs, mapq, results identical to align.host_align.
+
+The collect/replay trick is sound because segment boundaries and the
+simple/DP decision depend only on chain geometry and direct sequence
+compares — never on a DP outcome — so both passes request the same
+segments in the same order.
+
+Equality with HostAligner is the correctness contract (tested); speed
+comes from steps 2, 4, 7 running as single batched device programs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..index.builder import RdBGIndex
+from ..index.device import to_device
+from ..ops import chain_ref
+from ..ops.chain import chain_batch
+from ..ops.extd2_jax import (
+    Extd2Params,
+    extd2_batch,
+    ops_to_cigar,
+    traceback_batch,
+)
+from ..ops.ksw2_ref import NEG_INF, Ez
+from ..ops.seeding import merge_expand_device, pack_reads, seed_reads
+from ..utils import dna
+from .host_align import (
+    FORWARD,
+    LEN_KMER,
+    MAX_CHAIN_SCORE_DIFF,
+    MAX_OUTPUT_NUMBER,
+    MIN_ALN_SCORE,
+    MIN_CHAIN_SCORE,
+    MIN_CHAIN_SCORE_LOOP,
+    REVERSE,
+    SEED_STEP,
+    AlignParams,
+    AlnResult,
+    HostAligner,
+    KswHandler,
+    OriResult,
+    SingleEndState,
+    reverse_merge_cigar,
+)
+
+
+class _CollectDP(KswHandler):
+    """KswHandler whose DP calls are collected (pass 1) then replayed
+    (pass 2) from a batch-computed result list."""
+
+    def __init__(self, idx, p):
+        super().__init__(idx, p)
+        self.mode = "collect"
+        self.requests: list[tuple[np.ndarray, np.ndarray]] = []
+        self.responses: list[Ez] = []
+        self._cursor = 0
+
+    def start_replay(self, responses):
+        self.mode = "replay"
+        self.responses = responses
+        self._cursor = 0
+
+    def _run_dp(self, qseq, tseq):
+        if self.mode == "collect":
+            self.requests.append((qseq, tseq))
+            return Ez(score=0, mqe=0, cigar=[("M", min(len(qseq), len(tseq)))])
+        ez = self.responses[self._cursor]
+        self._cursor += 1
+        return ez
+
+
+@dataclass
+class EngineConfig:
+    max_read_len: int = 160      # compiled read-length class
+    max_seeds: int = 160         # S: expanded seeds per read/direction
+    dp_q: int = 176              # DP size class (query)
+    dp_t: int = 256              # DP size class (target)
+
+
+class AlignEngine:
+    """Batched aligner; produces SingleEndState lists compatible with
+    align.host_align.PEScorer."""
+
+    def __init__(self, idx: RdBGIndex, params: AlignParams | None = None,
+                 config: EngineConfig | None = None,
+                 ori_chrom_names: list[str] | None = None):
+        self.idx = idx
+        self.p = params or AlignParams()
+        self.cfg = config or EngineConfig()
+        self.didx = to_device(idx)
+        self.host = HostAligner(idx, self.p, ori_chrom_names=ori_chrom_names)
+        self.sv_info = self.host.sv_info
+        self.dp_params = Extd2Params(
+            match=self.p.match, mismatch=-self.p.mismatch,
+            q=self.p.gap_open, e=self.p.gap_ex,
+            q2=self.p.gap_open2, e2=self.p.gap_ex2,
+            w=self.p.band, zdrop=self.p.zdrop,
+        )
+        self._scalar_dp = KswHandler(idx, self.p)._run_dp
+
+    # ------------------------------------------------------------------
+    def align_batch(self, seqs: list[str], oris: list[OriResult]) -> list[SingleEndState]:
+        cfg = self.cfg
+        n = len(seqs)
+        # pad the batch row count to a power-of-two bucket so the jitted
+        # device stages compile once per bucket, not once per call
+        n_pad = max(64, 1 << (max(n, 1) - 1).bit_length())
+        L = cfg.max_read_len
+        states: list[SingleEndState] = []
+        active: list[int] = []
+
+        codes_f = np.zeros((n_pad, L), np.uint8)
+        codes_r = np.zeros((n_pad, L), np.uint8)
+        lens = np.zeros(n_pad, np.int32)
+        S0 = (L - LEN_KMER) // SEED_STEP + 1
+        seed_mask_f = np.ones((n_pad, S0), bool)
+        seed_mask_r = np.ones((n_pad, S0), bool)
+        is_str = np.zeros(n_pad, bool)
+
+        for i, (seq, ori) in enumerate(zip(seqs, oris)):
+            rl = len(seq)
+            cf = dna.fill_n(dna.encode(seq), seed=0)
+            cr = (cf[::-1] ^ 3).astype(np.uint8)
+            st = SingleEndState(
+                results=[], ori=ori,
+                ori_unmapped=ori.unmapped or ori.chr_id > 24,
+                read_codes_fwd=cf, read_codes_rev=cr,
+            )
+            states.append(st)
+            if rl > L:
+                # out-of-class read: host fallback
+                states[i] = self.host.align_read(seq, ori)
+                continue
+            if not st.ori_unmapped and ori.align_score == rl * self.p.match:
+                continue  # refuse full-score reads
+            codes_f[i, :rl] = cf
+            codes_r[i, :rl] = cr
+            lens[i] = rl
+            n_kmer = rl - LEN_KMER + 1
+            if n_kmer > 0:
+                istr, sl = self.host._detect_str(cf)
+                is_str[i] = istr
+                if sl is not None:
+                    usable = np.ones(n_kmer, bool)
+                    usable[:] = sl > 0
+                    pos = np.arange(0, n_kmer, SEED_STEP)
+                    seed_mask_f[i, : len(pos)] = usable[pos]
+                    slr = sl[::-1]
+                    usable_r = slr > 0
+                    seed_mask_r[i, : len(pos)] = usable_r[pos]
+            active.append(i)
+
+        if not active:
+            return states
+
+        # ---- device seeding: stack fwd rows then rev rows -------------
+        codes2 = np.concatenate([codes_f, codes_r], axis=0)
+        words = pack_reads(codes2)
+        lens2 = np.concatenate([lens, lens])
+        mask2 = np.concatenate([seed_mask_f, seed_mask_r], axis=0)
+        import jax.numpy as jnp
+
+        sb = seed_reads(self.didx, words, lens2, mask2, S0=S0)
+        es = merge_expand_device(sb, self.didx, S=cfg.max_seeds)
+        # single small sync pull: per-row overflow/drop/seed-count stats
+        stats3 = np.asarray(
+            jnp.stack([
+                sb.n_overflow,
+                es.n_dropped.astype(jnp.int32),
+                es.valid.sum(axis=1).astype(jnp.int32),
+            ])
+        )
+        overflow, dropped, seed_count = stats3
+        fallback = set(int(r) % n_pad for r in np.nonzero(overflow > 0)[0])
+        fallback |= set(int(r) % n_pad for r in np.nonzero(dropped > 0)[0])
+        for i in list(fallback):
+            if i < n and i in active:
+                states[i] = self.host.align_read(seqs[i], oris[i])
+                active.remove(i)
+
+        # ---- device chaining, bucketed to the real max seed count ------
+        kmax = int(seed_count.max()) if len(seed_count) else 0
+        K = min(cfg.max_seeds, max(8, 1 << max(kmax - 1, 0).bit_length()))
+        is_str2 = np.concatenate([is_str, is_str])
+        # seeds are compacted to the front of the S axis, so [:, :K] keeps
+        # every valid seed
+        cr_res = chain_batch(
+            es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
+            es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
+            es.valid[:, :K], is_str2,
+        )
+        packed = np.asarray(
+            jnp.stack([
+                cr_res.dist, cr_res.pre, cr_res.read_begin, cr_res.read_end,
+                cr_res.ref_begin, cr_res.ref_end, cr_res.cov,
+            ])
+        )
+        dist, pre, s_rb, s_re, s_fb, s_fe, s_cov = packed
+        nv = seed_count
+
+        # ---- per-read chain extraction + walk (collect pass) ----------
+        handlers: dict[int, _CollectDP] = {}
+        pending: list[tuple[int, AlnResult, chain_ref.ChainGraph, int, int]] = []
+
+        for i in active:
+            results: list[AlnResult] = []
+            meta = []
+            max_chain_score = 0
+            graphs = {}
+            for d, row in ((FORWARD, i), (REVERSE, i + n_pad)):
+                k = int(nv[row])
+                g = chain_ref.ChainGraph(
+                    read_begin=s_rb[row][:k], read_end=s_re[row][:k],
+                    ref_begin=s_fb[row][:k], ref_end=s_fe[row][:k],
+                    cov=s_cov[row][:k], seed_id=np.zeros(k, np.int64),
+                    dist=dist[row][:k].astype(np.float64),
+                    pre=pre[row][:k].astype(np.int64),
+                )
+                graphs[d] = g
+                for _ in range(MAX_OUTPUT_NUMBER):
+                    hit = chain_ref.extract_chain(g, rng=None)
+                    if hit is None:
+                        break
+                    cs = int(hit.chain_score)
+                    max_chain_score = max(max_chain_score, cs)
+                    if cs + MAX_CHAIN_SCORE_DIFF < max_chain_score or cs < MIN_CHAIN_SCORE_LOOP:
+                        break
+                    r = AlnResult(chain_score=cs, direction=d,
+                                  read_bg=hit.read_begin)
+                    cid = self.idx.chr_of_pos(hit.ref_begin)
+                    r.chr_id = cid
+                    r.ref_bg = hit.ref_begin - int(self.idx.chr_starts[cid])
+                    results.append(r)
+                    meta.append((g, hit.max_index))
+            if not results or max_chain_score < MIN_CHAIN_SCORE:
+                continue
+            idxs = sorted(range(len(results)),
+                          key=lambda j: (-results[j].chain_score, meta[j][1]))
+            results = [results[j] for j in idxs]
+            meta = [meta[j] for j in idxs]
+            h = _CollectDP(self.idx, self.p)
+            handlers[i] = h
+            for r, (g, mi) in zip(results, meta):
+                if r.chain_score + MAX_CHAIN_SCORE_DIFF < max_chain_score:
+                    break
+                pending.append((i, r, g, mi, max_chain_score))
+                codes = states[i].read_codes_rev if r.direction == REVERSE \
+                    else states[i].read_codes_fwd
+                self._walk(h, g, mi, codes)  # collect DP requests
+
+        # ---- batched DP ------------------------------------------------
+        responses_per_read = self._run_dp_batch(handlers)
+
+        # ---- replay pass: final scores + cigars ------------------------
+        per_read_pending: dict[int, list] = {}
+        for item in pending:
+            per_read_pending.setdefault(item[0], []).append(item)
+        for i, items in per_read_pending.items():
+            st = states[i]
+            h = handlers[i]
+            h.start_replay(responses_per_read.get(i, []))
+            kept = []
+            for (_, r, g, mi, mcs) in items:
+                codes = st.read_codes_rev if r.direction == REVERSE else st.read_codes_fwd
+                rba, score, cigar_tmp = self._walk(h, g, mi, codes)
+                r.ref_bg -= rba
+                r.align_score = max(score, 0)
+                cig = reverse_merge_cigar(cigar_tmp, len(codes))
+                r.cigar = cig or []
+                kept.append(r)
+            kept.sort(key=lambda r: -r.align_score)
+            if not kept or kept[0].align_score < MIN_ALN_SCORE:
+                continue
+            for j, r in enumerate(kept):
+                r.sv_id = r.chr_id
+                info = self.sv_info[r.sv_id]
+                r.chr_id = -1
+                r.ref_bg += info.st_pos - 1
+                r.is_ori = False
+                r.rst_idx = j
+                r.mapq = 0
+            kept[0].mapq = min(
+                40, kept[0].align_score - (kept[1].align_score if len(kept) > 1 else 0)
+            )
+            st.results = kept
+        return states
+
+    # ------------------------------------------------------------------
+    def _walk(self, ksw: _CollectDP, g: chain_ref.ChainGraph, max_index: int,
+              read_codes: np.ndarray):
+        """The get_ksw_score walk, shared with HostAligner._score_chain
+        (duplicated here to keep walk state per handler mode)."""
+        al = self.host
+        # reuse HostAligner logic but with the collecting handler
+        saved = al.ksw
+        al.ksw = ksw
+        try:
+            return al._score_chain(g, max_index, read_codes)
+        finally:
+            al.ksw = saved
+
+    def _run_dp_batch(self, handlers: dict[int, "_CollectDP"]):
+        """Execute all collected DP requests in one device batch; oversize
+        segments fall back to the scalar reference kernel."""
+        cfg = self.cfg
+        reqs = []
+        owners = []
+        for i, h in handlers.items():
+            for j, (q, t) in enumerate(h.requests):
+                reqs.append((q, t))
+                owners.append((i, j))
+        responses: dict[int, list] = {
+            i: [None] * len(h.requests) for i, h in handlers.items()
+        }
+        if not reqs:
+            return responses
+        small = [k for k, (q, t) in enumerate(reqs)
+                 if len(q) <= cfg.dp_q and len(t) <= cfg.dp_t]
+        big = [k for k in range(len(reqs)) if k not in set(small)]
+
+        # fixed-size DP chunks: ONE compiled shape for the DP+traceback
+        # programs regardless of how many segments a batch produced
+        CHUNK = 512
+        import jax.numpy as jnp
+        for c0 in range(0, len(small), CHUNK):
+            chunk = small[c0 : c0 + CHUNK]
+            B = CHUNK
+            qc = np.zeros((B, cfg.dp_q), np.int32)
+            tc = np.zeros((B, cfg.dp_t), np.int32)
+            ql = np.ones(B, np.int32)
+            tl = np.ones(B, np.int32)
+            for bi, k in enumerate(chunk):
+                q, t = reqs[k]
+                qc[bi, : len(q)] = q
+                tc[bi, : len(t)] = t
+                ql[bi] = len(q)
+                tl[bi] = len(t)
+            res = extd2_batch(qc, ql, tc, tl, params=self.dp_params)
+            # traceback on device: only op sequences cross the transfer
+            i0 = jnp.where(~res.zdropped, tl - 1,
+                           jnp.where(res.max_t >= 0, res.max_t, -1))
+            j0 = jnp.where(~res.zdropped, ql - 1,
+                           jnp.where(res.max_q >= 0, res.max_q, -1))
+            ops, i_f, j_f = traceback_batch(
+                res.dmat, res.st_arr, res.en_arr,
+                i0.astype(np.int32), j0.astype(np.int32),
+                K=cfg.dp_q + cfg.dp_t,
+            )
+            packed = np.asarray(jnp.stack([
+                res.score, res.mqe, res.max, res.max_q, res.max_t,
+                res.zdropped.astype(jnp.int32), i_f, j_f,
+            ]))
+            score, mqe, mx, mxq, mxt, zdr, i_f, j_f = packed
+            ops = np.asarray(ops)
+            for bi, k in enumerate(chunk):
+                cig = ops_to_cigar(ops[bi], int(i_f[bi]), int(j_f[bi]))
+                ez = Ez(
+                    score=int(score[bi]), mqe=int(mqe[bi]),
+                    max=int(mx[bi]), max_q=int(mxq[bi]), max_t=int(mxt[bi]),
+                    zdropped=bool(zdr[bi]), cigar=cig,
+                )
+                i, j = owners[k]
+                responses[i][j] = ez
+        for k in big:
+            q, t = reqs[k]
+            i, j = owners[k]
+            responses[i][j] = self._scalar_dp(q, t)
+        return responses

@@ -186,11 +186,7 @@ class KswHandler:
             self._push("I", qlen)
             self._push("D", tlen)  # dummy, score 0 (cpp:895-907)
             return
-        ez = ksw2_ref.extd2(
-            qseq, tseq, match=p.match, mismatch=-p.mismatch,
-            q=p.gap_open, e=p.gap_ex, q2=p.gap_open2, e2=p.gap_ex2,
-            w=p.band, zdrop=p.zdrop,
-        )
+        ez = self._run_dp(qseq, tseq)
         if type_ == self.END2END:
             self.read_score += ez.score if ez.score != ksw2_ref.NEG_INF else 0
             for op, n in reversed(ez.cigar):
@@ -203,6 +199,16 @@ class KswHandler:
             self.read_score += ez.mqe if ez.mqe != ksw2_ref.NEG_INF else 0
             for op, n in reversed(ez.cigar):
                 self._push(op, n)
+
+    def _run_dp(self, qseq, tseq):
+        """Banded dual-affine DP for one segment. Overridden by the batched
+        engine to collect/replay requests against the device kernel."""
+        p = self.p
+        return ksw2_ref.extd2(
+            qseq, tseq, match=p.match, mismatch=-p.mismatch,
+            q=p.gap_open, e=p.gap_ex, q2=p.gap_open2, e2=p.gap_ex2,
+            w=p.band, zdrop=p.zdrop,
+        )
 
     def _push(self, op, n):
         self.cigar_tmp.append((op, n))

@@ -317,6 +317,74 @@ def extd2_batch(q_codes, qlens, t_codes, tlens,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("K",))
+def traceback_batch(dmat, st_arr, en_arr, i0, j0, K: int):
+    """Device traceback: batched ksw_backtrack_D over full-width direction
+    matrices. dmat (B, n_diag, T) uint8; st/en (B, n_diag); i0/j0 (B,)
+    start cell (target, query). Returns ops (B, K) int8 in backward order
+    (0=M, 1=I, 2=D, 3=none) plus the final (i, j) per problem for the
+    caller's leading-gap tail. i0 < 0 marks an empty problem."""
+    B, n_diag, T = dmat.shape
+    dflat = dmat.reshape(B, n_diag * T)
+    bidx = jnp.arange(B)
+
+    def step(carry, _):
+        i, j, state, alive = carry
+        r = i + j
+        rc = jnp.clip(r, 0, n_diag - 1)
+        ic = jnp.clip(i, 0, T - 1)
+        st_r = st_arr[bidx, rc]
+        en_r = en_arr[bidx, rc]
+        force = jnp.where(i < st_r, 2, jnp.where(i > en_r, 1, -1))
+        tmp = jnp.where(
+            force < 0, dflat[bidx, rc * T + ic].astype(jnp.int32), 0
+        )
+        st1 = jnp.where(state == 0, tmp & 7, state)
+        cont = (tmp >> (st1 + 2)) & 1
+        st2 = jnp.where((state != 0) & (cont == 0), 0, st1)
+        st3 = jnp.where(st2 == 0, tmp & 7, st2)
+        st4 = jnp.where(force >= 0, force, st3)
+        op = jnp.where(st4 == 0, 0, jnp.where((st4 == 1) | (st4 == 3), 2, 1))
+        i_n = jnp.where(op != 1, i - 1, i)
+        j_n = jnp.where(op != 2, j - 1, j)
+        emitted = jnp.where(alive, op, 3).astype(jnp.int8)
+        alive_n = alive & (i_n >= 0) & (j_n >= 0)
+        return (jnp.where(alive, i_n, i), jnp.where(alive, j_n, j),
+                jnp.where(alive, st4, state), alive_n), emitted
+
+    alive0 = (i0 >= 0) & (j0 >= 0)
+    (i_f, j_f, _, _), ops = jax.lax.scan(
+        step, (i0, j0, jnp.zeros_like(i0), alive0), None, length=K
+    )
+    return jnp.transpose(ops), i_f, j_f
+
+
+def ops_to_cigar(ops_row: np.ndarray, i_fin: int, j_fin: int) -> list:
+    """Backward op codes -> forward run-length CIGAR, appending the
+    leading deletion/insertion exactly like ksw_backtrack_D's tail."""
+    out: list[tuple[str, int]] = []
+    names = "MID"
+    for code in ops_row:
+        if code == 3:
+            break
+        op = names[code]
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + 1)
+        else:
+            out.append((op, 1))
+    if i_fin >= 0:
+        if out and out[-1][0] == "D":
+            out[-1] = ("D", out[-1][1] + i_fin + 1)
+        else:
+            out.append(("D", int(i_fin) + 1))
+    if j_fin >= 0:
+        if out and out[-1][0] == "I":
+            out[-1] = ("I", out[-1][1] + j_fin + 1)
+        else:
+            out.append(("I", int(j_fin) + 1))
+    return out[::-1]
+
+
 def traceback(dmat, st_arr, en_arr, i0: int, j0: int) -> list:
     """Host traceback over one problem's direction matrix (full-width
     columns; st/en arrays give the valid band). Mirrors ksw_backtrack_D."""

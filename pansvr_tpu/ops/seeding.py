@@ -46,14 +46,17 @@ WAITING_LEN = 3
 
 
 class SeedBatch(NamedTuple):
-    """Raw MEM output, (B, S0, H) int32 unless noted."""
+    """Compacted MEM output, (B, M) int32 unless noted. Valid MEMs are
+    packed to the front of the M axis in (seed-position, hit) order; rows
+    with more than M valid MEMs report the excess in n_overflow (callers
+    fall back to the host path for those reads to preserve exactness)."""
     uid: jnp.ndarray
     read_pos: jnp.ndarray
     uni_pos_off: jnp.ndarray
     length: jnp.ndarray
     pos_n: jnp.ndarray
-    valid: jnp.ndarray       # (B, S0, H) bool
-    seed_used: jnp.ndarray   # (B, S0) bool — after the coverage skip
+    valid: jnp.ndarray       # (B, M) bool
+    n_overflow: jnp.ndarray  # (B,) int32
 
 
 def pack_reads(codes: np.ndarray) -> np.ndarray:
@@ -103,7 +106,7 @@ def _ctz32(x):
     return jax.lax.population_count((blsi - jnp.uint32(1)).astype(jnp.int32)).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("S0", "n_ext_steps"))
+@functools.partial(jax.jit, static_argnames=("S0", "n_ext_steps", "M"))
 def seed_reads(
     didx: DeviceIndex,
     read_words: jnp.ndarray,   # (B, Wr) int32 packed
@@ -111,6 +114,7 @@ def seed_reads(
     seed_mask: jnp.ndarray,    # (B, S0) bool: STR whitelist (True = usable)
     S0: int,
     n_ext_steps: int = 11,
+    M: int = 128,
 ) -> SeedBatch:
     B = read_words.shape[0]
     fl = didx.first_level_bases
@@ -227,14 +231,23 @@ def seed_reads(
     seed_used = jnp.transpose(used_list)                   # (B, S0)
 
     valid = hit_ok & seed_used[:, :, None]
+
+    # --- device compaction: pack valid MEMs to the front ------------------
+    # (the tunnel/PCIe transfer shrinks from S0*H to M slots per read)
+    flat = lambda a: a.reshape(B, S0 * H_SLOTS)
+    vflat = flat(valid)
+    order = jnp.argsort(~vflat, axis=1, stable=True)[:, :M]
+    g = lambda a: jnp.take_along_axis(flat(a), order, axis=1)
+    v_out = jnp.take_along_axis(vflat, order, axis=1)
+    n_valid = vflat.sum(axis=1)
     return SeedBatch(
-        uid=jnp.where(valid, uid, 0),
-        read_pos=jnp.where(valid, read_pos, 0),
-        uni_pos_off=jnp.where(valid, uni_pos_off, 0),
-        length=jnp.where(valid, length, 0),
-        pos_n=jnp.where(valid, pos_n, 0),
-        valid=valid,
-        seed_used=seed_used,
+        uid=jnp.where(v_out, g(uid), 0),
+        read_pos=jnp.where(v_out, g(read_pos), 0),
+        uni_pos_off=jnp.where(v_out, g(uni_pos_off), 0),
+        length=jnp.where(v_out, g(length), 0),
+        pos_n=jnp.where(v_out, g(pos_n), 0),
+        valid=v_out,
+        n_overflow=jnp.maximum(n_valid - M, 0).astype(jnp.int32),
     )
 
 
@@ -267,16 +280,16 @@ def merge_expand_batch(sb: SeedBatch, idx, S: int,
     valid = np.asarray(sb.valid)
     B = uid.shape[0]
 
-    rows, s_idx, h_idx = np.nonzero(valid)
+    rows, m_idx = np.nonzero(valid)
     if len(rows) == 0:
         z = np.zeros((B, S), np.int32)
         return ExpandedSeeds(z, z, z, z, z, z, np.zeros((B, S), bool),
                              np.zeros(B, np.int32))
-    u = uid[rows, s_idx, h_idx].astype(np.int64)
-    rp = read_pos[rows, s_idx, h_idx].astype(np.int64)
-    uo = uni_off[rows, s_idx, h_idx].astype(np.int64)
-    ln = length[rows, s_idx, h_idx].astype(np.int64)
-    pn = pos_n[rows, s_idx, h_idx].astype(np.int64)
+    u = uid[rows, m_idx].astype(np.int64)
+    rp = read_pos[rows, m_idx].astype(np.int64)
+    uo = uni_off[rows, m_idx].astype(np.int64)
+    ln = length[rows, m_idx].astype(np.int64)
+    pn = pos_n[rows, m_idx].astype(np.int64)
 
     order = np.lexsort((rp, u, rows))
     rows, u, rp, uo, ln, pn = (a[order] for a in (rows, u, rp, uo, ln, pn))
@@ -388,3 +401,146 @@ def _ranges_np(counts: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     starts = np.cumsum(counts) - counts
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+# -------------------------------------------------------------------------
+# device merge + expand (same semantics as merge_expand_batch, minus the
+# host round-trip; occurrence sampling uses a counter-based hash instead of
+# a NumPy RNG — both are arbitrary relative to the reference's rand())
+# -------------------------------------------------------------------------
+
+class DeviceSeeds(NamedTuple):
+    """Per-read reference seeds on device, (B, S) int32 / bool."""
+    read_begin: jnp.ndarray
+    read_end: jnp.ndarray
+    ref_begin: jnp.ndarray
+    ref_end: jnp.ndarray
+    cov: jnp.ndarray
+    seed_id: jnp.ndarray
+    valid: jnp.ndarray
+    n_dropped: jnp.ndarray   # (B,)
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def merge_expand_device(sb: SeedBatch, didx: DeviceIndex, S: int,
+                        sample_seed: jnp.ndarray | int = 0) -> DeviceSeeds:
+    uid, rp, uo, ln, pn, valid = (
+        sb.uid, sb.read_pos, sb.uni_pos_off, sb.length, sb.pos_n, sb.valid
+    )
+    B, M = uid.shape
+
+    # ---- sort MEMs by (uid, read_pos), invalid last (two-pass lexsort) --
+    ord1 = jnp.argsort(rp, axis=1, stable=True)
+    take1 = lambda a: jnp.take_along_axis(a, ord1, axis=1)
+    uid1 = take1(uid)
+    val1 = take1(valid)
+    key = jnp.where(val1, uid1, jnp.int32(0x7FFFFFFF))
+    ord2 = jnp.argsort(key, axis=1, stable=True)
+    order = jnp.take_along_axis(ord1, ord2, axis=1)
+    g = lambda a: jnp.take_along_axis(a, order, axis=1)
+    uid, rp, uo, ln, pn, valid = g(uid), g(rp), g(uo), g(ln), g(pn), g(valid)
+
+    # ---- adjacent-linked runs ------------------------------------------
+    linked = jnp.zeros((B, M), dtype=bool)
+    same = (uid[:, 1:] == uid[:, :-1]) & (uo[:, 1:] > uo[:, :-1]) \
+        & valid[:, 1:] & valid[:, :-1]
+    diff = rp[:, 1:] - rp[:, :-1] - ln[:, :-1]
+    drift = (uo[:, 1:] - uo[:, :-1]) - (rp[:, 1:] - rp[:, :-1])
+    linked = linked.at[:, 1:].set(
+        same & (diff <= WAITING_LEN) & (drift == 0)
+    )
+    is_first = ~linked
+    run_id = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # (B, M)
+
+    contrib = jnp.where(
+        linked & (jnp.pad(diff, ((0, 0), (1, 0))) <= 0),
+        jnp.pad(diff, ((0, 0), (1, 0))) + ln, ln
+    )
+    contrib = jnp.where(valid, contrib, 0)
+    # segmented sums/boundaries via prefix trick on (B, M):
+    csum = jnp.cumsum(contrib, axis=1)
+    # positions of run firsts, compacted: sort (~is_first) stable
+    ordf = jnp.argsort(~(is_first & valid), axis=1, stable=True)
+    firsts = ordf  # column index of the j-th run's first element (front)
+    n_runs = jnp.sum(is_first & valid, axis=1)  # (B,)
+
+    run_slot = jnp.arange(M)[None, :]
+    run_ok = run_slot < n_runs[:, None]
+    fcol = jnp.where(run_ok, firsts, M - 1)
+    # last element of run j = first of run j+1 minus 1 (or last valid)
+    nvalid = jnp.sum(valid, axis=1)
+    next_f = jnp.where(
+        run_slot + 1 < n_runs[:, None],
+        jnp.take_along_axis(firsts, jnp.minimum(run_slot + 1, M - 1), axis=1),
+        nvalid[:, None],
+    )
+    lcol = jnp.clip(next_f - 1, 0, M - 1)
+
+    at = lambda a, c: jnp.take_along_axis(a, c, axis=1)
+    m_uid = at(uid, fcol)
+    m_rp = at(rp, fcol)
+    m_uo = at(uo, fcol)
+    m_pn = at(pn, fcol)
+    csum_last = at(csum, lcol)
+    csum_before = jnp.where(fcol > 0, at(csum, jnp.maximum(fcol - 1, 0)), 0)
+    m_cov = csum_last - csum_before
+    single = fcol == lcol
+    m_len1 = jnp.where(single, at(ln, fcol),
+                       at(rp, lcol) + at(ln, lcol) - m_rp)
+    m_len2 = jnp.where(single, at(ln, fcol),
+                       at(uo, lcol) + at(ln, lcol) - m_uo)
+
+    # ---- expand ---------------------------------------------------------
+    over2 = run_ok & (m_pn > POS_N_MAX_LEVEL2)
+    aborted = jnp.cumsum(over2.astype(jnp.int32), axis=1) > 0
+    keep = run_ok & ~aborted
+    occ = jnp.where(
+        keep, jnp.where(m_pn > POS_N_MAX, RANDOM_NUM, m_pn), 0
+    )
+    cum = jnp.cumsum(occ, axis=1)
+    start = cum - occ
+    total = cum[:, -1]
+
+    slot = jnp.arange(S, dtype=jnp.int32)[None, :]
+    slot_b = slot + jnp.zeros((B, 1), jnp.int32)
+    src_run = jax.vmap(
+        lambda c, s: jnp.searchsorted(c, s, side="right")
+    )(cum, slot_b).astype(jnp.int32)
+    src_run = jnp.clip(src_run, 0, M - 1)
+    within = slot - jnp.take_along_axis(start, src_run, axis=1)
+    slot_ok = slot < jnp.minimum(total[:, None], S)
+
+    r_uid = jnp.take_along_axis(m_uid, src_run, axis=1)
+    r_pn = jnp.take_along_axis(m_pn, src_run, axis=1)
+    sampled = r_pn > POS_N_MAX
+    h = (
+        (slot.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        ^ (jnp.uint32(sample_seed) if isinstance(sample_seed, int)
+           else sample_seed.astype(jnp.uint32))
+        ^ (r_uid.astype(jnp.uint32) * jnp.uint32(2654435761))
+    )
+    pick_within = jnp.where(
+        sampled,
+        (h % jnp.maximum(r_pn, 1).astype(jnp.uint32)).astype(jnp.int32),
+        within,
+    )
+    base = didx.uni_posp[jnp.clip(r_uid, 0, max(didx.n_uni - 1, 0))]
+    occ_idx = jnp.clip(base + pick_within, 0, didx.uni_pos.shape[0] - 1)
+    r_uo = jnp.take_along_axis(m_uo, src_run, axis=1)
+    ref_begin = didx.uni_pos[occ_idx] + r_uo
+    read_begin = jnp.take_along_axis(m_rp, src_run, axis=1)
+    len1 = jnp.take_along_axis(m_len1, src_run, axis=1)
+    len2 = jnp.take_along_axis(m_len2, src_run, axis=1)
+    covv = jnp.take_along_axis(m_cov, src_run, axis=1)
+
+    z = jnp.int32(0)
+    return DeviceSeeds(
+        read_begin=jnp.where(slot_ok, read_begin, z),
+        read_end=jnp.where(slot_ok, read_begin + len1 - 1, z),
+        ref_begin=jnp.where(slot_ok, ref_begin, z),
+        ref_end=jnp.where(slot_ok, ref_begin + len2 - 1, z),
+        cov=jnp.where(slot_ok, covv, z),
+        seed_id=jnp.where(slot_ok, src_run, z),
+        valid=slot_ok,
+        n_dropped=jnp.maximum(total - S, 0),
+    )

@@ -1,0 +1,82 @@
+"""Batched device engine vs the host aligner: identical results."""
+
+import numpy as np
+import pytest
+
+from pansvr_tpu.align.engine import AlignEngine, EngineConfig
+from pansvr_tpu.align.host_align import HostAligner, OriResult
+from pansvr_tpu.anchor.builder import AnchorConfig, build_anchor_contigs
+from pansvr_tpu.index.builder import build_index
+from pansvr_tpu.utils import dna
+from pansvr_tpu.utils.simulate import DictGenome, make_dataset
+
+
+@pytest.fixture(scope="module")
+def world():
+    ds = make_dataset(
+        seed=40, n_sv=5, n_pairs=120, types=("DEL", "INS"),
+        chrom_lengths={"chr1": 150_000},
+    )
+    contigs = list(
+        build_anchor_contigs(ds.vcf_records, DictGenome(ds.genome), AnchorConfig())
+    )
+    idx = build_index([(c.name, c.seq) for c in contigs], first_level_bases=11)
+    host = HostAligner(idx, ori_chrom_names=list(ds.genome))
+    eng = AlignEngine(idx, ori_chrom_names=list(ds.genome))
+    return ds, idx, host, eng
+
+
+def _cmp_states(sh, se, tag):
+    assert len(sh.results) == len(se.results), (
+        f"{tag}: result count {len(sh.results)} != {len(se.results)}"
+    )
+    for k, (rh, re_) in enumerate(zip(sh.results, se.results)):
+        for f in ("align_score", "chain_score", "direction", "ref_bg",
+                  "sv_id", "mapq"):
+            assert getattr(rh, f) == getattr(re_, f), (
+                f"{tag} result {k} field {f}: {getattr(rh, f)} != {getattr(re_, f)}"
+            )
+        assert rh.cigar == re_.cigar, f"{tag} result {k} cigar"
+
+
+def test_engine_matches_host_on_sim_reads(world):
+    ds, idx, host, eng = world
+    reads = ds.reads[:60]
+    seqs = [r.seq1 for r in reads] + [r.seq2 for r in reads]
+    oris = [OriResult(unmapped=True)] * len(seqs)
+    got = eng.align_batch(seqs, oris)
+    n_with = 0
+    for i, seq in enumerate(seqs):
+        expect = host.align_read(seq, oris[i])
+        _cmp_states(expect, got[i], f"read{i}")
+        n_with += bool(expect.results)
+    assert n_with > 20  # sanity: the comparison actually exercised alignments
+
+
+def test_engine_matches_host_with_errors(world):
+    ds, idx, host, eng = world
+    rng = np.random.default_rng(41)
+    # reads with indels relative to anchors
+    contigs = list(idx.chr_names)
+    seqs = []
+    for t in range(24):
+        cid = int(rng.integers(len(contigs)))
+        s = idx.contig_seq_codes(cid)
+        p = int(rng.integers(0, max(1, len(s) - 170)))
+        codes = list(s[p : p + 160])
+        for _ in range(int(rng.integers(0, 3))):
+            g = int(rng.integers(-12, 13))
+            pos = int(rng.integers(10, len(codes) - 14))
+            if g > 0:
+                codes[pos:pos] = [int(rng.integers(0, 4))] * g
+            elif g < 0:
+                del codes[pos : pos - g]
+        for _ in range(int(rng.integers(0, 4))):
+            pos = int(rng.integers(0, len(codes)))
+            codes[pos] = (codes[pos] + 1) % 4
+        seqs.append(dna.decode(np.array(codes[:160], dtype=np.uint8)))
+    oris = [OriResult(unmapped=True)] * len(seqs)
+    got = eng.align_batch(seqs, oris)
+    for i, seq in enumerate(seqs):
+        expect = host.align_read(seq, oris[i])
+        _cmp_states(expect, got[i], f"mut{i}")

@@ -58,15 +58,16 @@ def test_device_seeding_matches_oracle(world):
     mask = np.ones((B, S0), bool)
 
     sb = seed_reads(didx, words, lens, mask, S0=S0)
+    assert not np.asarray(sb.n_overflow).any()
     for b in range(B):
         expect = _host_mems(idx, reads[b])
         got = []
         valid = np.asarray(sb.valid[b])
-        for s, h in zip(*np.nonzero(valid)):
+        for m in np.nonzero(valid)[0]:
             got.append(
-                (int(sb.uid[b, s, h]), int(sb.read_pos[b, s, h]),
-                 int(sb.uni_pos_off[b, s, h]), int(sb.length[b, s, h]),
-                 int(sb.pos_n[b, s, h]))
+                (int(sb.uid[b, m]), int(sb.read_pos[b, m]),
+                 int(sb.uni_pos_off[b, m]), int(sb.length[b, m]),
+                 int(sb.pos_n[b, m]))
             )
         exp = [(m.uid, m.read_pos, m.uni_pos_off, m.length, m.pos_n)
                for m in expect]
