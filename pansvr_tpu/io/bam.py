@@ -1,0 +1,430 @@
+"""BAM reading/writing (htslib-free), plus SAM text conversion.
+
+Replaces the reference's clib/bam_file.{h,c} + htslib SAM/BAM layers for
+the pipeline's needs: sequential read/write of BAM over BGZF, full flag/
+cigar/tag access, and the cigar_adjust normalization both bridge points
+rely on (bam_file.c:1138-1226).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .bgzf import BGZFReader, BGZFWriter
+
+SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+SEQ_NT16_CODE = {c: i for i, c in enumerate(SEQ_NT16)}
+CIGAR_OPS = "MIDNSHP=X"
+CIGAR_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
+
+# flag bits (SAM spec)
+FPAIRED = 0x1
+FPROPER_PAIR = 0x2
+FUNMAP = 0x4
+FMUNMAP = 0x8
+FREVERSE = 0x10
+FMREVERSE = 0x20
+FREAD1 = 0x40
+FREAD2 = 0x80
+FSECONDARY = 0x100
+FQCFAIL = 0x200
+FDUP = 0x400
+FSUPPLEMENTARY = 0x800
+
+
+@dataclass
+class BamHeader:
+    text: str = ""
+    ref_names: list = field(default_factory=list)
+    ref_lens: list = field(default_factory=list)
+
+    def name2id(self, name: str) -> int:
+        try:
+            return self.ref_names.index(name)
+        except ValueError:
+            return -1
+
+    @classmethod
+    def from_sam_text(cls, text: str) -> "BamHeader":
+        names, lens = [], []
+        for line in text.splitlines():
+            if line.startswith("@SQ"):
+                d = dict(f.split(":", 1) for f in line.split("\t")[1:] if ":" in f)
+                names.append(d.get("SN", "?"))
+                lens.append(int(d.get("LN", 0)))
+        return cls(text=text, ref_names=names, ref_lens=lens)
+
+
+@dataclass
+class BamRecord:
+    name: str = ""
+    flag: int = 0
+    tid: int = -1
+    pos: int = -1          # 0-based
+    mapq: int = 0
+    cigar: list = field(default_factory=list)   # [(op_char, len)]
+    mtid: int = -1
+    mpos: int = -1
+    isize: int = 0
+    seq: str = ""
+    qual: str = ""         # ASCII phred+33; "*" when absent
+    tags: list = field(default_factory=list)    # [(tag, type_char, value)]
+
+    # ---- flag helpers ----------------------------------------------------
+    @property
+    def is_unmapped(self):
+        return bool(self.flag & FUNMAP)
+
+    @property
+    def is_reverse(self):
+        return bool(self.flag & FREVERSE)
+
+    @property
+    def is_read1(self):
+        return bool(self.flag & FREAD1)
+
+    @property
+    def is_secondary(self):
+        return bool(self.flag & FSECONDARY)
+
+    @property
+    def is_supplementary(self):
+        return bool(self.flag & FSUPPLEMENTARY)
+
+    @property
+    def mate_unmapped(self):
+        return bool(self.flag & FMUNMAP)
+
+    @property
+    def mate_reverse(self):
+        return bool(self.flag & FMREVERSE)
+
+    def get_tag(self, tag: str):
+        for t, ty, v in self.tags:
+            if t == tag:
+                return v
+        return None
+
+    def set_tag(self, tag: str, type_char: str, value):
+        for i, (t, ty, v) in enumerate(self.tags):
+            if t == tag:
+                self.tags[i] = (tag, type_char, value)
+                return
+        self.tags.append((tag, type_char, value))
+
+    # ---- derived ---------------------------------------------------------
+    @property
+    def query_len(self) -> int:
+        return len(self.seq)
+
+    @property
+    def ref_len(self) -> int:
+        return sum(n for op, n in self.cigar if op in "MDN=X")
+
+    @property
+    def end_pos(self) -> int:
+        return self.pos + self.ref_len
+
+    @property
+    def soft_left(self) -> int:
+        return self.cigar[0][1] if self.cigar and self.cigar[0][0] == "S" else 0
+
+    @property
+    def soft_right(self) -> int:
+        return self.cigar[-1][1] if self.cigar and self.cigar[-1][0] == "S" else 0
+
+    def cigar_string(self) -> str:
+        return "".join(f"{n}{op}" for op, n in self.cigar) or "*"
+
+    def to_sam(self, header: BamHeader) -> str:
+        rname = header.ref_names[self.tid] if 0 <= self.tid < len(header.ref_names) else "*"
+        mrname = "*"
+        if 0 <= self.mtid < len(header.ref_names):
+            mrname = "=" if self.mtid == self.tid else header.ref_names[self.mtid]
+        cols = [
+            self.name, str(self.flag), rname, str(self.pos + 1),
+            str(self.mapq), self.cigar_string(), mrname, str(self.mpos + 1),
+            str(self.isize), self.seq or "*", self.qual or "*",
+        ]
+        for t, ty, v in self.tags:
+            if ty in "cCsSiI":
+                cols.append(f"{t}:i:{v}")
+            elif ty == "f":
+                cols.append(f"{t}:f:{v}")
+            elif ty == "A":
+                cols.append(f"{t}:A:{v}")
+            else:
+                cols.append(f"{t}:{ty}:{v}")
+        return "\t".join(cols)
+
+    @classmethod
+    def from_sam(cls, line: str, header: BamHeader) -> "BamRecord":
+        c = line.rstrip("\n").split("\t")
+        cigar = []
+        if c[5] != "*":
+            num = ""
+            for ch in c[5]:
+                if ch.isdigit():
+                    num += ch
+                else:
+                    cigar.append((ch, int(num)))
+                    num = ""
+        mrname = c[6]
+        tid = header.name2id(c[2]) if c[2] != "*" else -1
+        mtid = tid if mrname == "=" else (header.name2id(mrname) if mrname != "*" else -1)
+        tags = []
+        for t in c[11:]:
+            tag, ty, val = t.split(":", 2)
+            if ty == "i":
+                tags.append((tag, "i", int(val)))
+            elif ty == "f":
+                tags.append((tag, "f", float(val)))
+            else:
+                tags.append((tag, ty, val))
+        return cls(
+            name=c[0], flag=int(c[1]), tid=tid, pos=int(c[3]) - 1,
+            mapq=int(c[4]), cigar=cigar, mtid=mtid, mpos=int(c[7]) - 1,
+            isize=int(c[8]), seq="" if c[9] == "*" else c[9],
+            qual="" if c[10] == "*" else c[10], tags=tags,
+        )
+
+
+# ---- binary encode/decode -----------------------------------------------
+
+def _encode_record(r: BamRecord) -> bytes:
+    name_b = r.name.encode() + b"\0"
+    cigar_b = b"".join(
+        struct.pack("<I", (n << 4) | CIGAR_CODE[op]) for op, n in r.cigar
+    )
+    l_seq = len(r.seq)
+    seq_b = bytearray((l_seq + 1) // 2)
+    for i, ch in enumerate(r.seq):
+        code = SEQ_NT16_CODE.get(ch.upper(), 15)
+        if i % 2 == 0:
+            seq_b[i // 2] = code << 4
+        else:
+            seq_b[i // 2] |= code
+    if r.qual and r.qual != "*":
+        qual_b = bytes((min(ord(q) - 33, 93) for q in r.qual))
+    else:
+        qual_b = b"\xff" * l_seq
+    tags_b = b""
+    for t, ty, v in r.tags:
+        tb = t.encode()
+        if ty in "cCsSiI" or ty == "i":
+            tags_b += tb + b"i" + struct.pack("<i", int(v))
+        elif ty == "f":
+            tags_b += tb + b"f" + struct.pack("<f", float(v))
+        elif ty == "A":
+            tags_b += tb + b"A" + str(v)[:1].encode()
+        elif ty == "Z":
+            tags_b += tb + b"Z" + str(v).encode() + b"\0"
+        # H/B unsupported for writing (unused by the pipeline)
+    # bin left 0 (htslib computes reg2bin; unused by our readers)
+    body = struct.pack(
+        "<iiBBHHHiiii",
+        r.tid, r.pos, len(name_b), r.mapq, 0, len(r.cigar),
+        r.flag, l_seq, r.mtid, r.mpos, r.isize,
+    ) + name_b + cigar_b + bytes(seq_b) + qual_b + tags_b
+    return struct.pack("<I", len(body)) + body
+
+
+def _decode_record(body: bytes) -> BamRecord:
+    (tid, pos, l_name, mapq, _bin, n_cigar, flag, l_seq, mtid, mpos,
+     isize) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+    off = 32
+    name = body[off : off + l_name - 1].decode()
+    off += l_name
+    cigar = []
+    for k in range(n_cigar):
+        v = struct.unpack_from("<I", body, off + 4 * k)[0]
+        cigar.append((CIGAR_OPS[v & 0xF], v >> 4))
+    off += 4 * n_cigar
+    n_seq_b = (l_seq + 1) // 2
+    seq_chars = []
+    for i in range(l_seq):
+        b = body[off + i // 2]
+        code = (b >> 4) if i % 2 == 0 else (b & 0xF)
+        seq_chars.append(SEQ_NT16[code])
+    seq = "".join(seq_chars)
+    off += n_seq_b
+    qual_raw = body[off : off + l_seq]
+    qual = (
+        "" if (l_seq == 0 or (qual_raw and qual_raw[0] == 0xFF))
+        else "".join(chr(min(q, 93) + 33) for q in qual_raw)
+    )
+    off += l_seq
+    tags = []
+    end = len(body)
+    while off + 3 <= end:
+        tag = body[off : off + 2].decode()
+        ty = chr(body[off + 2])
+        off += 3
+        if ty == "A":
+            tags.append((tag, "A", chr(body[off])))
+            off += 1
+        elif ty in "cC":
+            v = struct.unpack_from("<b" if ty == "c" else "<B", body, off)[0]
+            tags.append((tag, "i", v))
+            off += 1
+        elif ty in "sS":
+            v = struct.unpack_from("<h" if ty == "s" else "<H", body, off)[0]
+            tags.append((tag, "i", v))
+            off += 2
+        elif ty in "iI":
+            v = struct.unpack_from("<i" if ty == "i" else "<I", body, off)[0]
+            tags.append((tag, "i", v))
+            off += 4
+        elif ty == "f":
+            tags.append((tag, "f", struct.unpack_from("<f", body, off)[0]))
+            off += 4
+        elif ty in "ZH":
+            z = body.index(b"\0", off)
+            tags.append((tag, ty, body[off:z].decode()))
+            off = z + 1
+        elif ty == "B":
+            sub = chr(body[off])
+            cnt = struct.unpack_from("<I", body, off + 1)[0]
+            size = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+            vals = body[off + 5 : off + 5 + cnt * size]
+            tags.append((tag, "B", (sub, vals)))
+            off += 5 + cnt * size
+        else:
+            break
+    return BamRecord(
+        name=name, flag=flag, tid=tid, pos=pos, mapq=mapq, cigar=cigar,
+        mtid=mtid, mpos=mpos, isize=isize, seq=seq, qual=qual, tags=tags,
+    )
+
+
+class BamWriter:
+    def __init__(self, path: str, header: BamHeader):
+        self._w = BGZFWriter(path)
+        self.header = header
+        text_b = header.text.encode()
+        out = b"BAM\1" + struct.pack("<i", len(text_b)) + text_b
+        out += struct.pack("<i", len(header.ref_names))
+        for nm, ln in zip(header.ref_names, header.ref_lens):
+            nb = nm.encode() + b"\0"
+            out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+        self._w.write(out)
+
+    def write(self, r: BamRecord) -> None:
+        self._w.write(_encode_record(r))
+
+    def close(self):
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class BamReader:
+    def __init__(self, path: str):
+        self._r = BGZFReader(path)
+        magic = self._r.read(4)
+        if magic != b"BAM\1":
+            raise ValueError(f"not a BAM file: {path}")
+        l_text = struct.unpack("<i", self._r.read(4))[0]
+        text = self._r.read(l_text).rstrip(b"\0").decode()
+        n_ref = struct.unpack("<i", self._r.read(4))[0]
+        names, lens = [], []
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", self._r.read(4))[0]
+            names.append(self._r.read(l_name)[:-1].decode())
+            lens.append(struct.unpack("<i", self._r.read(4))[0])
+        self.header = BamHeader(text=text, ref_names=names, ref_lens=lens)
+
+    def __iter__(self):
+        while True:
+            szb = self._r.read(4)
+            if len(szb) < 4:
+                return
+            sz = struct.unpack("<I", szb)[0]
+            body = self._r.read(sz)
+            if len(body) < sz:
+                return
+            yield _decode_record(body)
+
+    def close(self):
+        self._r.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def cigar_adjust(cigar: list, delete_small_tail: int, add_blank: bool):
+    """Literal port of the reference's cigar_adjust (bam_file.c:1138-1226).
+
+    Head: find the first M longer than delete_small_tail; if it is not op
+    0, replace everything before it with one I of (weak-M lengths + I
+    lengths) and advance the position by (weak-M lengths + D lengths).
+    Tail: find the last M whose CUMULATIVE weak-M run exceeds the
+    threshold; collapse everything after it into one I of (weak-M + I
+    lengths). With add_blank the list keeps its original length padded
+    with zero-length ops (downstream loops must tolerate them).
+    Returns (new_cigar, position_adjust)."""
+    if not cigar:
+        return list(cigar), 0
+    ops = [list(c) for c in cigar]
+    orig_len = len(ops)
+
+    # ---- head pass ------------------------------------------------------
+    m_len = 0
+    stable = 0
+    for k, (op, ln) in enumerate(ops):
+        if op == "M":
+            if ln > delete_small_tail:
+                stable = k
+                break
+            m_len += ln
+    position_adjust = 0
+    if stable != 0:
+        position_adjust = m_len
+        ins = m_len
+        for k in range(stable):
+            op, ln = ops[k]
+            if op == "I":
+                ins += ln
+            elif op == "D":
+                position_adjust += ln
+        new_ops = []
+        if ins != 0:
+            new_ops.append(["I", ins])
+        new_ops.extend(ops[stable:])
+        ops = new_ops
+
+    # ---- tail pass ------------------------------------------------------
+    m_len = 0
+    stable = 0
+    for k in range(len(ops) - 1, -1, -1):
+        op, ln = ops[k]
+        if op == "M":
+            if m_len + ln > delete_small_tail:
+                stable = k
+                break
+            m_len += ln
+    if stable != len(ops) - 1:
+        ins = m_len
+        for k in range(len(ops) - 1, stable, -1):
+            op, ln = ops[k]
+            if op == "I":
+                ins += ln
+        if ins != 0:
+            ops = ops[: stable + 1] + [["I", ins]]
+        else:
+            ops = ops[: stable + 1]
+
+    out = [(op, ln) for op, ln in ops]
+    if add_blank:
+        out = out + [("M", 0)] * (orig_len - len(out))
+    return out, position_adjust

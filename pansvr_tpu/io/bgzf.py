@@ -1,0 +1,115 @@
+"""BGZF (blocked gzip) reader/writer.
+
+Replaces htslib's bgzf layer for BAM files. Pure Python over zlib;
+block-level parallel compression is handled by the native C++ codec in
+native/ when built (see io/bam.py), this module is the portable
+fallback and the format reference.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+MAX_BLOCK = 65536
+
+
+def compress_block(data: bytes, level: int = 6) -> bytes:
+    """One BGZF block (data must be < 64 KiB)."""
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    cdata = co.compress(data) + co.flush()
+    bsize = len(cdata) + 25 + 1  # header(18) + footer(8) minus... computed:
+    # header 12 + XLEN 6 = 18; footer 8; total = 18 + len(cdata) + 8
+    bsize = 18 + len(cdata) + 8
+    header = struct.pack(
+        "<4BI2BH2B2H",
+        0x1F, 0x8B, 0x08, 0x04,   # magic, deflate, FEXTRA
+        0,                         # mtime
+        0, 0xFF,                   # XFL, OS
+        6,                         # XLEN
+        66, 67,                    # 'B', 'C'
+        2,                         # subfield length
+        bsize - 1,                 # BSIZE - 1
+    )
+    footer = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data))
+    return header + cdata + footer
+
+
+class BGZFWriter:
+    def __init__(self, path_or_fh, level: int = 6):
+        self._own = isinstance(path_or_fh, str)
+        self._fh = open(path_or_fh, "wb") if self._own else path_or_fh
+        self._buf = bytearray()
+        self.level = level
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= 65000:
+            self._flush_block(65000)
+
+    def _flush_block(self, n: int) -> None:
+        chunk = bytes(self._buf[:n])
+        del self._buf[:n]
+        self._fh.write(compress_block(chunk, self.level))
+
+    def close(self) -> None:
+        while self._buf:
+            self._flush_block(min(len(self._buf), 65000))
+        self._fh.write(BGZF_EOF)
+        if self._own:
+            self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class BGZFReader:
+    """Streaming reader; BGZF is valid multi-member gzip, decoded block
+    by block so virtual offsets could be supported later."""
+
+    def __init__(self, path_or_fh):
+        self._own = isinstance(path_or_fh, str)
+        self._fh = open(path_or_fh, "rb") if self._own else path_or_fh
+        self._buf = bytearray()
+        self._eof = False
+
+    def _read_block(self) -> bool:
+        header = self._fh.read(18)
+        if len(header) < 18:
+            self._eof = True
+            return False
+        if header[0] != 0x1F or header[1] != 0x8B:
+            raise ValueError("not a BGZF block")
+        bsize = struct.unpack("<H", header[16:18])[0] + 1
+        rest = self._fh.read(bsize - 18)
+        cdata = rest[:-8]
+        isize = struct.unpack("<I", rest[-4:])[0]
+        data = zlib.decompress(cdata, -15)
+        if len(data) != isize:
+            raise ValueError("BGZF ISIZE mismatch")
+        self._buf += data
+        return True
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) < n and not self._eof:
+            self._read_block()
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+    def read_all(self) -> bytes:
+        while self._read_block():
+            pass
+        out = bytes(self._buf)
+        self._buf.clear()
+        return out
+
+    def close(self):
+        if self._own:
+            self._fh.close()

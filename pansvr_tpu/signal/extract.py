@@ -1,0 +1,385 @@
+"""Signal-read extraction (stage `fc_signal`).
+
+Behavioral re-implementation of READ_SIGNAL_HANDLER
+(src/PanSVgenerateVCF/getSignalRead.{hpp,cpp}): stream a position-sorted
+BAM, greedily pair mates inside sliding blocks, score each read from its
+CIGAR+NM, apply the 7-rule signal filter, and emit signal read pairs as
+interleaved FASTQ whose comment encodes the original alignment (the
+bridge contract parsed back by fc_aln, getSignalRead.cpp:158-249).
+
+Insert-size statistics follow the same structure (first-100k sampling +
+quantile distribution) with the Manta StatsManager's region-sampling
+replaced by direct proper-pair sampling — a behavioral, not bit-exact,
+equivalent (thresholds derived from quantiles of the same distribution).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.bam import BamReader, BamRecord
+from ..utils import dna
+
+MAX_ISIZE = 3000
+SAM_LOAD_BUFF_SIZE = 1_000_000
+SEARCH_REGION_MAX = 100_000_000
+SEARCH_STEP = 64
+
+# scoring defaults = fc_aln's (getSignalRead.hpp:20-25)
+MATCH, MISMATCH = 2, 12
+GAP_OPEN, GAP_EX, GAP_OPEN2, GAP_EX2 = 16, 1, 32, 0
+
+
+@dataclass
+class SignalStats:
+    """BAM_STAT equivalent (getSignalRead.hpp:70-190)."""
+    read_len: int = 0
+    ave_read_depth: float = 0.0
+    min_isize_l2: int = 0
+    max_isize_l2: int = 0
+    min_isize: int = 0
+    mid_isize: int = 0
+    max_isize: int = 0
+    isize_distribution: list = field(default_factory=list)
+    reason_flag_counter: dict = field(default_factory=dict)
+
+    def status_file_text(self) -> str:
+        """Status-file contract (getSignalRead.hpp:181-186)."""
+        lines = [
+            f"{self.ave_read_depth:f}_{self.read_len}_{self.min_isize_l2}_"
+            f"{self.max_isize_l2}_{self.min_isize}_{self.max_isize}"
+        ]
+        lines += [f"{p:f}" for p in self.isize_distribution]
+        return "\n".join(lines) + "\n"
+
+    @classmethod
+    def parse_status_text(cls, text: str) -> "SignalStats":
+        lines = [l for l in text.splitlines() if l.strip()]
+        parts = lines[0].split("_")
+        st = cls(
+            ave_read_depth=float(parts[0]), read_len=int(parts[1]),
+            min_isize_l2=int(parts[2]), max_isize_l2=int(parts[3]),
+            min_isize=int(parts[4]), max_isize=int(parts[5]),
+        )
+        st.mid_isize = (st.min_isize + st.max_isize) // 2
+        st.isize_distribution = [float(l) for l in lines[1:]]
+        return st
+
+
+def compute_stats(bam_path: str, genome_size: float = 3.1e9,
+                  sample_limit: int = 100_000) -> SignalStats:
+    """First-pass sampling: read length mode, depth estimate, isize
+    quantiles (1% / 50% / 99%) and the isize pmf between them."""
+    isize_hist = np.zeros(MAX_ISIZE, dtype=np.int64)
+    len_hist = np.zeros(4096, dtype=np.int64)
+    n = 0
+    with BamReader(bam_path) as rd:
+        for rec in rd:
+            if rec.is_secondary or rec.is_supplementary:
+                continue
+            n += 1
+            isz = abs(rec.isize)
+            if 0 < isz < MAX_ISIZE:
+                isize_hist[isz] += 1
+            if rec.query_len < 4096:
+                len_hist[rec.query_len] += 1
+            if n >= sample_limit:
+                break
+    st = SignalStats()
+    if n == 0:
+        return st
+    # modal read length: first length covering > 60% (hpp:87-99)
+    total_len = float((np.arange(4096) * len_hist).sum())
+    mode = int(np.argmax(len_hist))
+    st.read_len = mode if len_hist[mode] > 0.6 * n else int(total_len / n)
+    st.ave_read_depth = st.read_len * n / genome_size
+    # two-sided 1% trim (global_analysis_stat, hpp:101-121)
+    cum = np.cumsum(isize_hist)
+    total_isize = int(cum[-1])
+    if total_isize > 0:
+        lim = 0.01 * n
+        st.min_isize_l2 = int(np.argmax(cum > lim))
+        cum_r = np.cumsum(isize_hist[::-1])
+        st.max_isize_l2 = MAX_ISIZE - 1 - int(np.argmax(cum_r > lim))
+        # quantiles over proper-pair isizes (StatsManager::getInsertLen)
+        def quantile(q):
+            target = q * total_isize
+            return int(np.argmax(cum >= max(target, 1)))
+        st.min_isize = quantile(0.01)
+        st.mid_isize = quantile(0.5)
+        st.max_isize = quantile(0.99)
+        denom = total_isize + 1
+        st.isize_distribution = [
+            float(isize_hist[i]) / denom
+            for i in range(st.min_isize, st.max_isize)
+        ]
+    return st
+
+
+def score_by_cigar(rec: BamRecord) -> int:
+    """getScoreByCigar (getSignalRead.cpp:36-77)."""
+    score = 0
+    gap_len = 0
+    for op, ln in rec.cigar:
+        if op in ("M", "="):
+            score += ln * MATCH
+        elif op in ("I", "D", "S", "H"):
+            if op in ("I", "D"):
+                gap_len += ln
+            score -= min(GAP_OPEN + ln * GAP_EX, GAP_OPEN2 + ln * GAP_EX2)
+    nm = rec.get_tag("NM") or 0
+    score -= (MISMATCH + MATCH) * (nm - gap_len)
+    return max(0, score)
+
+
+def _xa_number(rec: BamRecord) -> int:
+    """get_XA_number (getSignalRead.cpp:81-93)."""
+    if rec.mapq > 0:
+        return 0
+    xa = rec.get_tag("XA")
+    if xa is None:
+        return 6
+    return str(xa).count(";")
+
+
+def _indel_nm(rec: BamRecord) -> int:
+    """bam_has_INDEL_NM: NM counts mismatches+indel bases."""
+    nm = rec.get_tag("NM") or 0
+    return int(nm)
+
+
+def _clips(rec: BamRecord) -> tuple[int, int]:
+    sl = rec.cigar[0][1] if rec.cigar and rec.cigar[0][0] in "SH" else 0
+    sr = rec.cigar[-1][1] if rec.cigar and rec.cigar[-1][0] in "SH" else 0
+    return sl, sr
+
+
+def _low_quality_len(rec: BamRecord, qual_cut: str = "/") -> int:
+    """get_bam_low_quality_num: bases with qual below the cutoff char."""
+    if not rec.qual:
+        return 0
+    cut = ord(qual_cut)
+    return sum(1 for q in rec.qual if ord(q) < cut)
+
+
+@dataclass
+class SignalOptions:
+    discard_both_full_match: bool = True   # -U
+    not_using_filter: bool = False         # -D (dump all)
+    max_tid: int = 24
+
+
+def _pair_comment(b, i, stats: SignalStats, emit_stat: bool) -> str:
+    """The comment-field contract (getSignalRead.cpp:158-249)."""
+    j = 1 - i
+    isize = abs(b[0].isize)
+    parts = [
+        f"{b[i].tid}_{b[i].pos}_{_clips(b[i])[0]}_{score_by_cigar(b[i])}_"
+        f"{b[i].mapq}_{b[j].mapq}_{_xa_number(b[i])}_{_xa_number(b[j])}_{isize}_"
+    ]
+    flags = []
+    for k in (i, j):
+        f = ""
+        f += "F" if not b[k].is_reverse else "R"
+        f += "Y" if b[k].is_unmapped else "N"
+        f += "Y" if _indel_nm(b[k]) > 8 else "N"
+        f += "Y" if sum(_clips(b[k])) > 10 else "N"
+        flags.append(f)
+    parts.append(f"{flags[0]}_{flags[1]}_")
+    if emit_stat:
+        parts.append(
+            f"STAT_{stats.read_len}_{stats.min_isize}_{stats.mid_isize}_"
+            f"{stats.max_isize}_"
+        )
+    parts.append(f"FLAG_{b[i].flag}_{b[i].mapq}_CIGAR_")
+    parts.append("".join(f"{n}{op}" for op, n in b[i].cigar))
+    parts.append("_")
+    parts.append(f"MATE_{b[i].mtid}_{b[i].mpos}_{b[i].isize}_TAG_")
+    for tag in ("XA", "MC", "SA"):
+        v = b[i].get_tag(tag)
+        if v is not None:
+            parts.append(f"{tag}:Z:{v}_")
+    nm = b[i].get_tag("NM")
+    if nm is not None:
+        parts.append(f"NM:i:{nm}_")
+    return "".join(parts)
+
+
+def _fastq_entry(rec: BamRecord, comment: str) -> str:
+    seq = rec.seq
+    qual = rec.qual or "I" * len(seq)
+    if not rec.is_unmapped and rec.is_reverse:
+        seq = dna.revcomp(seq)
+        qual = qual[::-1]
+    return f"@{rec.name} {comment}\n{seq}\n+\n{qual}\n"
+
+
+class SignalExtractor:
+    def __init__(self, stats: SignalStats, opts: SignalOptions | None = None):
+        self.stats = stats
+        self.opts = opts or SignalOptions()
+        self.reason_counter: dict[int, int] = {}
+        self._stat_emitted = False
+        self.n_pairs = 0
+        self.n_signal = 0
+
+    def classify_pair(self, r1: BamRecord, r2: BamRecord):
+        """Returns (is_signal, reason_flag) per the 7-rule filter
+        (getSignalRead.cpp:137-191)."""
+        o = self.opts
+        b = [r1, r2]
+        unmapped = [x.is_unmapped for x in b]
+        mapq = [x.mapq for x in b]
+        scores = [score_by_cigar(x) for x in b]
+        tid = [x.tid for x in b]
+        isize = abs(r1.isize)
+
+        if o.discard_both_full_match:
+            min_score = (r1.query_len + r2.query_len) * MATCH - 4 * (MATCH + MISMATCH)
+            near_full = scores[0] + scores[1] >= min_score
+            isize_ok = (
+                isize != 0
+                and self.stats.min_isize < isize < self.stats.max_isize
+            )
+            if (near_full and isize_ok and tid[0] == tid[1]
+                    and tid[0] <= o.max_tid and tid[1] <= o.max_tid):
+                return False, -1  # discarded entirely (not even dumped)
+
+        direction = [not x.is_reverse for x in b]
+        if r1.pos > r2.pos:
+            direction[0], direction[1] = direction[1], direction[0]
+        if (isize == r1.query_len and isize == r2.query_len
+                and not direction[0] and direction[1]):
+            direction[0], direction[1] = direction[1], direction[0]
+
+        clip = [sum(_clips(x)) for x in b]
+        lowq = [_low_quality_len(x) for x in b]
+        indel_nm = [_indel_nm(x) for x in b]
+        for k in range(2):
+            clip[k] -= lowq[k]
+            if clip[k] < 0:
+                lowq[k] = -clip[k]
+                clip[k] = 0
+            lowq[k] >>= 1
+            indel_nm[k] -= lowq[k]
+            if indel_nm[k] < 0:
+                indel_nm[k] = 0
+
+        reason = 0
+        if mapq[0] < 10 and mapq[1] < 10:
+            reason += 1
+        if unmapped[0] or unmapped[1]:
+            reason += 2
+        if isize > 1000:
+            reason += 4
+        if not direction[0] or direction[1]:
+            reason += 8
+        if indel_nm[0] + indel_nm[1] > 15:
+            reason += 16
+        if clip[0] + clip[1] > 10:
+            reason += 32
+        if tid[0] != tid[1] or tid[0] > o.max_tid or tid[1] > o.max_tid:
+            reason += 64
+        return (reason != 0) or o.not_using_filter, reason
+
+    def emit_pair(self, r1: BamRecord, r2: BamRecord, out) -> bool:
+        self.n_pairs += 1
+        is_signal, reason = self.classify_pair(r1, r2)
+        if reason >= 0:
+            self.reason_counter[reason] = self.reason_counter.get(reason, 0) + 1
+        if not is_signal:
+            return False
+        b = [r1, r2]
+        c1 = _pair_comment(b, 0, self.stats, not self._stat_emitted)
+        self._stat_emitted = True
+        c2 = _pair_comment(b, 1, self.stats, False)
+        out.write(_fastq_entry(r1, c1))
+        out.write(_fastq_entry(r2, c2))
+        self.n_signal += 1
+        return True
+
+
+def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
+                   opts: SignalOptions | None = None) -> SignalStats:
+    """Full fc_signal pass: stats + block pairing + signal FASTQ."""
+    if stats is None:
+        stats = compute_stats(bam_path)
+    ex = SignalExtractor(stats, opts)
+    unpaired: list[BamRecord] = []
+
+    with BamReader(bam_path) as rd:
+        block: list[BamRecord] = []
+
+        def flush_block():
+            if len(block) < 2:
+                unpaired.extend(block)
+                return
+            _pair_block(block, ex, out_fq, unpaired)
+
+        for rec in rd:
+            if rec.is_secondary or rec.is_supplementary:
+                continue
+            if block and (
+                rec.tid != block[0].tid
+                or rec.pos - block[0].pos > SEARCH_REGION_MAX
+                or len(block) >= SAM_LOAD_BUFF_SIZE
+            ):
+                flush_block()
+                block = []
+            block.append(rec)
+        flush_block()
+
+    # phase 2: name-sorted pairing of the leftovers (getSignalRead.cpp:436-488)
+    unpaired.sort(key=lambda r: (r.name, not r.is_read1))
+    i = 0
+    while i + 1 < len(unpaired):
+        if unpaired[i].name == unpaired[i + 1].name:
+            a, c = unpaired[i], unpaired[i + 1]
+            if not a.is_read1:
+                a, c = c, a
+            ex.emit_pair(a, c, out_fq)
+            i += 2
+        else:
+            i += 1
+    stats.reason_flag_counter = ex.reason_counter
+    return stats
+
+
+def _pair_block(block, ex: SignalExtractor, out_fq, unpaired):
+    """Greedy in-block mate pairing (getSignalRead.cpp:305-420)."""
+    n = len(block)
+    mate = [-1] * n
+    pos_of = {}
+    by_pos: dict[int, list[int]] = {}
+    for k, r in enumerate(block):
+        by_pos.setdefault(r.pos, []).append(k)
+    for i, r in enumerate(block):
+        if mate[i] >= 0:
+            continue
+        if r.tid != r.mtid:
+            continue
+        if r.tid == -1:
+            # both-unmapped pairs sit adjacent
+            for k in (i + 1, i - 1):
+                if 0 <= k < n and block[k].name == r.name and mate[k] < 0:
+                    mate[i] = k
+                    mate[k] = i
+                    break
+            continue
+        for k in by_pos.get(r.mpos, []):
+            m = block[k]
+            if k != i and m.mpos == r.pos and m.name == r.name and mate[k] < 0:
+                mate[i] = k
+                mate[k] = i
+                break
+    for i, r in enumerate(block):
+        if mate[i] < 0:
+            unpaired.append(r)
+    for i, r in enumerate(block):
+        if mate[i] < 0 or not r.is_read1:
+            continue
+        m = block[mate[i]]
+        if not m.is_read1:
+            ex.emit_pair(r, m, out_fq)

@@ -219,12 +219,151 @@ class SimDataset:
         return [sv.to_vcf_record(i) for i, sv in enumerate(self.svs)]
 
 
+def _alt_to_ref_segments(genome: dict[str, str], svs: list[PlantedSV]):
+    """Per chromosome: list of (alt_start, alt_end, ref_start) collinear
+    segments of the ALT haplotype; inserted sequence has no segment."""
+    segs: dict[str, list[tuple[int, int, int]]] = {}
+    for c, seq in genome.items():
+        c_svs = sorted((s for s in svs if s.chrom == c), key=lambda s: s.pos1)
+        out = []
+        ref_cur = 0
+        alt_cur = 0
+        for sv in c_svs:
+            st0 = sv.pos1 - 1
+            seg_len = st0 - ref_cur
+            out.append((alt_cur, alt_cur + seg_len, ref_cur))
+            alt_cur += seg_len
+            ref_cur = st0
+            # shared anchor prefix of ref/alt stays collinear
+            k = 0
+            while (k < len(sv.ref) and k < len(sv.alt)
+                   and sv.ref[k] == sv.alt[k]):
+                k += 1
+            if k:
+                out.append((alt_cur, alt_cur + k, ref_cur))
+            alt_cur += len(sv.alt)
+            ref_cur += len(sv.ref)
+        out.append((alt_cur, alt_cur + len(seq) - ref_cur, ref_cur))
+        segs[c] = out
+    return segs
+
+
+def sim_bam_records(ds: "SimDataset", read_len: int = 150):
+    """BWA-like original alignments for the simulated pairs: reads from
+    collinear segments get full-M proper pairs; alt reads spanning
+    breakpoints get soft-clipped records; pairs across deletions get
+    inflated insert sizes. Returns (header, records sorted by position).
+    """
+    from ..io.bam import BamHeader, BamRecord, FPAIRED, FREAD1, FREAD2, \
+        FREVERSE, FMREVERSE, FPROPER_PAIR, FUNMAP, FMUNMAP
+
+    chroms = list(ds.genome)
+    header = BamHeader.from_sam_text(
+        "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+            f"@SQ\tSN:{c}\tLN:{len(s)}\n" for c, s in ds.genome.items()
+        )
+    )
+    segs = _alt_to_ref_segments(ds.genome, ds.svs)
+
+    def map_read(chrom, p, L, from_alt):
+        """-> (ref_pos, cigar, mapped_len) with soft clips at breakpoints,
+        or None if unmappable (inside insertion)."""
+        if not from_alt:
+            return p, [("M", L)], L
+        best = None
+        for a0, a1, r0 in segs[chrom]:
+            lo = max(p, a0)
+            hi = min(p + L, a1)
+            if hi - lo > (best[1] - best[0] if best else 0):
+                best = (lo, hi, r0 + (lo - a0))
+        if best is None or best[1] - best[0] < 30:
+            return None
+        lo, hi, rpos = best
+        cig = []
+        if lo > p:
+            cig.append(("S", lo - p))
+        cig.append(("M", hi - lo))
+        if p + L > hi:
+            cig.append(("S", p + L - hi))
+        return rpos, cig, hi - lo
+
+    records = []
+    for rd in ds.reads:
+        hap_maps = []
+        for (p, seq, rev) in ((rd.pos0_1, rd.seq1, False), (rd.pos0_2, rd.seq2, True)):
+            hap_maps.append(map_read(rd.chrom, p, len(seq), rd.from_alt))
+        tid = chroms.index(rd.chrom)
+        recs = []
+        for k, (p, seq, qual, rev) in enumerate(
+            ((rd.pos0_1, rd.seq1, rd.qual1, False),
+             (rd.pos0_2, rd.seq2, rd.qual2, True))
+        ):
+            m = hap_maps[k]
+            mm = hap_maps[1 - k]
+            flag = FPAIRED | (FREAD1 if k == 0 else FREAD2)
+            if rev:
+                flag |= FREVERSE
+            if not (k == 0):
+                pass
+            if mm is None:
+                flag |= FMUNMAP
+            else:
+                flag |= FMREVERSE if k == 0 else 0
+            if k == 1:
+                flag |= 0  # mate (read1) is forward
+            r = BamRecord(
+                name=rd.name, flag=flag, tid=tid,
+                seq=seq if not rev else dna.revcomp(seq),
+                qual=qual, mapq=60,
+                tags=[("NM", "i", 0)],
+            )
+            if m is None:
+                r.flag |= FUNMAP
+                r.pos = mm[0] if mm else 0
+                r.mapq = 0
+                r.cigar = []
+            else:
+                r.pos, r.cigar, _ = m
+            r.mtid = tid
+            r.mpos = (mm[0] if mm else (m[0] if m else 0))
+            recs.append(r)
+        # store the read in BAM orientation: reverse reads are stored
+        # revcomp'd relative to original; our seq2 is already the revcomp
+        # read as sequenced, so the BAM stores the forward-strand seq:
+        recs[1].seq = dna.revcomp(rd.seq2)
+        recs[1].qual = rd.qual2[::-1]
+        # isize
+        if hap_maps[0] and hap_maps[1]:
+            lo = min(recs[0].pos, recs[1].pos)
+            hi = max(recs[0].end_pos, recs[1].end_pos)
+            isz = hi - lo
+            recs[0].isize = isz if recs[0].pos <= recs[1].pos else -isz
+            recs[1].isize = -recs[0].isize
+            if isz < 1000:
+                recs[0].flag |= FPROPER_PAIR
+                recs[1].flag |= FPROPER_PAIR
+        records.extend(recs)
+    records.sort(key=lambda r: (r.tid, r.pos))
+    return header, records
+
+
+def write_sim_bam(ds: "SimDataset", path: str, read_len: int = 150):
+    from ..io.bam import BamWriter
+
+    header, records = sim_bam_records(ds, read_len)
+    with BamWriter(path, header) as w:
+        for r in records:
+            w.write(r)
+    return header
+
+
 def make_dataset(
     seed: int = 0,
     chrom_lengths: dict[str, int] | None = None,
     n_sv: int = 8,
     n_pairs: int = 400,
     sv_region_reads: bool = True,
+    err_rate: float = 0.002,
     **sv_kwargs,
 ) -> SimDataset:
     """One-call synthetic dataset: genome + SVs + reads from ref and alt
@@ -254,9 +393,11 @@ def make_dataset(
                 (sv.chrom, sv.pos1 - 800 + d, sv.pos1 + len(sv.alt) + 800 + d)
             )
     r_ref = simulate_read_pairs(
-        rng, genome, n_pairs // 2, name_prefix="ref", from_alt=False, regions=regions_ref
+        rng, genome, n_pairs // 2, name_prefix="ref", from_alt=False,
+        regions=regions_ref, err_rate=err_rate,
     )
     r_alt = simulate_read_pairs(
-        rng, alt, n_pairs - n_pairs // 2, name_prefix="alt", from_alt=True, regions=regions_alt
+        rng, alt, n_pairs - n_pairs // 2, name_prefix="alt", from_alt=True,
+        regions=regions_alt, err_rate=err_rate,
     )
     return SimDataset(genome=genome, svs=svs, alt_hap=alt, reads=r_ref + r_alt)

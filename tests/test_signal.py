@@ -1,0 +1,87 @@
+"""Signal extraction on simulated BAMs."""
+
+import io
+
+import numpy as np
+import pytest
+
+from pansvr_tpu.io.bam import BamReader
+from pansvr_tpu.signal.extract import (
+    SignalOptions,
+    SignalStats,
+    compute_stats,
+    extract_signal,
+    score_by_cigar,
+)
+from pansvr_tpu.utils.simulate import make_dataset, write_sim_bam
+
+
+@pytest.fixture(scope="module")
+def sim_bam(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sig")
+    ds = make_dataset(
+        seed=60, n_sv=6, n_pairs=600, types=("DEL", "INS"),
+        chrom_lengths={"chr1": 300_000}, err_rate=0.0,
+    )
+    p = str(tmp / "sim.bam")
+    write_sim_bam(ds, p)
+    return ds, p
+
+
+def test_stats(sim_bam):
+    ds, p = sim_bam
+    st = compute_stats(p, genome_size=300_000)
+    assert st.read_len == 150
+    assert 250 < st.min_isize < 450
+    assert 350 < st.max_isize < 700
+    assert st.min_isize < st.mid_isize < st.max_isize
+    assert len(st.isize_distribution) == st.max_isize - st.min_isize
+    # status file round trip
+    st2 = SignalStats.parse_status_text(st.status_file_text())
+    assert st2.read_len == st.read_len
+    assert st2.min_isize == st.min_isize
+    assert len(st2.isize_distribution) == len(st.isize_distribution)
+
+
+def test_score_by_cigar():
+    from pansvr_tpu.io.bam import BamRecord
+    r = BamRecord(cigar=[("M", 150)], tags=[("NM", "i", 0)])
+    assert score_by_cigar(r) == 300
+    r = BamRecord(cigar=[("M", 150)], tags=[("NM", "i", 2)])
+    assert score_by_cigar(r) == 300 - 2 * 14
+    r = BamRecord(cigar=[("S", 20), ("M", 130)], tags=[("NM", "i", 0)])
+    assert score_by_cigar(r) == 260 - min(16 + 20, 32)
+
+
+def test_extract_signal(sim_bam):
+    ds, p = sim_bam
+    out = io.StringIO()
+    st = extract_signal(p, out, opts=SignalOptions(discard_both_full_match=True))
+    fq = out.getvalue()
+    lines = fq.splitlines()
+    assert len(lines) % 8 == 0  # interleaved pairs, 4 lines per read
+    n_pairs_out = len(lines) // 8
+    # clean proper pairs are discarded; breakpoint pairs survive
+    assert 0 < n_pairs_out < 300
+    # first read's comment carries the STAT_ block
+    assert "STAT_" in lines[0]
+    # comments parse back: tid_pos_softLeft_score_mapq...
+    head = lines[0].split(" ", 1)[1]
+    fields = head.split("_")
+    assert fields[0].lstrip("-").isdigit()
+    # signal reads should be enriched near SV breakpoints
+    names = set(l[1:].split(" ")[0] for l in lines[0::4])
+    alt_frac = sum(1 for n in names if n.startswith("alt")) / len(names)
+    assert alt_frac > 0.6
+
+
+def test_extract_all_dump(sim_bam):
+    ds, p = sim_bam
+    out = io.StringIO()
+    extract_signal(
+        p, out,
+        opts=SignalOptions(discard_both_full_match=False, not_using_filter=True),
+    )
+    n_reads_out = out.getvalue().count("\n@") + 1
+    # dump mode emits every paired read
+    assert n_reads_out >= 2 * 500
