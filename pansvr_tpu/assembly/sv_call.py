@@ -1,0 +1,743 @@
+"""SV-region assembly + VCF verdict (stage `fc_sv`).
+
+Behavioral re-implementation of src/PanSVgenerateVCF/SignalAssembly.{hpp,cpp}
++ signalSAMLoader.hpp + SV_ref_sequence.hpp: load realigned reads grouped
+by anchor-contig (SV tag), cluster nearby same-type SVs and pick the best
+cluster member, assemble 300-bp blocks with the word-ladder assembler,
+vote contig positions from the read-action journal, align contigs back to
+the anchor with the contig scoring profile (2/10/24,2/32,1, band=zdrop=132),
+build the per-base event matrix, and emit a PASS/FAIL VCF per SV.
+
+Coordinates: we keep true anchor-contig offsets (the reference's pipeline
+carries a systematic -1 from its position emission which its own
+break-point constants absorb; ours uses bp1 = edge_len + 1 and
+bp2 = contig_len - edge_len, the true offsets of the anchor breakpoints
+in contig space — see align/host_align.py docstring).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..anchor.builder import AnchorContig
+from ..io.bam import BamReader, cigar_adjust
+from ..io.vcf import VCFRecord
+from ..ops import ksw2_ref
+from ..utils import dna
+from .assembler import AssemblyManager
+
+MIN_NEW_SUPPORT_READ = 2
+SCORE_DIFF_L1 = 35
+MAX_INDEL_LEN = 80
+HEAD_MIN_MATCH_BASE = 20
+
+
+@dataclass
+class SvCallOptions:
+    min_score: int = 50
+    edge_len: int = 500
+    max_cluster_distance: int = 150
+    ab_block_size: int = 300
+    rsf_block_size: int = 32
+    normal_read_len: int = 150
+    ave_read_depth: float = 30.0
+    print_detail: bool = False
+    st_chr: int = 0
+    ed_chr: int = 10_000
+
+
+class SVRefSequence:
+    """Anchor metadata + sequences + SV clustering (SV_ref_sequence)."""
+
+    def __init__(self, contig_names: list[str], contig_seqs: dict,
+                 ori_genome, ori_chrom_names: list[str],
+                 max_cluster_distance: int = 150):
+        self.sv_info = [AnchorContig.parse_name(n) for n in contig_names]
+        self._seqs = contig_seqs          # name -> sequence str
+        self._names = contig_names
+        self.ori_genome = ori_genome      # Faidx-like over the ORIGINAL genome
+        self.ori_chrom_names = ori_chrom_names
+        self.used = [False] * len(self.sv_info)
+        self._build_clusters(max_cluster_distance)
+
+    def _build_clusters(self, max_dist: int):
+        """build_SV_Cluster (SV_ref_sequence.hpp:183-215): chain same-chrom
+        same-type SVs whose start positions step by <= max_dist."""
+        n = len(self.sv_info)
+        self.next_sv = [None] * n
+        self.cluster_of = list(range(n))
+        clustered = [False] * n
+        for i in range(n):
+            if clustered[i]:
+                continue
+            clustered[i] = True
+            chrom = self.sv_info[i].chrom
+            svt = self.sv_info[i].sv_type
+            begin_pos = self.sv_info[i].st_pos
+            prev = i
+            for j in range(i + 1, n):
+                if abs(self.sv_info[j].st_pos - begin_pos) > max_dist:
+                    break
+                if (self.sv_info[j].chrom == chrom
+                        and self.sv_info[j].sv_type == svt
+                        and not clustered[j]):
+                    clustered[j] = True
+                    begin_pos = max(begin_pos, self.sv_info[j].st_pos)
+                    self.next_sv[prev] = j
+                    self.cluster_of[j] = i
+                    prev = j
+
+    def cluster_members(self, sv_id: int) -> list[int]:
+        root = self.cluster_of[sv_id]
+        out = [root]
+        while self.next_sv[out[-1]] is not None:
+            out.append(self.next_sv[out[-1]])
+        return out
+
+    def sv_seq_codes(self, sv_id: int) -> np.ndarray:
+        seq = self._seqs[self._names[sv_id]]
+        codes = dna.encode(seq)
+        return np.where(codes >= 4, np.uint8(2), codes)
+
+
+@dataclass
+class LoadedRead:
+    pos: int            # contig-space offset (0-based, post cigar_adjust)
+    cigar: list
+    seq: str
+    mapq: int
+    score: int          # AS
+    ori_score: int      # OS
+    has_cs: bool        # new alignment (CS tag present)
+    ori_unmapped: bool  # OA ends with 'U'
+    xa_num: int
+    rc_mapq: int
+    rc_chr_id: int
+
+
+def load_reads_by_sv(bam_path: str, sv_infos: list, min_score: int = 50):
+    """signalSAMLoader semantics: keep reads with AS >= min_score and an SV
+    tag (new alignments or mated originals), cigar_adjust(4, add_blank),
+    region-2 position shift for original alignments; group by SV id,
+    sorted by position. Positions converted to contig space here."""
+    by_sv: dict[int, list[LoadedRead]] = {}
+    with BamReader(bam_path) as rd:
+        for rec in rd:
+            sv_tag = rec.get_tag("SV")
+            if sv_tag is None:
+                continue
+            score = rec.get_tag("AS") or 0
+            if score < min_score:
+                continue
+            cs = rec.get_tag("CS")
+            if cs is None and rec.isize == 0:
+                continue
+            sv_id = int(str(sv_tag).split("_")[0])
+            if sv_id >= len(sv_infos):
+                continue
+            info = sv_infos[sv_id]
+            cig, pos_adj = cigar_adjust(rec.cigar, delete_small_tail=4,
+                                        add_blank=True)
+            pos = rec.pos + pos_adj
+            if cs is None and info.bp2 < pos < info.ed_pos:
+                # original alignment right of the SV: shift into contig space
+                if info.sv_type == "INS":
+                    adj = info.length - (info.bp1 - info.st_pos) - (info.ed_pos - info.bp2)
+                elif info.sv_type == "DEL":
+                    adj = info.bp1 - info.bp2
+                else:
+                    adj = 0
+                pos += adj
+            # genome pos -> contig offset (emitted pos = st_pos - 1 + offset)
+            contig_pos = pos - (info.st_pos - 1)
+            oa = str(rec.get_tag("OA") or ",,,,M;")
+            rc = str(rec.get_tag("RC") or "")
+            rc_fields = rc.split(",") if rc else []
+            xa_num = 0
+            rc_mapq = 60
+            rc_chr = 0
+            if len(rc_fields) >= 7:
+                try:
+                    rc_chr = int(rc_fields[0])
+                    rc_mapq = int(rc_fields[4])
+                    xa_num = int(rc_fields[6])
+                except ValueError:
+                    pass
+            by_sv.setdefault(sv_id, []).append(
+                LoadedRead(
+                    pos=contig_pos, cigar=cig, seq=rec.seq, mapq=rec.mapq,
+                    score=score, ori_score=rec.get_tag("OS") or 0,
+                    has_cs=cs is not None,
+                    ori_unmapped=oa.rstrip(";").endswith("U"),
+                    xa_num=xa_num, rc_mapq=rc_mapq, rc_chr_id=rc_chr,
+                )
+            )
+    for lst in by_sv.values():
+        lst.sort(key=lambda r: r.pos)
+    return by_sv
+
+
+def read_score_filter(r: LoadedRead) -> bool:
+    """readScoreFilter (SignalAssembly.cpp:163-198) reduced to pass/fail."""
+    if r.score < r.ori_score:
+        return False
+    if r.score == r.ori_score:
+        return False
+    if r.score < r.ori_score + SCORE_DIFF_L1:
+        if r.rc_mapq == 0 and r.xa_num > 2:
+            return False
+        if r.rc_mapq == 0 and r.xa_num == 2 and r.rc_chr_id < 24:
+            return False
+    return True
+
+
+@dataclass
+class SvVerdict:
+    sv_id: int
+    passed: bool
+    fail_reason: str
+    vcf: VCFRecord | None = None
+    depth_bp1: float = 0.0
+    depth_bp2: float = 0.0
+
+
+class SvCaller:
+    def __init__(self, sf: SVRefSequence, opts: SvCallOptions | None = None,
+                 detail_out=None):
+        self.sf = sf
+        self.o = opts or SvCallOptions()
+        self.am = AssemblyManager()
+        self.detail = detail_out
+
+    # ------------------------------------------------------------------
+    def _dp_align(self, qseq: np.ndarray, tseq: np.ndarray):
+        return ksw2_ref.extd2(
+            qseq, tseq, match=2, mismatch=-10, q=24, e=2, q2=32, e2=1,
+            w=132, zdrop=132,
+        )
+
+    def call_sv(self, sv_id: int, reads: list[LoadedRead],
+                cluster_reads: list[tuple[int, list[LoadedRead]]] = ()) -> SvVerdict:
+        o = self.o
+        info = self.sf.sv_info[sv_id]
+        sv_len = info.length
+        tseq = self.sf.sv_seq_codes(sv_id)
+        bp1 = o.edge_len + 1
+        bp2 = sv_len - o.edge_len
+
+        # ---- depth-cap + score filters, block assignment ---------------
+        max_read_in_block = max(
+            int(o.ave_read_depth * 2 * o.rsf_block_size / o.normal_read_len), 4
+        )
+        rsf_scores: dict[int, list[int]] = {}
+        for r in reads:
+            rsf_scores.setdefault(r.pos >> 5, []).append(r.score)
+        rsf_cut = {}
+        for blk, scores in rsf_scores.items():
+            if len(scores) > max_read_in_block:
+                scores.sort(reverse=True)
+                rsf_cut[blk] = scores[max_read_in_block]
+            else:
+                rsf_cut[blk] = 0
+
+        depth_counter = np.zeros(max(sv_len, 1), dtype=np.int32)
+        ab_n = sv_len // o.ab_block_size + 1
+        blocks: list[list[tuple[LoadedRead, bool]]] = [[] for _ in range(ab_n)]
+
+        def add_reads(lst, is_main):
+            for r in lst:
+                if r.score < rsf_cut.get(r.pos >> 5, 0):
+                    continue
+                self._add_depth(depth_counter, r)
+                if not read_score_filter(r):
+                    continue
+                bid = min(max((r.pos) // o.ab_block_size, 0), ab_n - 1)
+                blocks[bid].append((r, is_main))
+
+        add_reads(reads, True)
+        for other_id, other_reads in cluster_reads:
+            if other_id != sv_id:
+                add_reads(other_reads, False)
+
+        # ---- per-block assembly + contig handling ----------------------
+        global_depth = _GlobalDepth(sv_len, tseq)
+        variations: list[dict] = []
+
+        for ab_idx, blk in enumerate(blocks):
+            if not blk:
+                continue
+            self.am.clear()
+            self.am.set_normal_mode()
+            read_strs = []
+            offsets = []
+            mains = []
+            score_flags = []
+            for r, is_main in blk:
+                read_strs.append(r.seq)
+                offsets.append(r.pos)
+                mains.append(is_main)
+                score_flags.append(
+                    r.ori_unmapped or r.score > r.ori_score
+                )
+                self.am.add_read(r.seq)
+            contigs = self.am.assemble()
+            for contig_id, contig in enumerate(contigs):
+                if contig_id != 0 and (
+                    contig.new_support_read <= MIN_NEW_SUPPORT_READ
+                    and contig.word_length < 100
+                ):
+                    continue
+                self._handle_contig(
+                    contig, contig_id, ab_idx, read_strs, offsets, mains,
+                    score_flags, tseq, sv_len, global_depth, variations,
+                )
+
+        global_depth.finalize()
+        merged = _merge_variations(variations, global_depth)
+
+        # ---- region analysis + PASS/FAIL + VCF -------------------------
+        return self._verdict(sv_id, info, sv_len, bp1, bp2, global_depth,
+                             merged, depth_counter)
+
+    # ------------------------------------------------------------------
+    def _add_depth(self, depth_counter, r: LoadedRead):
+        off = r.pos
+        for op, ln in r.cigar:
+            if op == "M":
+                for i in range(ln):
+                    if 0 <= off < len(depth_counter):
+                        depth_counter[off] += 1
+                    off += 1
+            elif op in ("D", "N", "S"):
+                off += ln
+
+    def _handle_contig(self, contig, contig_id, ab_idx, read_strs, offsets,
+                       mains, score_flags, tseq, sv_len, global_depth,
+                       variations):
+        # position voting from the action journal
+        removed = set()
+        votes: dict[int, int] = {}
+        contig_seq = contig.seq
+        clen = len(contig_seq)
+        contig_depth = np.zeros(clen, dtype=np.int32)
+        used = 0
+        bigger = 0
+        smaller = 0
+        wl = contig.word_length
+        for kmer_idx, rid, is_add in contig.actions:
+            if rid >= len(read_strs) or not mains[rid]:
+                continue
+            if not is_add:
+                removed.add(rid)
+                continue
+            if rid in removed:
+                continue
+            rseq = read_strs[rid]
+            pos_read = _find_read_kmer(rseq, contig_seq, kmer_idx,
+                                       contig.ass_begin_offset_in_contig, wl)
+            if pos_read < 0:
+                removed.add(rid)
+                continue
+            if score_flags[rid]:
+                bigger += 1
+            else:
+                smaller += 1
+            st_ref = kmer_idx - contig.ass_begin_offset_in_contig - pos_read
+            st_read = 0
+            if st_ref < 0:
+                st_read = -st_ref
+                st_ref = 0
+            ed_ref = min(clen, st_ref + len(rseq) - st_read)
+            wrong = 0
+            for i in range(st_ref, ed_ref):
+                if contig_seq[i] != rseq[st_read + i - st_ref]:
+                    wrong += 1
+                    if wrong > 8:
+                        break
+            if wrong <= 8:
+                for i in range(st_ref, ed_ref):
+                    if contig_seq[i] == rseq[st_read + i - st_ref]:
+                        contig_depth[i] += 1
+                used += 1
+                sug = offsets[rid] - (kmer_idx - contig.ass_begin_offset_in_contig - pos_read)
+                votes[sug] = votes.get(sug, 0) + 1
+        if not votes:
+            return
+        max_sug, max_count = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+        if max_count * 2 <= used or used == 0:
+            cands = sorted(
+                s for s, c in votes.items() if c * 2 >= max_count or c > 5
+            )
+        else:
+            cands = [max_sug]
+        # low-coverage tail trim + depth floor
+        tail = 0
+        while tail < min(20, clen) and contig_depth[clen - tail - 1] < 2:
+            tail += 1
+        if tail:
+            contig_seq = contig_seq[: clen - tail]
+            contig_depth = contig_depth[: clen - tail]
+            clen = len(contig_seq)
+        contig_depth = np.maximum(contig_depth, 2)
+        if bigger <= 1:
+            return  # not enough reads beating the original aligner
+
+        qcodes_full = np.where(dna.encode(contig_seq) >= 4, np.uint8(2),
+                               dna.encode(contig_seq))
+        for sug in cands:
+            st = sug - 15
+            q_st = 0
+            if st < 0:
+                if st < -15:
+                    q_st = -st - 30
+                st = 0
+            ed = min(sug + clen + 60, sv_len)
+            if ed < st + 20 or q_st > clen:
+                continue
+            ez = self._dp_align(qcodes_full[q_st:], tseq[st:ed])
+            if not ez.cigar:
+                continue
+            cig, pos_adj = cigar_adjust(ez.cigar, delete_small_tail=15,
+                                        add_blank=False)
+            self._extract_vars(
+                cig, st + pos_adj, qcodes_full[q_st:],
+                contig_depth[q_st:], tseq, ab_idx, contig_id,
+                global_depth, variations,
+            )
+
+    def _extract_vars(self, cigar, ref_pos, qcodes, qdepth, tseq, ab_idx,
+                      contig_id, global_depth, variations):
+        """get_var (SignalAssembly.cpp:402-457): 20-match head check, then
+        per-base events + SNP/INS/DEL variation records."""
+        out = ref_pos
+        qi = 0
+        match_base = 0
+        finished_head = False
+        n = len(cigar)
+        for ci, (op, ln) in enumerate(cigar):
+            if op == "M":
+                for _ in range(ln):
+                    if out >= len(tseq) or qi >= len(qcodes):
+                        qi += 1
+                        out += 1
+                        continue
+                    if not finished_head:
+                        match_base += 1 if tseq[out] == qcodes[qi] else -1
+                        if match_base >= HEAD_MIN_MATCH_BASE:
+                            finished_head = True
+                        qi += 1
+                        out += 1
+                        continue
+                    global_depth.set_base(out, int(qcodes[qi]), ab_idx,
+                                          int(qdepth[min(qi, len(qdepth) - 1)]))
+                    if qcodes[qi] != tseq[out]:
+                        variations.append(dict(
+                            ref=dna.decode(tseq[out : out + 1]),
+                            alt=dna.decode(qcodes[qi : qi + 1]),
+                            ref_position=out, var_type="SNP",
+                            depth=int(qdepth[min(qi, len(qdepth) - 1)]),
+                            assembly_part=ab_idx, contig_id=contig_id,
+                        ))
+                    qi += 1
+                    out += 1
+            elif op == "I":
+                if 0 < ci < n - 1 and ln < MAX_INDEL_LEN:
+                    if not finished_head:
+                        match_base -= 2
+                    else:
+                        d = int(qdepth[min(qi, len(qdepth) - 1)])
+                        variations.append(dict(
+                            ref=dna.decode(tseq[out : out + 1]),
+                            alt=dna.decode(qcodes[qi : qi + ln + 1]),
+                            ref_position=out, var_type="INS", depth=d,
+                            assembly_part=ab_idx, contig_id=contig_id,
+                        ))
+                        global_depth.set_base(out, 5, ab_idx, d * 2)
+                qi += ln
+            elif op == "D":
+                if 0 < ci < n - 1 and ln < MAX_INDEL_LEN:
+                    if not finished_head:
+                        match_base -= 2
+                    else:
+                        d = int(qdepth[min(qi, len(qdepth) - 1)])
+                        variations.append(dict(
+                            ref=dna.decode(tseq[out : out + ln + 1]),
+                            alt=dna.decode(qcodes[qi : qi + 1]),
+                            ref_position=out, var_type="DEL", depth=d,
+                            assembly_part=ab_idx, contig_id=contig_id,
+                        ))
+                        for k in range(ln):
+                            if out + k < len(tseq):
+                                global_depth.set_base(out + k, 4, ab_idx, d)
+                out += ln
+            elif op in ("S", "N"):
+                out += ln
+
+    # ------------------------------------------------------------------
+    def _verdict(self, sv_id, info, sv_len, bp1, bp2, gd, merged,
+                 depth_counter) -> SvVerdict:
+        o = self.o
+        has_ins = bp2 > bp1 + 10
+        win = 10 if has_ins else 20
+        b1 = gd.analyze(bp1 - win, bp1 + win)
+        b2 = gd.analyze(bp2 - win, bp2 + win)
+        bi = gd.analyze(bp1, bp2) if has_ins else None
+        ins_part_len = bp2 - bp1
+
+        fail = None
+        svt = info.sv_type
+        if has_ins:
+            if not (svt.startswith("I") or svt.startswith("DU")):
+                fail = "wrong_sv_type"
+            elif b1["blank"] > 0 and b2["blank"] > 0:
+                fail = "bp1_uncovered"
+            elif (b1["blank"] > 0 and (b2["ins"] + b2["del"]) > 0) or \
+                 (b2["blank"] > 0 and (b1["ins"] + b1["del"]) > 0):
+                fail = "bp1_uncovered"
+            elif bi["blank"] > 0.5 * ins_part_len:
+                fail = "ins_uncovered"
+            elif bi["del"] + bi["blank"] + 30 > ins_part_len:
+                fail = "ins_length_not_enough"
+        else:
+            if not svt.startswith("DE"):
+                fail = "wrong_sv_type"
+            elif b1["blank"] > 0 or b2["blank"] > 0:
+                fail = "bp1_uncovered"
+            elif b1["ave_depth"] != 0 and b1["min_depth"] * 2 < b1["ave_depth"]:
+                fail = "del_depth_change_sharply"
+            else:
+                ins_len = sum(
+                    len(v["alt"])
+                    for v in merged
+                    if bp1 - 10 < v["ref_position"] < bp2 + 10
+                    and gd.event_info(v["ref_position"]) == 8
+                )
+                del_len = info.bp2 - info.bp1
+                if ins_len + 30 > del_len:
+                    fail = "del_length_not_enough"
+
+        depth_bp1 = float(np.mean(depth_counter[max(bp1 - win, 0) : bp1 + win]))
+        depth_bp2 = float(np.mean(depth_counter[max(bp2 - win, 0) : bp2 + win]))
+        min_read_depth = max(int(o.ave_read_depth * 0.1), 3)
+        if fail is None and (depth_bp1 + depth_bp2) / 2 < min_read_depth:
+            fail = "low_total_depth"
+        ass_depth = (b1["ave_depth"] + b2["ave_depth"]) / 2
+        if fail is None and ass_depth < min_read_depth:
+            fail = "low_total_depth"
+
+        if fail is not None:
+            return SvVerdict(sv_id=sv_id, passed=False, fail_reason=fail,
+                             depth_bp1=depth_bp1, depth_bp2=depth_bp2)
+
+        # ---- construct REF/ALT + VCF record ---------------------------
+        if has_ins:
+            alt_chars = []
+            ins_by_pos = {}
+            for v in merged:
+                if v["var_type"] == "INS":
+                    ins_by_pos[v["ref_position"]] = v["alt"]
+            for pos in range(bp1, bp2):
+                ei = gd.event_info(pos)
+                if ei in (0, 2, 3, 4, 5, 6):
+                    alt_chars.append("ACGT"[gd.max_base(pos)])
+                elif ei == 8 and pos in ins_by_pos:
+                    # insertion events contribute their recorded string
+                    # minus its first base (SignalAssembly.cpp:594-601)
+                    alt_chars.append(ins_by_pos[pos][1:])
+            alt = "".join(alt_chars)
+            ref = ""
+        else:
+            ref = self.sf.ori_genome.fetch(
+                info.chrom, info.bp1, info.bp2 + 1
+            )
+            alt = ""
+
+        anchor_base = "ACGT"[int(gd.ref_base(bp1 - 1))]
+        st_pos = info.bp1
+        end_pos = st_pos + len(ref) + 1
+        length = len(alt) - len(ref) + 1
+        low_depth = (b1["ave_depth"] + b2["ave_depth"]) < 5
+        is_het = (depth_bp1 + depth_bp2) / 2 < o.ave_read_depth * 0.45
+        rec = VCFRecord(
+            chrom=info.chrom,
+            pos1=st_pos,  # reference emits its 0-based bp here; kept equal
+            id=f"{info.new_ref_id}_{info.chrom}_{info.st_pos}_{info.length}_"
+               f"{info.sv_type}_{info.vcf_id}",
+            ref=anchor_base + ref,
+            alts=[anchor_base + alt],
+            qual=".",
+            filter="LOW_DEPTH" if low_depth else "PASS",
+            info={"SVTYPE": svt, "END": str(end_pos), "SVLEN": str(length)},
+            format="GT:DP",
+            samples=[
+                f"{'0/1' if is_het else '1/1'}:"
+                f"{int(depth_bp1)},{int(depth_bp2)},"
+                f"{int(b1['ave_depth'])},{int(b2['ave_depth'])}"
+            ],
+        )
+        return SvVerdict(sv_id=sv_id, passed=True, fail_reason="filter_pass",
+                         vcf=rec, depth_bp1=depth_bp1, depth_bp2=depth_bp2)
+
+
+# -------------------------------------------------------------------------
+
+def _find_read_kmer(rseq: str, contig_seq: str, kmer_idx: int,
+                    ass_begin: int, wl: int) -> int:
+    """AddReadAction::set_read_pos: locate the contig word in the read
+    (backward scan for left-extension actions)."""
+    cpos = kmer_idx - ass_begin
+    if cpos < 0 or cpos + wl > len(contig_seq):
+        return -1
+    word = contig_seq[cpos : cpos + wl]
+    n = len(rseq) - wl + 1
+    if n <= 0:
+        return -1
+    if kmer_idx < 0:
+        for i in range(n - 1, -1, -1):
+            if rseq[i : i + wl] == word:
+                return i
+    else:
+        for i in range(n):
+            if rseq[i : i + wl] == word:
+                return i
+    return -1
+
+
+class _GlobalDepth:
+    """GlobalDepthItem matrix (SignalAssembly.hpp:33-128)."""
+
+    def __init__(self, sv_len: int, tseq: np.ndarray):
+        self.n = sv_len
+        self.counts = np.zeros((sv_len, 6), dtype=np.int32)
+        self.tmp = np.zeros((sv_len, 6), dtype=np.int32)
+        self.cur_block = np.full(sv_len, -1, dtype=np.int32)
+        self.ref = tseq[:sv_len].astype(np.int32)
+        self.total = np.zeros(sv_len, dtype=np.int32)
+        self.maxb = np.zeros(sv_len, dtype=np.int32)
+
+    def set_base(self, pos: int, base: int, ab_block: int, depth: int):
+        if pos < 0 or pos >= self.n:
+            return
+        if self.cur_block[pos] == ab_block:
+            self.tmp[pos, base] = max(self.tmp[pos, base], depth)
+        else:
+            # on block switch only THIS base's tmp folds into the counts
+            # (GlobalDepthItem::set_base, SignalAssembly.hpp:41-49)
+            self.cur_block[pos] = ab_block
+            self.counts[pos, base] += self.tmp[pos, base]
+            self.tmp[pos, base] = depth
+
+    def finalize(self):
+        self.counts += self.tmp
+        self.total = self.counts.sum(axis=1)
+        self.maxb = np.argmax(self.counts, axis=1)
+
+    def ref_base(self, pos):
+        return self.ref[np.clip(pos, 0, self.n - 1)]
+
+    def max_base(self, pos):
+        return int(self.maxb[pos])
+
+    def event_info(self, pos) -> int:
+        if pos < 0 or pos >= self.n:
+            return 1
+        if self.total[pos] == 0:
+            return 1
+        if self.maxb[pos] != self.ref[pos]:
+            return 3 + int(self.maxb[pos])
+        if self.counts[pos, self.maxb[pos]] != self.total[pos]:
+            return 2
+        return 0
+
+    def analyze(self, st, ed):
+        st = max(0, st)
+        ed = min(self.n, ed)
+        out = dict(blank=0, snp=0, ins=0, term_del=0, **{"del": 0})
+        total_depth = 0
+        depth_cnt = 0
+        min_depth = None
+        for i in range(st, ed):
+            ei = self.event_info(i)
+            if ei == 1:
+                out["blank"] += 1
+            elif ei in (3, 4, 5, 6):
+                out["snp"] += 1
+            elif ei == 7:
+                out["del"] += 1
+            elif ei == 8:
+                out["ins"] += 1
+            if ei not in (1, 7):
+                depth_cnt += 1
+                total_depth += int(self.total[i])
+                min_depth = int(self.total[i]) if min_depth is None else min(
+                    min_depth, int(self.total[i]))
+        out["ave_depth"] = total_depth / depth_cnt if depth_cnt else 0.0
+        out["min_depth"] = min_depth or 0
+        return out
+
+
+def _merge_variations(variations: list[dict], gd: _GlobalDepth) -> list[dict]:
+    """VI_list::sort_merge + simple depth filter."""
+    variations.sort(key=lambda v: (
+        v["ref_position"], v["var_type"], v["ref"], v["alt"],
+        v["assembly_part"], v["contig_id"], -v["depth"],
+    ))
+    merged: list[dict] = []
+    for v in variations:
+        if merged and (
+            merged[-1]["ref_position"] == v["ref_position"]
+            and merged[-1]["var_type"] == v["var_type"]
+            and merged[-1]["ref"] == v["ref"]
+            and merged[-1]["alt"] == v["alt"]
+        ):
+            if merged[-1]["assembly_part"] != v["assembly_part"]:
+                merged[-1]["depth"] += v["depth"]
+                merged[-1]["assembly_part"] = v["assembly_part"]
+            else:
+                merged[-1]["depth"] = max(merged[-1]["depth"], v["depth"])
+        else:
+            merged.append(dict(v))
+    out = []
+    for v in merged:
+        pos = v["ref_position"]
+        if 0 <= pos < gd.n and v["depth"] * 4 >= gd.total[pos] and v["depth"] > 2:
+            v["pass_filter"] = True
+            out.append(v)
+    return out
+
+
+def run_sv_calling(bam_path: str, sf: SVRefSequence,
+                   opts: SvCallOptions | None = None):
+    """Full fc_sv pass over a realigned BAM: returns (verdicts, vcf_records)."""
+    o = opts or SvCallOptions()
+    caller = SvCaller(sf, o)
+    by_sv = load_reads_by_sv(bam_path, sf.sv_info, min_score=o.min_score)
+    verdicts = []
+    for sv_id in sorted(by_sv):
+        if sf.used[sv_id]:
+            continue
+        members = sf.cluster_members(sv_id)
+        for m in members:
+            sf.used[m] = True
+        # pick the best cluster member by mapq-weighted score
+        best_id, best_score = sv_id, -1
+        for m in members:
+            rs = by_sv.get(m, [])
+            if not rs:
+                continue
+            hq = sum(1 for r in rs if r.has_cs and r.mapq > 5)
+            tot_q = sum(r.mapq for r in rs if r.has_cs)
+            n = sum(1 for r in rs if r.has_cs)
+            score = hq * 10 + tot_q + n * 2
+            if score > best_score:
+                best_score, best_id = score, m
+        reads = by_sv.get(best_id, [])
+        if not reads:
+            continue
+        cluster_reads = [(m, by_sv.get(m, [])) for m in members]
+        verdicts.append(caller.call_sv(best_id, reads, cluster_reads))
+    vcf_records = [v.vcf for v in verdicts if v.vcf is not None]
+    return verdicts, vcf_records
