@@ -1,0 +1,229 @@
+"""Command-line interface mirroring the reference's subcommand surface
+(src/main.cpp:47-80): fc_anchor_ref, fc_index, fc_signal, fc_aln, fc_sv,
+assembly_test, tools, plus `run` (the panSVR_run.sh equivalent driving
+all stages) and `bench`.
+
+Usage: python -m pansvr_tpu <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cmd_fc_anchor_ref(args):
+    from ..anchor.builder import AnchorConfig, run_anchor_ref
+    from ..io.fasta import Faidx
+
+    cfg = AnchorConfig(
+        edge_len=args.edge_len, min_sv_len=args.min_sv_len,
+        sv_type=args.sv_type, discard_decoy=args.discard_decoy,
+    )
+    run_anchor_ref(args.vcf, Faidx(args.ref), sys.stdout, cfg)
+
+
+def _cmd_fc_index(args):
+    import pickle
+
+    from ..index.builder import build_index
+    from ..io.fasta import read_fasta
+
+    idx = build_index(
+        list(read_fasta(args.anchors_fa).items()),
+        first_level_bases=args.first_level,
+    )
+    os.makedirs(args.index_dir, exist_ok=True)
+    with open(os.path.join(args.index_dir, "rdbg.pkl"), "wb") as fh:
+        pickle.dump(idx, fh)
+    print(
+        f"index: {len(idx.chr_names)} contigs, {idx.n_kmers} kmers, "
+        f"{idx.n_unitigs} unitigs -> {args.index_dir}", file=sys.stderr,
+    )
+
+
+def _cmd_fc_signal(args):
+    from ..signal.extract import SignalOptions, extract_signal
+
+    opts = SignalOptions(
+        discard_both_full_match=args.discard_full_match,
+        not_using_filter=args.not_use_filter,
+    )
+    out = open(args.output, "w") if args.output != "-" else sys.stdout
+    stats = extract_signal(args.bam, out, opts=opts)
+    if args.status_file:
+        with open(args.status_file, "w") as fh:
+            fh.write(stats.status_file_text())
+
+
+def _cmd_fc_aln(args):
+    import pickle
+
+    from ..align.bam_out import emit_pair
+    from ..align.engine import AlignEngine
+    from ..align.host_align import PEScorer
+    from ..io.bam import BamHeader, BamWriter
+    from ..pipeline import parse_signal_comment, read_signal_fastq
+    from ..signal.extract import SignalStats
+
+    with open(os.path.join(args.index_dir, "rdbg.pkl"), "rb") as fh:
+        idx = pickle.load(fh)
+    header = BamHeader.from_sam_text(open(args.header_sam).read())
+    stats = SignalStats.parse_status_text(open(args.status_file).read()) \
+        if args.status_file else SignalStats(read_len=150, min_isize=200, max_isize=600)
+
+    eng = AlignEngine(idx, ori_chrom_names=header.ref_names)
+    pe = PEScorer(eng.host, stats.max_isize or 600, stats.min_isize or 200,
+                  stats.read_len or 150)
+    writer = BamWriter(args.output, header)
+    pairs = list(read_signal_fastq(args.signal_fq))
+    B = args.batch
+    for i in range(0, len(pairs) - 1, B):
+        chunk = pairs[i : i + B]
+        oris = [parse_signal_comment(p[3])[0] for p in chunk]
+        states = eng.align_batch([p[1] for p in chunk], oris)
+        for k in range(0, len(chunk) - 1, 2):
+            pr = pe.pair(states[k], states[k + 1])
+            if not pr.gain_better:
+                continue
+            for rec in emit_pair(
+                eng.host, pr, states[k], states[k + 1],
+                chunk[k][0], chunk[k][1], chunk[k][2],
+                chunk[k + 1][1], chunk[k + 1][2],
+                chunk[k][3], chunk[k + 1][3], header,
+            ):
+                writer.write(rec)
+    writer.close()
+
+
+def _cmd_fc_sv(args):
+    from ..assembly.sv_call import SVRefSequence, SvCallOptions, run_sv_calling
+    from ..io.bam import BamReader
+    from ..io.fasta import Faidx, read_fasta
+    from ..io.vcf import VCFWriter
+    from ..signal.extract import SignalStats
+
+    anchors = read_fasta(args.anchors_fa)
+    with BamReader(args.bam) as rd:
+        ori_names = list(rd.header.ref_names)
+    stats = SignalStats.parse_status_text(open(args.status_file).read()) \
+        if args.status_file else SignalStats(read_len=150, ave_read_depth=30.0)
+    sf = SVRefSequence(list(anchors.keys()), anchors, Faidx(args.ref), ori_names)
+    opts = SvCallOptions(
+        edge_len=args.edge_len,
+        normal_read_len=stats.read_len or 150,
+        ave_read_depth=max(stats.ave_read_depth, 1.0),
+        st_chr=args.st_chr, ed_chr=args.ed_chr,
+    )
+    verdicts, records = run_sv_calling(args.bam, sf, opts)
+    out = open(args.output, "w") if args.output != "-" else sys.stdout
+    out.write("##fileformat=VCFv4.2\n##source=pansvr_tpu\n")
+    out.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSample\n")
+    for rec in records:
+        out.write(rec.to_line() + "\n")
+    n_pass = sum(1 for v in verdicts if v.passed)
+    print(f"{n_pass}/{len(verdicts)} SV regions PASS", file=sys.stderr)
+
+
+def _cmd_run(args):
+    from ..pipeline import PipelineConfig, run_pipeline
+
+    out = run_pipeline(args.vcf, args.ref, args.bam, args.workdir,
+                       PipelineConfig(first_level_bases=args.first_level))
+    print(out)
+
+
+def _cmd_assembly_test(args):
+    from ..assembly.assembler import AssemblyManager
+
+    am = AssemblyManager()
+    for line in sys.stdin:
+        seq = line.strip()
+        if seq:
+            am.add_read(seq)
+    for c in am.assemble():
+        print(
+            f"CONTIG size: [{len(c.seq)}] seedCount: [{c.seed_read_count}] "
+            f"supportReads: [{len(c.support_reads)}] "
+            f"ending_reason: [{c.ending_reason[0]} {c.ending_reason[1]}]"
+        )
+        print(c.seq)
+
+
+def _cmd_tools(args):
+    from . import tools
+
+    tools.dispatch(args.tool, args.tool_args)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pansvr_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("fc_anchor_ref", help="VCF+ref -> anchor FASTA (stdout)")
+    s.add_argument("ref")
+    s.add_argument("vcf")
+    s.add_argument("-e", "--edge-len", type=int, default=500)
+    s.add_argument("-m", "--min-sv-len", type=int, default=50)
+    s.add_argument("-T", "--sv-type", default="ALL")
+    s.add_argument("-J", "--discard-decoy", action="store_true")
+    s.set_defaults(fn=_cmd_fc_anchor_ref)
+
+    s = sub.add_parser("fc_index", help="anchor FASTA -> RdBG index dir")
+    s.add_argument("anchors_fa")
+    s.add_argument("index_dir")
+    s.add_argument("--first-level", type=int, default=12)
+    s.set_defaults(fn=_cmd_fc_index)
+
+    s = sub.add_parser("fc_signal", help="BAM -> signal FASTQ")
+    s.add_argument("bam")
+    s.add_argument("-o", "--output", default="-")
+    s.add_argument("-s", "--status-file", default="status.txt")
+    s.add_argument("-U", "--discard-full-match", action="store_true")
+    s.add_argument("-D", "--not-use-filter", action="store_true")
+    s.set_defaults(fn=_cmd_fc_signal)
+
+    s = sub.add_parser("fc_aln", help="signal FASTQ -> realigned BAM")
+    s.add_argument("index_dir")
+    s.add_argument("signal_fq")
+    s.add_argument("header_sam")
+    s.add_argument("-o", "--output", default="output.bam")
+    s.add_argument("-r", "--status-file", default=None)
+    s.add_argument("-b", "--batch", type=int, default=2048)
+    s.set_defaults(fn=_cmd_fc_aln)
+
+    s = sub.add_parser("fc_sv", help="realigned BAM -> VCF")
+    s.add_argument("anchors_fa")
+    s.add_argument("bam")
+    s.add_argument("ref")
+    s.add_argument("-o", "--output", default="-")
+    s.add_argument("-r", "--status-file", default=None)
+    s.add_argument("-e", "--edge-len", type=int, default=500)
+    s.add_argument("-S", "--st-chr", type=int, default=0)
+    s.add_argument("-E", "--ed-chr", type=int, default=10000)
+    s.set_defaults(fn=_cmd_fc_sv)
+
+    s = sub.add_parser("run", help="full pipeline (panSVR_run.sh equivalent)")
+    s.add_argument("ref")
+    s.add_argument("vcf")
+    s.add_argument("bam")
+    s.add_argument("workdir")
+    s.add_argument("--first-level", type=int, default=12)
+    s.set_defaults(fn=_cmd_run)
+
+    s = sub.add_parser("assembly_test", help="assemble reads from stdin")
+    s.set_defaults(fn=_cmd_assembly_test)
+
+    s = sub.add_parser("tools", help="analysis toolbox")
+    s.add_argument("tool")
+    s.add_argument("tool_args", nargs="*")
+    s.set_defaults(fn=_cmd_tools)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
