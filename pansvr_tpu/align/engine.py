@@ -28,6 +28,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import functools
+
+import jax
+import jax.numpy as jnp
+
 from ..index.builder import RdBGIndex
 from ..index.device import to_device
 from ..ops import chain_ref
@@ -59,6 +64,46 @@ from .host_align import (
     SingleEndState,
     reverse_merge_cigar,
 )
+
+
+# ---- fused device programs (one dispatch each; per-op dispatch latency
+# over a remote-chip link otherwise dominates the batch time) -------------
+
+@functools.partial(jax.jit, static_argnames=("S0", "S"))
+def _device_front(didx, words, lens, mask, S0, S):
+    sb = seed_reads(didx, words, lens, mask, S0=S0)
+    es = merge_expand_device(sb, didx, S=S)
+    stats3 = jnp.stack([
+        sb.n_overflow,
+        es.n_dropped.astype(jnp.int32),
+        es.valid.sum(axis=1).astype(jnp.int32),
+    ])
+    return es, stats3
+
+
+@jax.jit
+def _device_chain_pack(rb, re_, fb, fe, cov, sid, valid, is_str):
+    cr = chain_batch(rb, re_, fb, fe, cov, sid, valid, is_str)
+    return jnp.stack([
+        cr.dist, cr.pre, cr.read_begin, cr.read_end,
+        cr.ref_begin, cr.ref_end, cr.cov,
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("params", "K"))
+def _device_dp(qc, ql, tc, tl, params, K):
+    res = extd2_batch(qc, ql, tc, tl, params=params)
+    i0 = jnp.where(~res.zdropped, tl - 1,
+                   jnp.where(res.max_t >= 0, res.max_t, -1)).astype(jnp.int32)
+    j0 = jnp.where(~res.zdropped, ql - 1,
+                   jnp.where(res.max_q >= 0, res.max_q, -1)).astype(jnp.int32)
+    ops, i_f, j_f = traceback_batch(res.dmat, res.st_arr, res.en_arr,
+                                    i0, j0, K=K)
+    packed = jnp.stack([
+        res.score, res.mqe, res.max, res.max_q, res.max_t,
+        res.zdropped.astype(jnp.int32), i_f, j_f,
+    ])
+    return ops, packed
 
 
 class _CollectDP(KswHandler):
@@ -175,18 +220,10 @@ class AlignEngine:
         words = pack_reads(codes2)
         lens2 = np.concatenate([lens, lens])
         mask2 = np.concatenate([seed_mask_f, seed_mask_r], axis=0)
-        import jax.numpy as jnp
-
-        sb = seed_reads(self.didx, words, lens2, mask2, S0=S0)
-        es = merge_expand_device(sb, self.didx, S=cfg.max_seeds)
-        # single small sync pull: per-row overflow/drop/seed-count stats
-        stats3 = np.asarray(
-            jnp.stack([
-                sb.n_overflow,
-                es.n_dropped.astype(jnp.int32),
-                es.valid.sum(axis=1).astype(jnp.int32),
-            ])
+        es, stats3_dev = _device_front(
+            self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds
         )
+        stats3 = np.asarray(stats3_dev)
         overflow, dropped, seed_count = stats3
         fallback = set(int(r) % n_pad for r in np.nonzero(overflow > 0)[0])
         fallback |= set(int(r) % n_pad for r in np.nonzero(dropped > 0)[0])
@@ -201,17 +238,11 @@ class AlignEngine:
         is_str2 = np.concatenate([is_str, is_str])
         # seeds are compacted to the front of the S axis, so [:, :K] keeps
         # every valid seed
-        cr_res = chain_batch(
+        packed = np.asarray(_device_chain_pack(
             es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
             es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
             es.valid[:, :K], is_str2,
-        )
-        packed = np.asarray(
-            jnp.stack([
-                cr_res.dist, cr_res.pre, cr_res.read_begin, cr_res.read_end,
-                cr_res.ref_begin, cr_res.ref_end, cr_res.cov,
-            ])
-        )
+        ))
         dist, pre, s_rb, s_re, s_fb, s_fe, s_cov = packed
         nv = seed_count
 
@@ -338,7 +369,6 @@ class AlignEngine:
         # fixed-size DP chunks: ONE compiled shape for the DP+traceback
         # programs regardless of how many segments a batch produced
         CHUNK = 512
-        import jax.numpy as jnp
         for c0 in range(0, len(small), CHUNK):
             chunk = small[c0 : c0 + CHUNK]
             B = CHUNK
@@ -352,23 +382,13 @@ class AlignEngine:
                 tc[bi, : len(t)] = t
                 ql[bi] = len(q)
                 tl[bi] = len(t)
-            res = extd2_batch(qc, ql, tc, tl, params=self.dp_params)
-            # traceback on device: only op sequences cross the transfer
-            i0 = jnp.where(~res.zdropped, tl - 1,
-                           jnp.where(res.max_t >= 0, res.max_t, -1))
-            j0 = jnp.where(~res.zdropped, ql - 1,
-                           jnp.where(res.max_q >= 0, res.max_q, -1))
-            ops, i_f, j_f = traceback_batch(
-                res.dmat, res.st_arr, res.en_arr,
-                i0.astype(np.int32), j0.astype(np.int32),
+            ops_dev, packed_dev = _device_dp(
+                qc, ql, tc, tl, params=self.dp_params,
                 K=cfg.dp_q + cfg.dp_t,
             )
-            packed = np.asarray(jnp.stack([
-                res.score, res.mqe, res.max, res.max_q, res.max_t,
-                res.zdropped.astype(jnp.int32), i_f, j_f,
-            ]))
+            packed = np.asarray(packed_dev)
             score, mqe, mx, mxq, mxt, zdr, i_f, j_f = packed
-            ops = np.asarray(ops)
+            ops = np.asarray(ops_dev)
             for bi, k in enumerate(chunk):
                 cig = ops_to_cigar(ops[bi], int(i_f[bi]), int(j_f[bi]))
                 ez = Ez(

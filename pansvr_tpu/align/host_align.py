@@ -101,7 +101,13 @@ class KswHandler:
     def __init__(self, idx: RdBGIndex, p: AlignParams):
         self.idx = idx
         self.p = p
-        self.packed_ref = np.where(idx.ref_codes >= 4, np.uint8(2), idx.ref_codes)
+        # packed reference cached on the index object: KswHandlers are
+        # constructed per batch worker and this array is O(ref_len)
+        if not hasattr(idx, "_packed_ref_cache"):
+            idx._packed_ref_cache = np.where(
+                idx.ref_codes >= 4, np.uint8(2), idx.ref_codes
+            )
+        self.packed_ref = idx._packed_ref_cache
         self.reset(None)
 
     def reset(self, read_codes):

@@ -85,7 +85,10 @@ def chain_batch(read_begin, read_end, ref_begin, ref_end, cov, seed_id,
     max_step = jnp.where(is_str, MAX_SEARCH_STEP_STR, MAX_SEARCH_STEP)[:, None, None]
     max_gap = jnp.where(is_str, MAX_ABS_GAP_STR, MAX_ABS_GAP)[:, None, None]
 
-    offs = jnp.arange(1, WINDOW + 1, dtype=jnp.int32)[None, None, :]  # (1,1,W)
+    # look-ahead axis trimmed to the padded seed count: offsets beyond S
+    # can never connect anything
+    Weff = min(WINDOW, S)
+    offs = jnp.arange(1, Weff + 1, dtype=jnp.int32)[None, None, :]  # (1,1,W)
 
     # gather successor attributes: succ[b, i, o] = attr[b, i+o]
     cols = jnp.arange(S, dtype=jnp.int32)[:, None] + offs[0]          # (S, W)
@@ -139,40 +142,38 @@ def chain_batch(read_begin, read_end, ref_begin, ref_end, cov, seed_id,
     inc = jnp.where(rows_ok, inc, NEG)
     inc_cond = jnp.take_along_axis(cond, rowsc, axis=1) & rows_ok
 
-    # sequential relaxation in sorted order
-    dist_pad0 = jnp.zeros((B, WINDOW + S), jnp.int32)
-
-    def step(dist_pad, j):
-        win = jax.lax.dynamic_slice(
-            dist_pad, (0, j), (B, WINDOW)
-        )  # dist[j-W .. j-1] at index m -> i = j - W + m -> o = W - m
-        win = win[:, ::-1]  # index o-1 -> dist[j-o]
-        inc_j = jax.lax.dynamic_slice(inc, (0, j, 0), (B, 1, WINDOW))[:, 0, :]
-        cond_j = jax.lax.dynamic_slice(
-            inc_cond, (0, j, 0), (B, 1, WINDOW))[:, 0, :]
+    # sequential relaxation in sorted order, statically unrolled (S is
+    # bucketed small by callers; dynamic-slice scans lower poorly on TPU)
+    zero_col = jnp.zeros((B,), jnp.int32)
+    dist_cols: list = []
+    pre_cols: list = []
+    Weff = min(WINDOW, S)
+    for j in range(S):
+        win_cols = [
+            dist_cols[j - o] if j - o >= 0 else zero_col
+            for o in range(1, Weff + 1)
+        ]  # index o-1 -> dist[j-o]
+        win = jnp.stack(win_cols, axis=1) if win_cols else zero_col[:, None]
+        inc_j = inc[:, j, :Weff]
+        cond_j = inc_cond[:, j, :Weff]
         value = win + inc_j
         # later predecessor (smaller o) wins ties; int32 lex key
         # (|dist| bounded by total coverage << 2^22, so *256 is safe)
         vclamp = jnp.clip(value, -(1 << 21), 1 << 21)
-        lex = vclamp * (1 << 8) + (WINDOW - offs[0])
+        lex = vclamp * (1 << 8) + (WINDOW - offs[0, :Weff])
         lex = jnp.where(cond_j, lex, jnp.int32(-0x7F000000))
         bo = jnp.argmax(lex, axis=-1)
         best_value = jnp.take_along_axis(value, bo[:, None], axis=-1)[:, 0]
         any_edge = jnp.any(cond_j, axis=-1)
-        cv_jj = jax.lax.dynamic_slice(cv, (0, j), (B, 1))[:, 0]
-        val_jj = jax.lax.dynamic_slice(val, (0, j), (B, 1))[:, 0]
         dist_j = jnp.where(any_edge, jnp.maximum(best_value, 0),
-                           cv_jj * val_jj)
+                           cv[:, j] * val[:, j])
         pre_j = jnp.where(any_edge & (best_value >= 0),
                           j - (bo.astype(jnp.int32) + 1), -1)
-        dist_pad = jax.lax.dynamic_update_slice(
-            dist_pad, dist_j[:, None], (0, j + WINDOW)
-        )
-        return dist_pad, (dist_j, pre_j)
+        dist_cols.append(dist_j)
+        pre_cols.append(pre_j)
 
-    _, (dists, pres) = jax.lax.scan(step, dist_pad0, jnp.arange(S))
-    dist = jnp.transpose(dists)
-    pre = jnp.transpose(pres)
+    dist = jnp.stack(dist_cols, axis=1)
+    pre = jnp.stack(pre_cols, axis=1)
     return ChainResult(
         order=order, dist=dist, pre=pre, n_valid=n_valid,
         read_begin=rb, read_end=re_, ref_begin=fb, ref_end=fe, cov=cv,

@@ -161,21 +161,33 @@ def seed_reads(
     count = right - left
     found = seed_ok & (count > 0) & (count <= UNI_POS_N_MAX)
 
-    # --- per-hit MEM extension -------------------------------------------
+    # --- compact hits BEFORE extension ------------------------------------
+    # most seeds have 1-2 table entries; doing the gather-heavy extension
+    # on (B, S0, H) wastes ~10-30x lanes. Pack valid hits to (B, M) first.
     h = jnp.arange(H_SLOTS, dtype=jnp.int32)                # (H,)
-    entry = left[:, :, None] + h[None, None, :]             # (B, S0, H)
-    hit_ok = found[:, :, None] & (h[None, None, :] < count[:, :, None])
+    hit_ok3 = found[:, :, None] & (h[None, None, :] < count[:, :, None])
+    flat_ok = hit_ok3.reshape(B, S0 * H_SLOTS)
+    order0 = jnp.argsort(~flat_ok, axis=1, stable=True)[:, :M]
+    hit_ok = jnp.take_along_axis(flat_ok, order0, axis=1)    # (B, M)
+    hit_seed = order0 // H_SLOTS                             # seed index s
+    hit_h = order0 % H_SLOTS
+    n_hits = flat_ok.sum(axis=1)
+    overflow0 = jnp.maximum(n_hits - M, 0).astype(jnp.int32)
+
+    gb = lambda a: jnp.take_along_axis(a, hit_seed, axis=1)  # (B,S0)->(B,M)
+    entry = gb(left) + hit_h
+    o2 = gb(o)                                               # seed offsets
     entry_c = jnp.clip(entry, 0, max(didx.n_kmer - 1, 0))
-    off = didx.off_g[entry_c]                               # (B, S0, H)
+    off = jnp.where(hit_ok, didx.off_g[entry_c], 0)          # (B, M)
     uid = jnp.searchsorted(didx.uni_seqf, off, side="right").astype(jnp.int32) - 1
     uid = jnp.clip(uid, 0, max(didx.n_uni - 1, 0))
     pos_n = didx.uni_posp[uid + 1] - didx.uni_posp[uid]
     off_l = off - didx.uni_seqf[uid]
     off_r = didx.uni_seqf[uid + 1] - (off + sk)
 
-    o3 = o[:, :, None]
+    o3 = o2
     max_left = jnp.minimum(off_l, o3)
-    max_right = jnp.minimum(off_r, read_lens[:, None, None] - o3 - sk)
+    max_right = jnp.minimum(off_r, read_lens[:, None] - o3 - sk)
 
     # left: compare 16-base blocks ending just before the k-mer
     left_m = jnp.zeros_like(off)
@@ -217,9 +229,13 @@ def seed_reads(
     # --- sequential coverage skip over seed positions ---------------------
     # msr carries the rightmost covered read position; a seed is used iff
     # o + sk - 1 > msr (read_realignment.cpp:617)
-    per_seed_max_right = jnp.max(
-        jnp.where(hit_ok, right_m, -1), axis=2
-    )  # (B, S0); -1 when no hits
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    per_seed_max_right = (
+        jnp.full((B, S0), -1, jnp.int32)
+        .at[rows + jnp.zeros_like(hit_seed), hit_seed]
+        .max(jnp.where(hit_ok, right_m, -1))
+    )
+
     def skip_step(msr, s):
         o_s = offs[s]
         used = (o_s + sk - 1 > msr) & found[:, s]
@@ -230,24 +246,15 @@ def seed_reads(
                                 jnp.arange(S0))
     seed_used = jnp.transpose(used_list)                   # (B, S0)
 
-    valid = hit_ok & seed_used[:, :, None]
-
-    # --- device compaction: pack valid MEMs to the front ------------------
-    # (the tunnel/PCIe transfer shrinks from S0*H to M slots per read)
-    flat = lambda a: a.reshape(B, S0 * H_SLOTS)
-    vflat = flat(valid)
-    order = jnp.argsort(~vflat, axis=1, stable=True)[:, :M]
-    g = lambda a: jnp.take_along_axis(flat(a), order, axis=1)
-    v_out = jnp.take_along_axis(vflat, order, axis=1)
-    n_valid = vflat.sum(axis=1)
+    valid = hit_ok & jnp.take_along_axis(seed_used, hit_seed, axis=1)
     return SeedBatch(
-        uid=jnp.where(v_out, g(uid), 0),
-        read_pos=jnp.where(v_out, g(read_pos), 0),
-        uni_pos_off=jnp.where(v_out, g(uni_pos_off), 0),
-        length=jnp.where(v_out, g(length), 0),
-        pos_n=jnp.where(v_out, g(pos_n), 0),
-        valid=v_out,
-        n_overflow=jnp.maximum(n_valid - M, 0).astype(jnp.int32),
+        uid=jnp.where(valid, uid, 0),
+        read_pos=jnp.where(valid, read_pos, 0),
+        uni_pos_off=jnp.where(valid, uni_pos_off, 0),
+        length=jnp.where(valid, length, 0),
+        pos_n=jnp.where(valid, pos_n, 0),
+        valid=valid,
+        n_overflow=overflow0,
     )
 
 
