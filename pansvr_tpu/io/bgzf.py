@@ -39,25 +39,37 @@ def compress_block(data: bytes, level: int = 6) -> bytes:
 
 
 class BGZFWriter:
-    def __init__(self, path_or_fh, level: int = 6):
+    """Buffers whole batches and compresses them with the native
+    multithreaded codec when built (native/bgzf_codec.cpp), falling back
+    to single-threaded zlib."""
+
+    def __init__(self, path_or_fh, level: int = 6, batch_bytes: int = 8 << 20):
         self._own = isinstance(path_or_fh, str)
         self._fh = open(path_or_fh, "wb") if self._own else path_or_fh
         self._buf = bytearray()
         self.level = level
+        self.batch_bytes = batch_bytes
 
     def write(self, data: bytes) -> None:
         self._buf += data
-        while len(self._buf) >= 65000:
-            self._flush_block(65000)
+        if len(self._buf) >= self.batch_bytes:
+            self._flush(len(self._buf))
 
-    def _flush_block(self, n: int) -> None:
+    def _flush(self, n: int) -> None:
         chunk = bytes(self._buf[:n])
         del self._buf[:n]
-        self._fh.write(compress_block(chunk, self.level))
+        from . import native_bgzf
+
+        out = native_bgzf.compress(chunk, self.level)
+        if out is not None:
+            self._fh.write(out)
+            return
+        for i in range(0, len(chunk), 65000):
+            self._fh.write(compress_block(chunk[i : i + 65000], self.level))
 
     def close(self) -> None:
-        while self._buf:
-            self._flush_block(min(len(self._buf), 65000))
+        if self._buf:
+            self._flush(len(self._buf))
         self._fh.write(BGZF_EOF)
         if self._own:
             self._fh.close()

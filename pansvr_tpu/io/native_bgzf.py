@@ -1,0 +1,70 @@
+"""ctypes binding for the native multithreaded BGZF codec
+(native/bgzf_codec.cpp). Falls back silently when the library is not
+built; io.bgzf uses it for whole-buffer compression when available."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "build", "libpansvr_bgzf.so",
+)
+
+_lib = None
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        if not os.path.exists(_LIB_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.bgzf_compress_blocks.restype = ctypes.c_int
+        lib.bgzf_decompress_blocks.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+def compress(data: bytes, level: int = 6, n_threads: int = 8,
+             block_size: int = 65000) -> bytes | None:
+    """Compress a byte buffer into concatenated BGZF blocks in parallel.
+    Returns None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    if n == 0:
+        return b""
+    n_blocks = (n + block_size - 1) // block_size
+    src = np.frombuffer(data, dtype=np.uint8)
+    offsets = (np.arange(n_blocks, dtype=np.int64) * block_size)
+    lens = np.full(n_blocks, block_size, dtype=np.int32)
+    lens[-1] = n - (n_blocks - 1) * block_size
+    dst = np.empty(n_blocks * 65536, dtype=np.uint8)
+    dst_lens = np.empty(n_blocks, dtype=np.int32)
+    rc = lib.bgzf_compress_blocks(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(n_blocks), ctypes.c_int(level), ctypes.c_int(n_threads),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        dst_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc < 0:
+        return None
+    parts = [
+        dst[i * 65536 : i * 65536 + dst_lens[i]].tobytes()
+        for i in range(n_blocks)
+    ]
+    return b"".join(parts)

@@ -1,0 +1,8 @@
+#!/bin/bash
+# Build the native runtime components into native/build/.
+set -e
+cd "$(dirname "$0")/.."
+mkdir -p native/build
+g++ -O3 -fPIC -shared -o native/build/libpansvr_bgzf.so \
+    native/bgzf_codec.cpp -lz -lpthread
+echo "built native/build/libpansvr_bgzf.so"
