@@ -81,6 +81,31 @@ def _device_front(didx, words, lens, mask, S0, S):
     return es, stats3
 
 
+@functools.partial(jax.jit, static_argnames=("S0", "S", "K"))
+def _device_front_pack(didx, words, lens, mask, S0, S, K):
+    """Per-batch device front in ONE dispatch: seeding + merge/expand,
+    with the first K seed columns packed into a single transfer (seeds
+    are compacted to the front of the S axis). Chaining happens on host
+    (ops.chain.chain_batch_np): at bucketed K the relaxation is cheaper
+    there than another device round trip. Reads whose seed count exceeds
+    K are flagged in stats row 3 and fall back to the host aligner."""
+    sb = seed_reads(didx, words, lens, mask, S0=S0)
+    es = merge_expand_device(sb, didx, S=S)
+    seed_count = es.valid.sum(axis=1).astype(jnp.int32)
+    stats = jnp.stack([
+        sb.n_overflow,
+        es.n_dropped.astype(jnp.int32),
+        seed_count,
+        (seed_count > K).astype(jnp.int32),
+    ])
+    packed = jnp.stack([
+        es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
+        es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
+        es.valid[:, :K].astype(jnp.int32),
+    ])
+    return stats, packed
+
+
 @jax.jit
 def _device_chain_pack(rb, re_, fb, fe, cov, sid, valid, is_str):
     cr = chain_batch(rb, re_, fb, fe, cov, sid, valid, is_str)
@@ -135,6 +160,7 @@ class _CollectDP(KswHandler):
 class EngineConfig:
     max_read_len: int = 160      # compiled read-length class
     max_seeds: int = 160         # S: expanded seeds per read/direction
+    chain_bucket: int = 32       # K: fixed chain width (over-K reads -> host)
     dp_q: int = 176              # DP size class (query)
     dp_t: int = 256              # DP size class (target)
 
@@ -220,6 +246,10 @@ class AlignEngine:
         words = pack_reads(codes2)
         lens2 = np.concatenate([lens, lens])
         mask2 = np.concatenate([seed_mask_f, seed_mask_r], axis=0)
+        # device front (seed+merge+stats) in one dispatch, then device
+        # chaining bucketed to the real max seed count (measured fastest:
+        # host-NumPy chaining and fixed-K fused chaining both lose to this
+        # on the remote link — see STATUS.md perf notes)
         es, stats3_dev = _device_front(
             self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds
         )
@@ -232,7 +262,6 @@ class AlignEngine:
                 states[i] = self.host.align_read(seqs[i], oris[i])
                 active.remove(i)
 
-        # ---- device chaining, bucketed to the real max seed count ------
         kmax = int(seed_count.max()) if len(seed_count) else 0
         K = min(cfg.max_seeds, max(8, 1 << max(kmax - 1, 0).bit_length()))
         is_str2 = np.concatenate([is_str, is_str])

@@ -179,3 +179,109 @@ def chain_batch(read_begin, read_end, ref_begin, ref_end, cov, seed_id,
         read_begin=rb, read_end=re_, ref_begin=fb, ref_end=fe, cov=cv,
         valid=val,
     )
+
+
+# -------------------------------------------------------------------------
+# host (NumPy) variant: for small bucketed S the batched relaxation is
+# faster on host than the device round trip; semantics identical to
+# chain_batch (validated against ops/chain_ref.py through the same tests)
+# -------------------------------------------------------------------------
+
+def chain_batch_np(read_begin, read_end, ref_begin, ref_end, cov, seed_id,
+                   valid, is_str):
+    import numpy as np
+
+    B, S = read_begin.shape
+    rb0, re0, fb0, fe0 = read_begin, read_end, ref_begin, ref_end
+    # stable lexsort by (ref_end, ref_begin), invalid last
+    key_fe = np.where(valid, ref_end, np.int64(1) << 40).astype(np.int64)
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(S), (B, S)),
+         np.where(valid, ref_begin, 0).astype(np.int64), key_fe)
+    ).astype(np.int32)
+    g = lambda a: np.take_along_axis(a, order, axis=1)
+    rb, re_, fb, fe = g(rb0), g(re0), g(fb0), g(fe0)
+    cv, sid, val = g(cov), g(seed_id), g(valid)
+    n_valid = val.sum(axis=1).astype(np.int32)
+
+    Weff = min(WINDOW, S)
+    offs = np.arange(1, Weff + 1, dtype=np.int32)[None, None, :]
+    is_str = np.asarray(is_str)
+    max_ref = np.where(is_str, MAX_REF_DIS_STR, MAX_REF_DIS)[:, None, None]
+    max_read = np.where(is_str, MAX_READ_DIS_STR, MAX_READ_DIS)[:, None, None]
+    max_step = np.where(is_str, MAX_SEARCH_STEP_STR, MAX_SEARCH_STEP)[:, None, None]
+    max_gap = np.where(is_str, MAX_ABS_GAP_STR, MAX_ABS_GAP)[:, None, None]
+
+    cols = np.arange(S, dtype=np.int32)[:, None] + offs[0]
+    in_range = (cols < S)[None]
+    colsc = np.clip(cols, 0, S - 1)
+    succ = lambda a: a[:, colsc]
+
+    fb_j, rb_j, fe_j = succ(fb), succ(rb), succ(fe)
+    cv_j, sid_j = succ(cv), succ(sid)
+    val_j = succ(val)
+
+    dis_ref = fb_j - fe[:, :, None]
+    dis_read = rb_j - re_[:, :, None]
+    skip = (sid_j == sid[:, :, None]) | (fe_j == fe[:, :, None])
+    brk_flag = (~skip) & (dis_ref > max_ref) & in_range & val_j
+    broke = np.cumsum(brk_flag, axis=2) > 0
+
+    gap = np.abs(dis_read - dis_ref)
+    has_w = (
+        (dis_read == dis_ref)
+        | ((dis_read > 0) & (dis_ref > 0))
+        | ((dis_read >= -5) & (dis_read <= 0) & (dis_ref >= -5))
+    )
+    cond = (
+        val[:, :, None] & val_j & in_range & ~skip & ~broke
+        & (offs <= max_step - 1)
+        & (dis_read <= max_read)
+        & (gap <= max_gap)
+        & has_w
+    )
+    penalty = np.where(gap == 0, 0, (gap >> 3) + 3)
+    weight = np.where(
+        dis_read == dis_ref, cv_j - np.maximum(1 - dis_read, 0),
+        np.where((dis_read > 0) & (dis_ref > 0), cv_j,
+                 cv_j + np.minimum(dis_read, dis_ref)),
+    )
+    NEGI = np.int32(-0x40000000)
+    delta = np.where(cond, weight - penalty, NEGI)
+
+    rows = np.arange(S, dtype=np.int32)[:, None] - offs[0]
+    rows_ok = rows >= 0
+    rowsc = np.clip(rows, 0, S - 1)
+    rowsc_b = np.broadcast_to(rowsc[None], (B, S, Weff))
+    inc = np.take_along_axis(delta, rowsc_b, axis=1)
+    inc = np.where(rows_ok[None], inc, NEGI)
+    inc_cond = np.take_along_axis(cond, rowsc_b, axis=1) & rows_ok[None]
+
+    dist = np.zeros((B, S), np.int32)
+    pre = np.full((B, S), -1, np.int32)
+    tie = (WINDOW - offs.ravel()).astype(np.int64)
+    rowsel = np.arange(B)
+    for j in range(S):
+        n_win = min(j, Weff)
+        if n_win == 0:
+            dist[:, 0] = cv[:, 0] * val[:, 0]
+            continue
+        win = dist[:, j - n_win : j][:, ::-1]        # index o-1 -> dist[j-o]
+        inc_j = inc[:, j, :n_win]
+        cond_j = inc_cond[:, j, :n_win]
+        value = win + inc_j
+        lex = np.where(cond_j,
+                       value.astype(np.int64) * 256 + tie[None, :n_win],
+                       np.int64(-1) << 60)
+        bo = np.argmax(lex, axis=1)
+        best_value = value[rowsel, bo]
+        any_edge = cond_j.any(axis=1)
+        dist[:, j] = np.where(any_edge, np.maximum(best_value, 0),
+                              cv[:, j] * val[:, j])
+        pre[:, j] = np.where(any_edge & (best_value >= 0), j - (bo + 1), -1)
+
+    return ChainResult(
+        order=order, dist=dist, pre=pre, n_valid=n_valid,
+        read_begin=rb, read_end=re_, ref_begin=fb, ref_end=fe, cov=cv,
+        valid=val,
+    )
