@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_FILE = "/tmp/pansvr_cpu_baseline.json"
 
 
-def build_world(seed=123, n_sv=64, n_pairs=4000):
+def build_world(seed=123, n_sv=64, n_pairs=10_000):
     from pansvr_tpu.anchor.builder import AnchorConfig, build_anchor_contigs
     from pansvr_tpu.index.builder import build_index
     from pansvr_tpu.utils.simulate import DictGenome, make_dataset
@@ -48,7 +48,7 @@ def main():
         seqs.append(r.seq2)
     oris = [OriResult(unmapped=True)] * len(seqs)
 
-    batch = 2048
+    batch = 4096
     n_batches = len(seqs) // batch
     # warm-up/compile on one batch (same shapes as the measured runs)
     eng.align_batch(seqs[:batch], oris[:batch])
