@@ -152,6 +152,23 @@ def _cmd_assembly_test(args):
         print(c.seq)
 
 
+def _cmd_sv_calling(args):
+    from ..assembly.denovo import DeNovoCaller, DeNovoOptions
+    from ..io.fasta import Faidx
+
+    caller = DeNovoCaller(
+        Faidx(args.ref),
+        DeNovoOptions(min_support=args.min_support),
+    )
+    records = caller.call_bam(args.bam)
+    out = open(args.output, "w") if args.output != "-" else sys.stdout
+    out.write("##fileformat=VCFv4.2\n##source=pansvr_tpu-denovo\n")
+    out.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSample\n")
+    for rec in records:
+        out.write(rec.to_line() + "\n")
+    print(f"{len(records)} de novo SV calls", file=sys.stderr)
+
+
 def _cmd_tools(args):
     from . import tools
 
@@ -215,6 +232,13 @@ def main(argv=None):
 
     s = sub.add_parser("assembly_test", help="assemble reads from stdin")
     s.set_defaults(fn=_cmd_assembly_test)
+
+    s = sub.add_parser("sv_calling", help="de novo SV caller (NovaSV analog)")
+    s.add_argument("ref")
+    s.add_argument("bam")
+    s.add_argument("-o", "--output", default="-")
+    s.add_argument("-m", "--min-support", type=int, default=3)
+    s.set_defaults(fn=_cmd_sv_calling)
 
     s = sub.add_parser("tools", help="analysis toolbox")
     s.add_argument("tool")
