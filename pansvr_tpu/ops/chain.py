@@ -142,26 +142,23 @@ def chain_batch(read_begin, read_end, ref_begin, ref_end, cov, seed_id,
     inc = jnp.where(rows_ok, inc, NEG)
     inc_cond = jnp.take_along_axis(cond, rowsc, axis=1) & rows_ok
 
-    # sequential relaxation in sorted order, statically unrolled (S is
-    # bucketed small by callers; dynamic-slice scans lower poorly on TPU)
-    zero_col = jnp.zeros((B,), jnp.int32)
+    # sequential relaxation in sorted order, statically unrolled with a
+    # rolling (B, Weff) window of recent dist columns: win[:, o-1] holds
+    # dist[j-o] (S is bucketed small by callers; dynamic-slice scans and
+    # per-step column stacking both lower poorly on TPU)
+    tie = (WINDOW - offs[0])                                  # (Weff,)
+    win = jnp.zeros((B, Weff), jnp.int32)
     dist_cols: list = []
     pre_cols: list = []
-    Weff = min(WINDOW, S)
     for j in range(S):
-        win_cols = [
-            dist_cols[j - o] if j - o >= 0 else zero_col
-            for o in range(1, Weff + 1)
-        ]  # index o-1 -> dist[j-o]
-        win = jnp.stack(win_cols, axis=1) if win_cols else zero_col[:, None]
-        inc_j = inc[:, j, :Weff]
-        cond_j = inc_cond[:, j, :Weff]
+        inc_j = inc[:, j, :]
+        cond_j = inc_cond[:, j, :]
         value = win + inc_j
         # later predecessor (smaller o) wins ties; int32 lex key
         # (|dist| bounded by total coverage << 2^22, so *256 is safe)
         vclamp = jnp.clip(value, -(1 << 21), 1 << 21)
-        lex = vclamp * (1 << 8) + (WINDOW - offs[0, :Weff])
-        lex = jnp.where(cond_j, lex, jnp.int32(-0x7F000000))
+        lex = jnp.where(cond_j, vclamp * (1 << 8) + tie,
+                        jnp.int32(-0x7F000000))
         bo = jnp.argmax(lex, axis=-1)
         best_value = jnp.take_along_axis(value, bo[:, None], axis=-1)[:, 0]
         any_edge = jnp.any(cond_j, axis=-1)
@@ -171,6 +168,7 @@ def chain_batch(read_begin, read_end, ref_begin, ref_end, cov, seed_id,
                           j - (bo.astype(jnp.int32) + 1), -1)
         dist_cols.append(dist_j)
         pre_cols.append(pre_j)
+        win = jnp.concatenate([dist_j[:, None], win[:, : Weff - 1]], axis=1)
 
     dist = jnp.stack(dist_cols, axis=1)
     pre = jnp.stack(pre_cols, axis=1)

@@ -163,16 +163,24 @@ def seed_reads(
 
     # --- compact hits BEFORE extension ------------------------------------
     # most seeds have 1-2 table entries; doing the gather-heavy extension
-    # on (B, S0, H) wastes ~10-30x lanes. Pack valid hits to (B, M) first.
-    h = jnp.arange(H_SLOTS, dtype=jnp.int32)                # (H,)
-    hit_ok3 = found[:, :, None] & (h[None, None, :] < count[:, :, None])
-    flat_ok = hit_ok3.reshape(B, S0 * H_SLOTS)
-    order0 = jnp.argsort(~flat_ok, axis=1, stable=True)[:, :M]
-    hit_ok = jnp.take_along_axis(flat_ok, order0, axis=1)    # (B, M)
-    hit_seed = order0 // H_SLOTS                             # seed index s
-    hit_h = order0 % H_SLOTS
-    n_hits = flat_ok.sum(axis=1)
+    # on (B, S0, H) wastes ~10-30x lanes. Valid hits per seed are the
+    # FIRST count[s] slots, so per-read packing is pure offset arithmetic
+    # (a prefix sum + searchsorted — no (B, S0*H) argsort, which costs
+    # ~1 s/batch on TPU bitonic sorts).
+    eff = jnp.where(found, count, 0)                         # (B, S0)
+    cum = jnp.cumsum(eff, axis=1)                            # inclusive
+    start = cum - eff                                        # per-seed offset
+    n_hits = cum[:, -1]
     overflow0 = jnp.maximum(n_hits - M, 0).astype(jnp.int32)
+
+    m_slot = jnp.arange(M, dtype=jnp.int32)[None, :]         # (1, M)
+    # seed owning output slot m: first s with cum[s] > m
+    hit_seed = jax.vmap(
+        lambda c, s: jnp.searchsorted(c, s, side="right")
+    )(cum, m_slot + jnp.zeros((B, 1), jnp.int32)).astype(jnp.int32)
+    hit_seed = jnp.clip(hit_seed, 0, S0 - 1)
+    hit_h = m_slot - jnp.take_along_axis(start, hit_seed, axis=1)
+    hit_ok = m_slot < jnp.minimum(n_hits, M)[:, None]
 
     gb = lambda a: jnp.take_along_axis(a, hit_seed, axis=1)  # (B,S0)->(B,M)
     entry = gb(left) + hit_h
