@@ -55,8 +55,11 @@ def main():
 
     n_done = 0
     t0 = time.time()
-    for b in range(1, n_batches):
-        eng.align_batch(seqs[b * batch : (b + 1) * batch], oris[:batch])
+    stream = (
+        (seqs[b * batch : (b + 1) * batch], oris[:batch])
+        for b in range(1, n_batches)
+    )
+    for _states in eng.align_stream(stream):
         n_done += batch
     dt = time.time() - t0
     reads_per_s = n_done / dt

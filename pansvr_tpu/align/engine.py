@@ -188,6 +188,24 @@ class AlignEngine:
 
     # ------------------------------------------------------------------
     def align_batch(self, seqs: list[str], oris: list[OriResult]) -> list[SingleEndState]:
+        return self._finish_batch(self._submit_batch(seqs, oris))
+
+    def align_stream(self, batches):
+        """Pipelined batches: the next batch's device front is dispatched
+        before the current batch's host phase runs, hiding device time
+        behind host work. `batches` yields (seqs, oris); yields state
+        lists in order."""
+        pending = None
+        for seqs, oris in batches:
+            nxt = self._submit_batch(seqs, oris)
+            if pending is not None:
+                yield self._finish_batch(pending)
+            pending = nxt
+        if pending is not None:
+            yield self._finish_batch(pending)
+
+    def _submit_batch(self, seqs: list[str], oris: list[OriResult]):
+        """Host prep + async device-front dispatch (no sync)."""
         cfg = self.cfg
         n = len(seqs)
         # pad the batch row count to a power-of-two bucket so the jitted
@@ -239,7 +257,8 @@ class AlignEngine:
             active.append(i)
 
         if not active:
-            return states
+            return dict(states=states, active=active, n=n, n_pad=n_pad,
+                        seqs=seqs, oris=oris, front=None)
 
         # ---- device seeding: stack fwd rows then rev rows -------------
         codes2 = np.concatenate([codes_f, codes_r], axis=0)
@@ -253,6 +272,22 @@ class AlignEngine:
         es, stats3_dev = _device_front(
             self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds
         )
+        return dict(states=states, active=active, n=n, n_pad=n_pad,
+                    seqs=seqs, oris=oris, front=(es, stats3_dev),
+                    is_str=is_str)
+
+    def _finish_batch(self, pend) -> list[SingleEndState]:
+        cfg = self.cfg
+        states = pend["states"]
+        active = pend["active"]
+        n = pend["n"]
+        n_pad = pend["n_pad"]
+        seqs = pend["seqs"]
+        oris = pend["oris"]
+        if pend["front"] is None:
+            return states
+        es, stats3_dev = pend["front"]
+        is_str = pend["is_str"]
         stats3 = np.asarray(stats3_dev)
         overflow, dropped, seed_count = stats3
         fallback = set(int(r) % n_pad for r in np.nonzero(overflow > 0)[0])

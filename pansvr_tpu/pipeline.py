@@ -141,14 +141,15 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
     writer = BamWriter(realigned_bam, header)
     B = cfg.batch_size
     n_emitted = 0
-    for i in range(0, len(pairs) - 1, 2 * (B // 2)):
-        chunk = pairs[i : i + 2 * (B // 2)]
-        seqs = [p[1] for p in chunk]
-        oris = []
-        for p in chunk:
-            ori, _ = parse_signal_comment(p[3])
-            oris.append(ori)
-        states = eng.align_batch(seqs, oris)
+    step = 2 * (B // 2)
+    chunks = [pairs[i : i + step] for i in range(0, len(pairs) - 1, step)]
+
+    def batch_stream():
+        for chunk in chunks:
+            yield ([p[1] for p in chunk],
+                   [parse_signal_comment(p[3])[0] for p in chunk])
+
+    for chunk, states in zip(chunks, eng.align_stream(batch_stream())):
         for k in range(0, len(chunk) - 1, 2):
             st1, st2 = states[k], states[k + 1]
             pr = pe.pair(st1, st2)
