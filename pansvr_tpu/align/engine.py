@@ -69,9 +69,9 @@ from .host_align import (
 # ---- fused device programs (one dispatch each; per-op dispatch latency
 # over a remote-chip link otherwise dominates the batch time) -------------
 
-@functools.partial(jax.jit, static_argnames=("S0", "S"))
-def _device_front(didx, words, lens, mask, S0, S):
-    sb = seed_reads(didx, words, lens, mask, S0=S0)
+@functools.partial(jax.jit, static_argnames=("S0", "S", "M"))
+def _device_front(didx, words, lens, mask, S0, S, M=64):
+    sb = seed_reads(didx, words, lens, mask, S0=S0, M=M)
     es = merge_expand_device(sb, didx, S=S)
     stats3 = jnp.stack([
         sb.n_overflow,
@@ -161,6 +161,7 @@ class EngineConfig:
     max_read_len: int = 160      # compiled read-length class
     max_seeds: int = 160         # S: expanded seeds per read/direction
     chain_bucket: int = 32       # K: fixed chain width (over-K reads -> host)
+    mem_slots: int = 48          # M: compacted MEM lanes (overflow -> host)
     dp_q: int = 176              # DP size class (query)
     dp_t: int = 256              # DP size class (target)
 
@@ -270,7 +271,8 @@ class AlignEngine:
         # host-NumPy chaining and fixed-K fused chaining both lose to this
         # on the remote link — see STATUS.md perf notes)
         es, stats3_dev = _device_front(
-            self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds
+            self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds,
+            M=cfg.mem_slots,
         )
         return dict(states=states, active=active, n=n, n_pad=n_pad,
                     seqs=seqs, oris=oris, front=(es, stats3_dev),

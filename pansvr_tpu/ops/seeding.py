@@ -113,7 +113,7 @@ def seed_reads(
     read_lens: jnp.ndarray,    # (B,) int32
     seed_mask: jnp.ndarray,    # (B, S0) bool: STR whitelist (True = usable)
     S0: int,
-    n_ext_steps: int = 11,
+    n_ext_steps: int = 10,
     M: int = 128,
 ) -> SeedBatch:
     B = read_words.shape[0]
