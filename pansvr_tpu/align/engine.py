@@ -49,6 +49,7 @@ from ..utils import dna
 from .host_align import (
     FORWARD,
     LEN_KMER,
+    MIN_STR_DETECT_LEN,
     MAX_CHAIN_SCORE_DIFF,
     MAX_OUTPUT_NUMBER,
     MIN_ALN_SCORE,
@@ -193,17 +194,29 @@ class AlignEngine:
 
     def align_stream(self, batches):
         """Pipelined batches: the next batch's device front is dispatched
-        before the current batch's host phase runs, hiding device time
-        behind host work. `batches` yields (seqs, oris); yields state
-        lists in order."""
-        pending = None
-        for seqs, oris in batches:
-            nxt = self._submit_batch(seqs, oris)
-            if pending is not None:
-                yield self._finish_batch(pending)
-            pending = nxt
-        if pending is not None:
-            yield self._finish_batch(pending)
+        right after this batch's DP programs (keeping the device FIFO busy
+        through this batch's host replay without stalling this batch's own
+        programs). `batches` yields (seqs, oris); yields state lists in
+        order."""
+        it = iter(batches)
+        try:
+            pend = self._submit_batch(*next(it))
+        except StopIteration:
+            return
+        nxt_holder = {}
+        while True:
+            try:
+                seqs, oris = next(it)
+            except StopIteration:
+                yield self._finish_batch(pend)
+                return
+
+            def dispatch_next(seqs=seqs, oris=oris):
+                nxt_holder["p"] = self._submit_batch(seqs, oris)
+
+            yield self._finish_batch(pend, on_dp_dispatched=dispatch_next)
+            pend = nxt_holder.get("p") or self._submit_batch(seqs, oris)
+            nxt_holder.clear()
 
     def _submit_batch(self, seqs: list[str], oris: list[OriResult]):
         """Host prep + async device-front dispatch (no sync)."""
@@ -224,6 +237,7 @@ class AlignEngine:
         seed_mask_r = np.ones((n_pad, S0), bool)
         is_str = np.zeros(n_pad, bool)
 
+        maybe_str: list[int] = []
         for i, (seq, ori) in enumerate(zip(seqs, oris)):
             rl = len(seq)
             cf = dna.fill_n(dna.encode(seq), seed=0)
@@ -243,19 +257,40 @@ class AlignEngine:
             codes_f[i, :rl] = cf
             codes_r[i, :rl] = cr
             lens[i] = rl
-            n_kmer = rl - LEN_KMER + 1
-            if n_kmer > 0:
-                istr, sl = self.host._detect_str(cf)
+            if rl - LEN_KMER + 1 > 0:
+                maybe_str.append(i)
+            active.append(i)
+
+        # STR detection: cheap vectorized pre-screen (duplicate-20-mer
+        # count per read via one batched row sort) narrows the reads that
+        # need the full per-read seed-list construction
+        if maybe_str:
+            rows = np.array(maybe_str, dtype=np.int64)
+            full = np.array([i for i in rows if lens[i] == L], dtype=np.int64)
+            candidates = set(int(i) for i in rows) - set(int(i) for i in full)
+            if len(full):
+                n_kmer = L - LEN_KMER + 1
+                sub = codes_f[full].astype(np.uint64)
+                vals = np.zeros((len(full), n_kmer), dtype=np.uint64)
+                for k in range(LEN_KMER):
+                    vals |= sub[:, k : k + n_kmer] << np.uint64(2 * (LEN_KMER - 1 - k))
+                sv = np.sort(vals, axis=1)
+                n_dup = (sv[:, 1:] == sv[:, :-1]).sum(axis=1)
+                # reference rule: distinct < n_kmer - 15  <=>  dup > 15
+                # (dup >= distinct-loss); conservative pre-screen: any row
+                # with <= 15 duplicate adjacencies cannot be STR
+                for k, i in enumerate(full):
+                    if n_dup[k] > MIN_STR_DETECT_LEN - 1:
+                        candidates.add(int(i))
+            for i in candidates:
+                rl = int(lens[i])
+                n_kmer = rl - LEN_KMER + 1
+                istr, sl = self.host._detect_str(codes_f[i, :rl])
                 is_str[i] = istr
                 if sl is not None:
-                    usable = np.ones(n_kmer, bool)
-                    usable[:] = sl > 0
                     pos = np.arange(0, n_kmer, SEED_STEP)
-                    seed_mask_f[i, : len(pos)] = usable[pos]
-                    slr = sl[::-1]
-                    usable_r = slr > 0
-                    seed_mask_r[i, : len(pos)] = usable_r[pos]
-            active.append(i)
+                    seed_mask_f[i, : len(pos)] = (sl > 0)[pos]
+                    seed_mask_r[i, : len(pos)] = (sl[::-1] > 0)[pos]
 
         if not active:
             return dict(states=states, active=active, n=n, n_pad=n_pad,
@@ -278,7 +313,7 @@ class AlignEngine:
                     seqs=seqs, oris=oris, front=(es, stats3_dev),
                     is_str=is_str)
 
-    def _finish_batch(self, pend) -> list[SingleEndState]:
+    def _finish_batch(self, pend, on_dp_dispatched=None) -> list[SingleEndState]:
         cfg = self.cfg
         states = pend["states"]
         active = pend["active"]
@@ -287,6 +322,8 @@ class AlignEngine:
         seqs = pend["seqs"]
         oris = pend["oris"]
         if pend["front"] is None:
+            if on_dp_dispatched is not None:
+                on_dp_dispatched()
             return states
         es, stats3_dev = pend["front"]
         is_str = pend["is_str"]
@@ -363,7 +400,13 @@ class AlignEngine:
                 self._walk(h, g, mi, codes)  # collect DP requests
 
         # ---- batched DP ------------------------------------------------
-        responses_per_read = self._run_dp_batch(handlers)
+        dp_handles = self._dispatch_dp_batch(handlers)
+        if on_dp_dispatched is not None:
+            # pipelining hook: the next batch's device front is queued HERE,
+            # after this batch's DP — so the device FIFO never stalls this
+            # batch's programs behind the next batch's
+            on_dp_dispatched()
+        responses_per_read = self._sync_dp_batch(dp_handles)
 
         # ---- replay pass: final scores + cigars ------------------------
         per_read_pending: dict[int, list] = {}
@@ -413,9 +456,10 @@ class AlignEngine:
         finally:
             al.ksw = saved
 
-    def _run_dp_batch(self, handlers: dict[int, "_CollectDP"]):
-        """Execute all collected DP requests in one device batch; oversize
-        segments fall back to the scalar reference kernel."""
+    def _dispatch_dp_batch(self, handlers: dict[int, "_CollectDP"]):
+        """Dispatch all collected DP requests (fixed-size chunks) without
+        synchronizing; returns handles for _sync_dp_batch. Oversize
+        segments fall back to the scalar reference kernel at sync time."""
         cfg = self.cfg
         reqs = []
         owners = []
@@ -426,11 +470,13 @@ class AlignEngine:
         responses: dict[int, list] = {
             i: [None] * len(h.requests) for i, h in handlers.items()
         }
+        handles = dict(responses=responses, reqs=reqs, owners=owners,
+                       chunks=[], big=[])
         if not reqs:
-            return responses
+            return handles
         small = [k for k, (q, t) in enumerate(reqs)
                  if len(q) <= cfg.dp_q and len(t) <= cfg.dp_t]
-        big = [k for k in range(len(reqs)) if k not in set(small)]
+        handles["big"] = [k for k in range(len(reqs)) if k not in set(small)]
 
         # fixed-size DP chunks: ONE compiled shape for the DP+traceback
         # programs regardless of how many segments a batch produced
@@ -452,6 +498,15 @@ class AlignEngine:
                 qc, ql, tc, tl, params=self.dp_params,
                 K=cfg.dp_q + cfg.dp_t,
             )
+            handles["chunks"].append((chunk, ops_dev, packed_dev))
+        return handles
+
+    def _sync_dp_batch(self, handles):
+        """Pull the dispatched DP results and build Ez responses."""
+        responses = handles["responses"]
+        reqs = handles["reqs"]
+        owners = handles["owners"]
+        for chunk, ops_dev, packed_dev in handles["chunks"]:
             packed = np.asarray(packed_dev)
             score, mqe, mx, mxq, mxt, zdr, i_f, j_f = packed
             ops = np.asarray(ops_dev)
@@ -464,7 +519,7 @@ class AlignEngine:
                 )
                 i, j = owners[k]
                 responses[i][j] = ez
-        for k in big:
+        for k in handles["big"]:
             q, t = reqs[k]
             i, j = owners[k]
             responses[i][j] = self._scalar_dp(q, t)
