@@ -16,6 +16,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent jit cache: repeated bench runs skip recompilation
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pansvr_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 BASELINE_FILE = "/tmp/pansvr_cpu_baseline.json"
 
 
