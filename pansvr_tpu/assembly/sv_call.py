@@ -715,9 +715,16 @@ def run_sv_calling(bam_path: str, sf: SVRefSequence,
     o = opts or SvCallOptions()
     caller = SvCaller(sf, o)
     by_sv = load_reads_by_sv(bam_path, sf.sv_info, min_score=o.min_score)
+    # chromosome-range sharding (the reference's -S/-E resumability
+    # contract, generateVCFoptions.hpp:80-83): only SVs whose original
+    # chromosome index falls in [st_chr, ed_chr] are handled here
+    chrom_index = {c: i for i, c in enumerate(sf.ori_chrom_names)}
     verdicts = []
     for sv_id in sorted(by_sv):
         if sf.used[sv_id]:
+            continue
+        ci = chrom_index.get(sf.sv_info[sv_id].chrom, 0)
+        if not (o.st_chr <= ci <= o.ed_chr):
             continue
         members = sf.cluster_members(sv_id)
         for m in members:
