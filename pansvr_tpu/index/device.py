@@ -39,7 +39,7 @@ _ARRAY_FIELDS = (
 )
 _STATIC_FIELDS = (
     "k", "search_k", "first_level_bases", "uni_len", "ref_len",
-    "n_kmer", "n_uni",
+    "n_kmer", "n_uni", "max_bucket_bits",
 )
 
 
@@ -62,6 +62,7 @@ class DeviceIndex:
     ref_len: int
     n_kmer: int
     n_uni: int
+    max_bucket_bits: int = 24   # ceil(log2(largest first-level bucket))
 
 
 jax.tree_util.register_pytree_node(
@@ -79,7 +80,11 @@ jax.tree_util.register_pytree_node(
 def to_device(idx: RdBGIndex) -> DeviceIndex:
     packed_ref = np.where(idx.ref_codes >= 4, np.uint8(2), idx.ref_codes)
     packed_uni = np.where(idx.uni_codes >= 4, np.uint8(2), idx.uni_codes)
+    bucket_sizes = np.diff(idx.hash_g)
+    max_bucket = int(bucket_sizes.max()) if len(bucket_sizes) else 1
+    mbb = max(int(np.ceil(np.log2(max(max_bucket, 2)))) + 1, 4)
     return DeviceIndex(
+        max_bucket_bits=mbb,
         k=idx.k,
         search_k=idx.search_k,
         first_level_bases=idx.first_level_bases,

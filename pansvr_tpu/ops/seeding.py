@@ -146,7 +146,9 @@ def seed_reads(
     def bisect(pred):
         lo = lo0
         hi = hi0
-        for _ in range(24):
+        # iteration count covers the largest first-level bucket (static,
+        # recorded at index build)
+        for _ in range(didx.max_bucket_bits):
             mid = (lo + hi) >> 1
             key = (kmer_g_u[jnp.clip(mid, 0, max(didx.n_kmer - 1, 0))]
                    >> entry_shift).astype(jnp.int32)
