@@ -262,24 +262,27 @@ class AlignEngine:
             active.append(i)
 
         # STR detection: cheap vectorized pre-screen (duplicate-20-mer
-        # count per read via one batched row sort) narrows the reads that
-        # need the full per-read seed-list construction
+        # count per length group via one batched row sort) narrows the
+        # reads that need the full per-read seed-list construction
         if maybe_str:
-            rows = np.array(maybe_str, dtype=np.int64)
-            full = np.array([i for i in rows if lens[i] == L], dtype=np.int64)
-            candidates = set(int(i) for i in rows) - set(int(i) for i in full)
-            if len(full):
-                n_kmer = L - LEN_KMER + 1
-                sub = codes_f[full].astype(np.uint64)
-                vals = np.zeros((len(full), n_kmer), dtype=np.uint64)
+            by_len: dict[int, list] = {}
+            for i in maybe_str:
+                by_len.setdefault(int(lens[i]), []).append(i)
+            candidates: set[int] = set()
+            for rl, rows_l in by_len.items():
+                n_kmer = rl - LEN_KMER + 1
+                if n_kmer <= MIN_STR_DETECT_LEN or len(rows_l) < 8:
+                    candidates.update(rows_l)
+                    continue
+                sub = codes_f[np.array(rows_l)][:, :rl].astype(np.uint64)
+                vals = np.zeros((len(rows_l), n_kmer), dtype=np.uint64)
                 for k in range(LEN_KMER):
                     vals |= sub[:, k : k + n_kmer] << np.uint64(2 * (LEN_KMER - 1 - k))
                 sv = np.sort(vals, axis=1)
                 n_dup = (sv[:, 1:] == sv[:, :-1]).sum(axis=1)
-                # reference rule: distinct < n_kmer - 15  <=>  dup > 15
-                # (dup >= distinct-loss); conservative pre-screen: any row
-                # with <= 15 duplicate adjacencies cannot be STR
-                for k, i in enumerate(full):
+                # reference rule: distinct < n_kmer - 15  <=>  dup > 15;
+                # the exact distinct count is n_kmer - adjacent-dup count
+                for k, i in enumerate(rows_l):
                     if n_dup[k] > MIN_STR_DETECT_LEN - 1:
                         candidates.add(int(i))
             for i in candidates:
