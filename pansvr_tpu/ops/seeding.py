@@ -199,17 +199,22 @@ def seed_reads(
     max_left = jnp.minimum(off_l, o3)
     max_right = jnp.minimum(off_r, read_lens[:, None] - o3 - sk)
 
+    # Read-side windows depend only on (read, seed offset): gather them
+    # once per (B, S0) per step and map to hit lanes with a cheap in-row
+    # gather, instead of a 2-word window gather per (B, M) lane
+    def read_windows(step_pos):
+        wr_seed = _window32_rows(rw_u, step_pos)           # (B, S0)
+        return jnp.take_along_axis(wr_seed, hit_seed, axis=1)  # (B, M)
+
     # left: compare 16-base blocks ending just before the k-mer
     left_m = jnp.zeros_like(off)
     still = jnp.ones_like(off, dtype=bool)
     for step in range(n_ext_steps):
         base = (step + 1) * 16
-        rp = o3 - base                                    # window [rp, rp+16)
-        up = off - base
         # negative rp/up read garbage in the high window bits, but the
         # max_left clip below caps the counted match before base 0
-        wr = _window32_rows(rw_u, rp)
-        wu = _window32(uni_u, up)
+        wr = read_windows(o - base)
+        wu = _window32(uni_u, off - base)
         x = wr ^ wu
         m = jnp.where(x == 0, 16, _ctz32(x) >> 1)         # matching suffix
         take = jnp.where(still, jnp.minimum(m, max_left - left_m), 0)
@@ -221,10 +226,8 @@ def seed_reads(
     right_m = jnp.zeros_like(off)
     still = jnp.ones_like(off, dtype=bool)
     for step in range(n_ext_steps):
-        rp = o3 + sk + step * 16
-        up = off + sk + step * 16
-        wr = _window32_rows(rw_u, rp)
-        wu = _window32(uni_u, up)
+        wr = read_windows(o + sk + step * 16)
+        wu = _window32(uni_u, off + sk + step * 16)
         x = wr ^ wu
         m = jnp.where(x == 0, 16, _clz32(x) >> 1)         # matching prefix
         take = jnp.where(still, jnp.minimum(m, max_right - right_m), 0)
@@ -446,14 +449,21 @@ def merge_expand_device(sb: SeedBatch, didx: DeviceIndex, S: int,
     )
     B, M = uid.shape
 
-    # ---- sort MEMs by (uid, read_pos), invalid last (two-pass lexsort) --
-    ord1 = jnp.argsort(rp, axis=1, stable=True)
-    take1 = lambda a: jnp.take_along_axis(a, ord1, axis=1)
-    uid1 = take1(uid)
-    val1 = take1(valid)
-    key = jnp.where(val1, uid1, jnp.int32(0x7FFFFFFF))
-    ord2 = jnp.argsort(key, axis=1, stable=True)
-    order = jnp.take_along_axis(ord1, ord2, axis=1)
+    # ---- sort MEMs by (uid, read_pos), invalid last ---------------------
+    if (didx.n_uni + 2) * 4096 < (1 << 31):
+        # fused int32 key (read_pos < 4096 in the compiled read classes)
+        key = jnp.where(valid, uid * 4096 + jnp.minimum(rp, 4095),
+                        jnp.int32(0x7FFFFFF0))
+        order = jnp.argsort(key, axis=1, stable=True)
+    else:
+        # two-pass lexsort for huge unitig counts
+        ord1 = jnp.argsort(rp, axis=1, stable=True)
+        take1 = lambda a: jnp.take_along_axis(a, ord1, axis=1)
+        uid1 = take1(uid)
+        val1 = take1(valid)
+        key = jnp.where(val1, uid1, jnp.int32(0x7FFFFFFF))
+        ord2 = jnp.argsort(key, axis=1, stable=True)
+        order = jnp.take_along_axis(ord1, ord2, axis=1)
     g = lambda a: jnp.take_along_axis(a, order, axis=1)
     uid, rp, uo, ln, pn, valid = g(uid), g(rp), g(uo), g(ln), g(pn), g(valid)
 
