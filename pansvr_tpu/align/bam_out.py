@@ -135,6 +135,144 @@ def emit_pair(aligner, pe: PEPairing, st1: SingleEndState, st2: SingleEndState,
     return out
 
 
+def min_filter_score(normal_read_len: int, match: int = 2) -> int:
+    """Full-match PE score threshold gating the original-alignment
+    side-channel (read_realignment.cpp:143)."""
+    return max(normal_read_len * match * 2 - 80, 50)
+
+
+def _parse_ori_record(comment: str):
+    """FLAG_<flag>_<qual>_CIGAR_<cig>_MATE_<mtid>_<mpos>_<isize>_TAG_<tags>
+    -> (flag, qual, cigar_str, mtid, mpos, isize, tag_list).  Inverse of
+    the block written by signal._pair_comment; the reference re-parses it
+    the same way in output_ori_bam (read_realignment.cpp:656-717)."""
+    k = comment.index("FLAG_")
+    rest = comment[k + 5 :]
+    flag_s, qual_s, rest = rest.split("_", 2)
+    assert rest.startswith("CIGAR_")
+    rest = rest[6:]
+    cig, rest = rest.split("_MATE_", 1)
+    mtid_s, mpos_s, isize_s, rest = rest.split("_", 3)
+    assert rest.startswith("TAG_")
+    tags_blob = rest[4:]
+    # split on '_' only where a new `XX:Y:` tag begins (the reference's
+    # tags[i]=='_' && tags[i+3]==':' && tags[i+5]==':' rewrite)
+    tags = []
+    start = 0
+    for i in range(len(tags_blob)):
+        if (tags_blob[i] == "_" and i + 5 < len(tags_blob)
+                and tags_blob[i + 3] == ":" and tags_blob[i + 5] == ":"):
+            tags.append(tags_blob[start:i])
+            start = i + 1
+    last = tags_blob[start:].rstrip("_")
+    if last:
+        tags.append(last)
+    return (int(flag_s), int(qual_s), cig, int(mtid_s), int(mpos_s),
+            int(isize_s), [t for t in tags if t])
+
+
+def _cigar_from_str(cig: str):
+    out = []
+    n = 0
+    for ch in cig:
+        if ch.isdigit():
+            n = n * 10 + ord(ch) - 48
+        else:
+            out.append((ch, n))
+            n = 0
+    return out
+
+
+def _ori_clip_or_unmapped(cigar, min_clip_len: int) -> bool:
+    """bam_has_clip_or_unmapped_ori (read_realignment.cpp:721-734):
+    end soft/hard clips of the reconstructed original record."""
+    if not cigar:
+        return True
+    total = 0
+    if cigar[0][0] in "SH":
+        total += cigar[0][1]
+    if len(cigar) > 1 and cigar[-1][0] in "SH":
+        total += cigar[-1][1]
+    return total >= min_clip_len
+
+
+def _new_clip_or_unmapped(r: AlnResult, min_clip_len: int) -> bool:
+    """bam_has_clip_or_unmapped_new (read_realignment.cpp:736-744):
+    total soft clip of the new alignment."""
+    if r is None or not r.cigar:
+        return True
+    return sum(l for op, l in r.cigar if op == "S") >= min_clip_len
+
+
+def make_ori_record(st: SingleEndState, name: str, seq: str, qual: str,
+                    comment: str, header: BamHeader, max_score: int,
+                    ori_chrom_names) -> BamRecord | None:
+    """Reconstruct the ORIGINAL alignment record from the signal comment
+    (single_end_handler::output_ori_bam, read_realignment.cpp:656-718):
+    pos/chrom from the parsed ori mapping, flag/qual/CIGAR/mate/tags from
+    the comment's FLAG_/CIGAR_/MATE_/TAG_ block, plus MS:i:<pair max>."""
+    try:
+        flag, qual_score, cig, mtid, mpos, isize, tags = _parse_ori_record(comment)
+    except (ValueError, AssertionError):
+        return None
+    o = st.ori
+    chrom = (ori_chrom_names[o.chr_id]
+             if 0 <= o.chr_id < len(ori_chrom_names) else "*")
+    # the signal FASTQ stores reads in forward orientation; restore the
+    # record's original strand
+    if flag & FREVERSE:
+        seq = _revcomp(seq)
+        qual = qual[::-1]
+    rec = BamRecord(
+        name=name, flag=flag, tid=header.name2id(chrom), pos=o.ref_bg,
+        mapq=qual_score, cigar=_cigar_from_str(cig), seq=seq, qual=qual,
+        mtid=mtid, mpos=mpos, isize=isize,
+    )
+    for t in tags:
+        tag, typ, val = t.split(":", 2)
+        rec.set_tag(tag, typ, int(val) if typ == "i" else val)
+    rec.set_tag("MS", "i", max_score)
+    return rec
+
+
+def emit_ori_pair(pe: PEPairing, st1: SingleEndState, st2: SingleEndState,
+                  name: str, seq1: str, qual1: str, seq2: str, qual2: str,
+                  comment1: str, comment2: str, header: BamHeader,
+                  filter_score: int, ori_chrom_names) -> list:
+    """The `-p` output_ori side-channel (read_realignment.cpp:775-798):
+    pairs that neither reference explains well (pair score <= the
+    full-match threshold) get their ORIGINAL alignments written for the
+    de novo caller — unless the pair is properly mated with unclipped
+    primaries, in which case it is suppressed."""
+    if pe.max_score > filter_score:
+        return []
+    if st1.ori.chr_id < 0 or st2.ori.chr_id < 0:
+        return []
+    recs = []
+    for st, name_, seq, qual, comment in (
+        (st1, name, seq1, qual1, comment1),
+        (st2, name, seq2, qual2, comment2),
+    ):
+        rec = make_ori_record(st, name_, seq, qual, comment, header,
+                              pe.max_score, ori_chrom_names)
+        if rec is None:
+            return []
+        recs.append(rec)
+    properly_mapped = pe.proper_mated
+    for c_max, rec in ((pe.max_1, recs[0]), (pe.max_2, recs[1])):
+        if not properly_mapped:
+            break
+        if c_max is None:
+            properly_mapped = False
+        elif c_max.is_ori:
+            properly_mapped = not _ori_clip_or_unmapped(rec.cigar, 25)
+        else:
+            properly_mapped = not _new_clip_or_unmapped(c_max, 25)
+    if properly_mapped:
+        return []
+    return recs
+
+
 def _revcomp(seq: str) -> str:
     from ..utils import dna
 

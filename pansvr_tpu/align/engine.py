@@ -24,6 +24,8 @@ comes from steps 2, 4, 7 running as single batched device programs.
 
 from __future__ import annotations
 
+import time
+from collections import defaultdict
 from dataclasses import dataclass
 
 import numpy as np
@@ -162,7 +164,7 @@ class EngineConfig:
     max_read_len: int = 160      # compiled read-length class
     max_seeds: int = 96          # S: expanded seeds per read/direction
     chain_bucket: int = 32       # K: fixed chain width (over-K reads -> host)
-    mem_slots: int = 48          # M: compacted MEM lanes (overflow -> host)
+    mem_slots: int = 32          # M: compacted MEM lanes (overflow -> host)
     dp_q: int = 176              # DP size class (query)
     dp_t: int = 256              # DP size class (target)
 
@@ -187,6 +189,9 @@ class AlignEngine:
             w=self.p.band, zdrop=self.p.zdrop,
         )
         self._scalar_dp = KswHandler(idx, self.p)._run_dp
+        # wall-clock per engine phase, accumulated across batches; device
+        # waits show up in the sync_* rows (dispatches are async)
+        self.prof: dict[str, float] = defaultdict(float)
 
     # ------------------------------------------------------------------
     def align_batch(self, seqs: list[str], oris: list[OriResult]) -> list[SingleEndState]:
@@ -219,6 +224,12 @@ class AlignEngine:
             nxt_holder.clear()
 
     def _submit_batch(self, seqs: list[str], oris: list[OriResult]):
+        t = time.perf_counter()
+        out = self._submit_batch_inner(seqs, oris)
+        self.prof["host_submit"] += time.perf_counter() - t
+        return out
+
+    def _submit_batch_inner(self, seqs: list[str], oris: list[OriResult]):
         """Host prep + async device-front dispatch (no sync)."""
         cfg = self.cfg
         n = len(seqs)
@@ -330,25 +341,32 @@ class AlignEngine:
             return states
         es, stats3_dev = pend["front"]
         is_str = pend["is_str"]
+        t = time.perf_counter()
         stats3 = np.asarray(stats3_dev)
+        self.prof["sync_front"] += time.perf_counter() - t
         overflow, dropped, seed_count = stats3
         fallback = set(int(r) % n_pad for r in np.nonzero(overflow > 0)[0])
         fallback |= set(int(r) % n_pad for r in np.nonzero(dropped > 0)[0])
+        t = time.perf_counter()
         for i in list(fallback):
             if i < n and i in active:
                 states[i] = self.host.align_read(seqs[i], oris[i])
                 active.remove(i)
+        self.prof["host_fallback"] += time.perf_counter() - t
+        self.prof["n_fallback"] += len(fallback)
 
         kmax = int(seed_count.max()) if len(seed_count) else 0
         K = min(cfg.max_seeds, max(8, 1 << max(kmax - 1, 0).bit_length()))
         is_str2 = np.concatenate([is_str, is_str])
         # seeds are compacted to the front of the S axis, so [:, :K] keeps
         # every valid seed
+        t = time.perf_counter()
         packed = np.asarray(_device_chain_pack(
             es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
             es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
             es.valid[:, :K], is_str2,
         ))
+        self.prof["sync_chain"] += time.perf_counter() - t
         dist, pre, s_rb, s_re, s_fb, s_fe, s_cov = packed
         nv = seed_count
 
@@ -356,6 +374,7 @@ class AlignEngine:
         handlers: dict[int, _CollectDP] = {}
         pending: list[tuple[int, AlnResult, chain_ref.ChainGraph, int, int]] = []
 
+        t = time.perf_counter()
         for i in active:
             results: list[AlnResult] = []
             meta = []
@@ -402,16 +421,23 @@ class AlignEngine:
                     else states[i].read_codes_fwd
                 self._walk(h, g, mi, codes)  # collect DP requests
 
+        self.prof["host_collect"] += time.perf_counter() - t
+
         # ---- batched DP ------------------------------------------------
+        t = time.perf_counter()
         dp_handles = self._dispatch_dp_batch(handlers)
+        self.prof["dp_dispatch"] += time.perf_counter() - t
         if on_dp_dispatched is not None:
             # pipelining hook: the next batch's device front is queued HERE,
             # after this batch's DP — so the device FIFO never stalls this
             # batch's programs behind the next batch's
             on_dp_dispatched()
+        t = time.perf_counter()
         responses_per_read = self._sync_dp_batch(dp_handles)
+        self.prof["sync_dp"] += time.perf_counter() - t
 
         # ---- replay pass: final scores + cigars ------------------------
+        t = time.perf_counter()
         per_read_pending: dict[int, list] = {}
         for item in pending:
             per_read_pending.setdefault(item[0], []).append(item)
@@ -443,6 +469,7 @@ class AlignEngine:
                 40, kept[0].align_score - (kept[1].align_score if len(kept) > 1 else 0)
             )
             st.results = kept
+        self.prof["host_replay"] += time.perf_counter() - t
         return states
 
     # ------------------------------------------------------------------

@@ -61,7 +61,7 @@ def _cmd_fc_signal(args):
 def _cmd_fc_aln(args):
     import pickle
 
-    from ..align.bam_out import emit_pair
+    from ..align.bam_out import emit_ori_pair, emit_pair, min_filter_score
     from ..align.engine import AlignEngine
     from ..align.host_align import PEScorer
     from ..io.bam import BamHeader, BamWriter
@@ -78,6 +78,8 @@ def _cmd_fc_aln(args):
     pe = PEScorer(eng.host, stats.max_isize or 600, stats.min_isize or 200,
                   stats.read_len or 150)
     writer = BamWriter(args.output, header)
+    ori_writer = BamWriter(args.output_ori, header) if args.output_ori else None
+    filt = min_filter_score(stats.read_len or 150)
     pairs = list(read_signal_fastq(args.signal_fq))
     B = args.batch
     for i in range(0, len(pairs) - 1, B):
@@ -86,6 +88,15 @@ def _cmd_fc_aln(args):
         states = eng.align_batch([p[1] for p in chunk], oris)
         for k in range(0, len(chunk) - 1, 2):
             pr = pe.pair(states[k], states[k + 1])
+            if ori_writer is not None:
+                for rec in emit_ori_pair(
+                    pr, states[k], states[k + 1],
+                    chunk[k][0], chunk[k][1], chunk[k][2],
+                    chunk[k + 1][1], chunk[k + 1][2],
+                    chunk[k][3], chunk[k + 1][3], header, filt,
+                    header.ref_names,
+                ):
+                    ori_writer.write(rec)
             if not pr.gain_better:
                 continue
             for rec in emit_pair(
@@ -96,6 +107,8 @@ def _cmd_fc_aln(args):
             ):
                 writer.write(rec)
     writer.close()
+    if ori_writer is not None:
+        ori_writer.close()
 
 
 def _cmd_fc_sv(args):
@@ -207,6 +220,9 @@ def main(argv=None):
     s.add_argument("signal_fq")
     s.add_argument("header_sam")
     s.add_argument("-o", "--output", default="output.bam")
+    s.add_argument("-p", "--output-ori", default=None,
+                   help="side-channel BAM of ORIGINAL alignments for pairs "
+                        "neither reference explains (de novo caller input)")
     s.add_argument("-r", "--status-file", default=None)
     s.add_argument("-b", "--batch", type=int, default=2048)
     s.set_defaults(fn=_cmd_fc_aln)

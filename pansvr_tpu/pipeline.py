@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .align.bam_out import emit_pair
+from .align.bam_out import emit_ori_pair, emit_pair, min_filter_score
 from .align.engine import AlignEngine
 from .align.host_align import OriResult, PEScorer
 from .anchor.builder import AnchorConfig, build_anchor_contigs
@@ -135,10 +135,13 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
         )
     )
     realigned_bam = os.path.join(workdir, "realigned.bam")
+    ori_bam = os.path.join(workdir, "output_ori.bam")
+    filt = min_filter_score(stats.read_len or 150)
     pairs = []
     for name, seq, qual, comment in read_signal_fastq(signal_fq):
         pairs.append((name, seq, qual, comment))
     writer = BamWriter(realigned_bam, header)
+    ori_writer = BamWriter(ori_bam, header)
     B = cfg.batch_size
     n_emitted = 0
     step = 2 * (B // 2)
@@ -153,6 +156,13 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
         for k in range(0, len(chunk) - 1, 2):
             st1, st2 = states[k], states[k + 1]
             pr = pe.pair(st1, st2)
+            for rec in emit_ori_pair(
+                pr, st1, st2,
+                chunk[k][0], chunk[k][1], chunk[k][2],
+                chunk[k + 1][1], chunk[k + 1][2],
+                chunk[k][3], chunk[k + 1][3], header, filt, ori_names,
+            ):
+                ori_writer.write(rec)
             if not pr.gain_better:
                 continue
             pe_recs = emit_pair(
@@ -165,6 +175,7 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
                 writer.write(rec)
                 n_emitted += 1
     writer.close()
+    ori_writer.close()
 
     # ---- S5: SV calling --------------------------------------------------
     sf = SVRefSequence(

@@ -74,3 +74,77 @@ def test_sv_lengths_reasonable(pipeline_result):
             assert len(rec.ref) > len(rec.alts[0])
         elif rec.sv_type == "INS":
             assert len(rec.alts[0]) > len(rec.ref)
+
+
+@pytest.fixture(scope="module")
+def hidden_sv_world(tmp_path_factory):
+    """World where half the planted SVs are HIDDEN from the input VCF:
+    their reads can't be explained by the anchor pan-genome, so they land
+    in the -p original-alignment side-channel (de novo caller input)."""
+    tmp = tmp_path_factory.mktemp("hidden")
+    ds = make_dataset(
+        seed=78, n_sv=6, n_pairs=1600, types=("DEL", "INS"),
+        chrom_lengths={"chr1": 250_000}, err_rate=0.0,
+    )
+    write_fasta(str(tmp / "g.fa"), ds.genome.items(), width=60)
+    w = VCFWriter(str(tmp / "s.vcf"),
+                  minimal_header([(c, len(s)) for c, s in ds.genome.items()]))
+    for r in ds.vcf_records[: len(ds.vcf_records) // 2]:
+        w.write(r)
+    w.close()
+    write_sim_bam(ds, str(tmp / "sim.bam"))
+    run_pipeline(
+        str(tmp / "s.vcf"), str(tmp / "g.fa"), str(tmp / "sim.bam"),
+        str(tmp / "work"),
+        PipelineConfig(first_level_bases=11),
+    )
+    hidden = ds.vcf_records[len(ds.vcf_records) // 2 :]
+    return ds, hidden, str(tmp)
+
+
+def test_output_ori_side_channel(hidden_sv_world):
+    """-p side-channel: pairs unexplained by either reference get their
+    ORIGINAL alignments written (read_realignment.cpp:775-798): whole
+    pairs, original soft-clipped CIGARs, MS pair-score tag."""
+    from pansvr_tpu.io.bam import BamReader
+
+    ds, hidden, tmp = hidden_sv_world
+    with BamReader(os.path.join(tmp, "work", "output_ori.bam")) as rd:
+        names = list(rd.header.ref_names)
+        recs = list(rd)
+    assert set(names) == set(ds.genome)
+    assert len(recs) > 0, "hidden SVs must leave unexplained pairs"
+    mapped = [r for r in recs if not (r.flag & 4)]
+    assert mapped, "originally-mapped unexplained reads expected"
+    assert any(op == "S" for r in mapped for op, _ in r.cigar), \
+        "breakpoint reads should keep their original soft-clipped CIGARs"
+    for r in recs:
+        assert r.get_tag("MS") is not None
+    pairs = {}
+    for r in recs:
+        pairs.setdefault(r.name, []).append(r)
+    for name, rs in pairs.items():
+        assert len(rs) == 2, f"{name}: side-channel must emit whole pairs"
+
+
+def test_denovo_recovers_hidden_svs(hidden_sv_world):
+    """Full reference workflow: fc_aln -p side-channel -> sv_calling must
+    recover SVs that were absent from the input VCF (panSVR_run.sh's
+    NovaSV stage on output_ori.bam)."""
+    from pansvr_tpu.assembly.denovo import DeNovoCaller, DeNovoOptions
+    from pansvr_tpu.io.bai import sort_bam
+    from pansvr_tpu.io.fasta import Faidx
+
+    ds, hidden, tmp = hidden_sv_world
+    sort_bam(os.path.join(tmp, "work", "output_ori.bam"),
+             os.path.join(tmp, "work", "ori_sorted.bam"))
+    caller = DeNovoCaller(Faidx(os.path.join(tmp, "g.fa")),
+                          DeNovoOptions(min_support=3))
+    recs = caller.call_bam(os.path.join(tmp, "work", "ori_sorted.bam"))
+    assert recs, "no de novo calls from the side-channel BAM"
+    n_hit = 0
+    for h in hidden:
+        if any(r.chrom == h.chrom and abs(r.pos1 - h.pos1) <= 20 for r in recs):
+            n_hit += 1
+    # INS resolution is partial (1-sided contigs); DELs must all be found
+    assert n_hit >= len(hidden) // 2, f"recovered {n_hit}/{len(hidden)}"
