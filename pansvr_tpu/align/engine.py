@@ -162,7 +162,7 @@ class _CollectDP(KswHandler):
 @dataclass
 class EngineConfig:
     max_read_len: int = 160      # compiled read-length class
-    max_seeds: int = 96          # S: expanded seeds per read/direction
+    max_seeds: int = 32          # S: expanded seeds per read/direction
     chain_bucket: int = 32       # K: fixed chain width (over-K reads -> host)
     mem_slots: int = 32          # M: compacted MEM lanes (overflow -> host)
     dp_q: int = 176              # DP size class (query)

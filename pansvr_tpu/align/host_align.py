@@ -136,7 +136,7 @@ class KswHandler:
         q = self.read[read_st : read_st + qlen]
         t = self._ref(ref_st, tlen)
         n = min(len(q), len(t))
-        nm = int(np.sum(q[:n] != t[:n])) + (len(q) - n)
+        nm = int(np.count_nonzero(q[:n] != t[:n])) + (len(q) - n)
         return min(nm, 3)  # cap (cpp:921)
 
     def alignment(self, read_st, read_ed, ref_st, ref_ed, type_):
@@ -161,11 +161,11 @@ class KswHandler:
             simple_nm = qlen + tlen
         elif qlen == tlen or type_ != self.END2END:
             n = min(qlen, tlen)
-            for i in range(n):
-                if simple_nm >= 6:
-                    break
-                if qseq[i] != tseq[i]:
-                    simple_nm += 1
+            # the reference scans until the 6th mismatch (cpp:947-951);
+            # the count it ends with is min(total, 6)
+            simple_nm = min(
+                int(np.count_nonzero(qseq[:n] != tseq[:n])), 6
+            )
             if simple_nm == 1 or (simple_nm < 6 and (simple_nm << 3) < qlen):
                 self.is_simple = True
 

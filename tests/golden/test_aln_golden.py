@@ -110,3 +110,92 @@ def test_fc_aln_parity(tmp_path, pansvr_bin, debga_bin):
     # on reads with near-equal candidates — ~100% on sparse-SV worlds,
     # ~95% with clustered SVs (measured; see STATUS.md)
     assert full >= 0.90 * hit, f"exact-match {full}/{hit}"
+
+
+def test_output_ori_parity(tmp_path, pansvr_bin, debga_bin):
+    """-p side-channel parity: the reference fc_aln's output_ori.bam vs
+    our emit_ori_pair on the same signal FASTQ + index. SVs hidden from
+    the VCF leave unexplained pairs so the channel is populated. Records
+    keyed (name, read1) must agree on flag, position, and CIGAR
+    (read_realignment.cpp:656-718,775-798)."""
+    from pansvr_tpu.align.bam_out import emit_ori_pair, min_filter_score
+    from pansvr_tpu.align.engine import AlignEngine
+    from pansvr_tpu.align.host_align import PEScorer
+    from pansvr_tpu.anchor.builder import AnchorConfig, build_anchor_contigs
+    from pansvr_tpu.index.builder import build_index
+    from pansvr_tpu.io.bam import BamHeader, BamReader
+    from pansvr_tpu.io.fasta import Faidx, write_fasta
+    from pansvr_tpu.io.vcf import VCFReader, VCFWriter, minimal_header
+    from pansvr_tpu.pipeline import parse_signal_comment, read_signal_fastq
+    from pansvr_tpu.signal.extract import SignalOptions, extract_signal
+    from pansvr_tpu.utils.simulate import make_dataset, write_sim_bam
+
+    W = str(tmp_path)
+    ds = make_dataset(seed=910, n_sv=8, n_pairs=2500, types=("DEL", "INS"),
+                      chrom_lengths={"chr1": 400_000})
+    write_fasta(f"{W}/genome.fa", ds.genome.items(), width=60)
+    w = VCFWriter(f"{W}/svs.vcf",
+                  minimal_header([(c, len(s)) for c, s in ds.genome.items()]))
+    for r in ds.vcf_records[: len(ds.vcf_records) // 2]:  # hide half
+        w.write(r)
+    w.close()
+    write_sim_bam(ds, f"{W}/sim.bam")
+    with open(f"{W}/anchors.fa", "w") as fh:
+        with VCFReader(f"{W}/svs.vcf") as rd:
+            contigs = list(build_anchor_contigs(rd, Faidx(f"{W}/genome.fa"),
+                                                AnchorConfig()))
+        write_fasta(fh, ((c.name, c.seq) for c in contigs), width=70)
+    os.makedirs(f"{W}/idx", exist_ok=True)
+    subprocess.run([debga_bin, "index", "-k", "22", f"{W}/anchors.fa",
+                    f"{W}/idx/"], check=True, capture_output=True)
+    with open(f"{W}/signal.fq", "w") as fh:
+        extract_signal(f"{W}/sim.bam", fh, opts=SignalOptions(
+            discard_both_full_match=False, not_using_filter=True))
+    with open(f"{W}/header.sam", "w") as fh:
+        fh.write("@HD\tVN:1.6\tSO:coordinate\n")
+        for c, s in ds.genome.items():
+            fh.write(f"@SQ\tSN:{c}\tLN:{len(s)}\n")
+    subprocess.run(
+        [pansvr_bin, "fc_aln", "-t", "8", "-o", f"{W}/ref_aln.bam",
+         "-p", f"{W}/ref_ori.bam",
+         f"{W}/idx/", f"{W}/signal.fq", f"{W}/header.sam"],
+        check=True, capture_output=True, timeout=600,
+    )
+    ref_ori = {}
+    with BamReader(f"{W}/ref_ori.bam") as rd:
+        for rec in rd:
+            ref_ori[(rec.name, bool(rec.flag & 0x40))] = (
+                rec.flag, rec.pos, rec.cigar_string()
+            )
+    assert len(ref_ori) > 20, "reference side-channel unexpectedly empty"
+
+    idx = build_index([(c.name, c.seq) for c in contigs],
+                      first_level_bases=12)
+    eng = AlignEngine(idx, ori_chrom_names=list(ds.genome))
+    pe = PEScorer(eng.host, max_isize=600, min_isize=200, normal_read_len=150)
+    header = BamHeader.from_sam_text(open(f"{W}/header.sam").read())
+    filt = min_filter_score(150)
+    ours = {}
+    pairs = list(read_signal_fastq(f"{W}/signal.fq"))
+    for i in range(0, len(pairs) - 1, 4096):
+        chunk = pairs[i : i + 4096]
+        oris = [parse_signal_comment(p[3])[0] for p in chunk]
+        states = eng.align_batch([p[1] for p in chunk], oris)
+        for k in range(0, len(chunk) - 1, 2):
+            pr = pe.pair(states[k], states[k + 1])
+            for rec in emit_ori_pair(
+                pr, states[k], states[k + 1],
+                chunk[k][0], chunk[k][1], chunk[k][2],
+                chunk[k + 1][1], chunk[k + 1][2],
+                chunk[k][3], chunk[k + 1][3], header, filt,
+                list(ds.genome),
+            ):
+                ours[(rec.name, bool(rec.flag & 0x40))] = (
+                    rec.flag, rec.pos, rec.cigar_string()
+                )
+
+    common = set(ref_ori) & set(ours)
+    assert len(common) >= 0.9 * len(ref_ori), \
+        f"recall {len(common)}/{len(ref_ori)}"
+    agree = sum(1 for k in common if ref_ori[k] == ours[k])
+    assert agree >= 0.98 * len(common), f"field agreement {agree}/{len(common)}"
