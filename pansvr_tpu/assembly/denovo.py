@@ -185,6 +185,95 @@ class DeNovoCaller:
         return records
 
     # ------------------------------------------------------------------
+    def _resolve_ins_two_sided(self, cluster, chrom):
+        """Insertions longer than a read leave one-sided clipped contigs
+        that a single contig-vs-reference alignment cannot resolve. Mirror
+        the reference's two-sided resolution: right-clip tails carry the
+        insertion PREFIX (anchored at the breakpoint), left-clip heads
+        carry the SUFFIX (end-anchored); column-vote each side, then
+        overlap-join. No join -> IMPRECISE <INS> with a length floor."""
+        o = self.o
+        right = [e.read for e in cluster
+                 if e.kind == "SH" and e.read.soft_right >= o.min_clip]
+        left = [e.read for e in cluster
+                if e.kind == "SH" and e.read.soft_left >= o.min_clip]
+        if not right or not left:
+            return None
+        # an insertion clips BOTH flanks at ONE coordinate; a deletion
+        # clips at two distant ones (and shows long-insert DR evidence)
+        dr_del = sum(1 for e in cluster
+                     if e.kind == "DR" and e.sv_type == "DEL")
+        if dr_del >= o.min_support:
+            return None
+
+        def consensus(coords):
+            best_bp = best_n = 0
+            for c in set(coords):
+                n = sum(1 for x in coords if abs(x - c) <= 10)
+                if n > best_n or (n == best_n and c < best_bp):
+                    best_bp, best_n = c, n
+            return best_bp, best_n
+
+        bp_r, n_r = consensus([r.end_pos for r in right])
+        bp_l, n_l = consensus([r.pos for r in left])
+        if abs(bp_r - bp_l) > 20:
+            return None
+        best_n = n_r + n_l
+        if best_n < o.min_support:
+            return None
+        bp0 = bp_r
+        tails = [r.seq[len(r.seq) - r.soft_right :]
+                 for r in right if abs(r.end_pos - bp0) <= 10]
+        heads = [r.seq[: r.soft_left]
+                 for r in left if abs(r.pos - bp0) <= 10]
+
+        def column_vote(parts, end_anchored):
+            if not parts:
+                return ""
+            width = max(len(p) for p in parts)
+            out = []
+            for i in range(width):
+                col = {}
+                for p in parts:
+                    if i < len(p):
+                        ch = p[len(p) - 1 - i] if end_anchored else p[i]
+                        col[ch] = col.get(ch, 0) + 1
+                ch, n = max(col.items(), key=lambda kv: kv[1])
+                if n < 2:
+                    break
+                out.append(ch)
+            s = "".join(out)
+            return s[::-1] if end_anchored else s
+
+        pre = column_vote(tails, end_anchored=False)
+        suf = column_vote(heads, end_anchored=True)
+        ins_seq = None
+        if pre and suf:
+            for k in range(min(len(pre), len(suf)), 19, -1):
+                if pre[len(pre) - k :] == suf[:k]:
+                    ins_seq = pre + suf[k:]
+                    break
+        n_alt = best_n
+        anchor0 = max(bp0 - 1, 0)
+        anchor = self.genome.fetch(chrom, anchor0, anchor0 + 1) or "N"
+        if ins_seq is not None and len(ins_seq) >= o.min_sv_len:
+            info = {"SVTYPE": "INS", "END": str(bp0),
+                    "SVLEN": str(len(ins_seq))}
+            alt = anchor + ins_seq
+        else:
+            est = len(pre) + len(suf)
+            if est < o.min_sv_len:
+                return None
+            info = {"SVTYPE": "INS", "END": str(bp0), "SVLEN": str(est),
+                    "IMPRECISE": True}
+            alt = "<INS>"
+        return VCFRecord(
+            chrom=chrom, pos1=anchor0 + 1, id=f"nova.INS.{anchor0}",
+            ref=anchor, alts=[alt], qual=".", filter="PASS",
+            info=info, format="GT:DP", samples=[f"./.:{n_alt}"],
+        )
+
+    # ------------------------------------------------------------------
     def _assemble_and_resolve(self, cluster, region_reads, chrom, lo, hi):
         o = self.o
         self.am.clear()
@@ -214,19 +303,47 @@ class DeNovoCaller:
         t = dna.fill_n(dna.encode(ref_seq))
         ez = ksw2_ref.extd2(q, t, match=2, mismatch=-12, q=16, e=1,
                             q2=32, e2=0, w=500, zdrop=-1)
+        # events must sit inside the evidence-cluster span: extension
+        # alignment of a partial (one-sided) contig produces artifact
+        # indels near the window edges that no clip/pair supports
+        span_lo = min(e.pos for e in cluster) - 50 - lo
+        span_hi = max(max(e.pos, e.pos2) for e in cluster) + 50 - lo
+        # insertion-site signature: left- and right-clips pile at ONE
+        # coordinate (a deletion clips at two, ~SVLEN apart). A one-sided
+        # contig at such a site yields artifact deletions whose D op
+        # jumps the unmatched insertion content — forbid DEL there.
+        r_clips = [e.read.end_pos for e in cluster
+                   if e.kind == "SH" and e.read.soft_right >= o.min_clip]
+        l_clips = [e.read.pos for e in cluster
+                   if e.kind == "SH" and e.read.soft_left >= o.min_clip]
+        dr_del_votes = sum(1 for e in cluster
+                           if e.kind == "DR" and e.sv_type == "DEL")
+        ins_site = (
+            len(r_clips) >= 2 and len(l_clips) >= 2
+            and abs(int(np.median(r_clips)) - int(np.median(l_clips))) <= 20
+            and dr_del_votes < o.min_support
+        )
+
         def pick_sv(cigar):
             """Largest interior indel >= min_sv_len (edge ops are alignment
-            offsets, not events — same rule as get_var's edge exclusion)."""
+            offsets, not events — same rule as get_var's edge exclusion),
+            restricted to the cluster-supported span."""
             best = None
             ref_pos = 0
             n = len(cigar)
             for ci, (op, ln) in enumerate(cigar):
                 interior = 0 < ci < n - 1
                 if interior and op == "I" and ln >= o.min_sv_len:
-                    if best is None or ln > best[2]:
+                    if (span_lo <= ref_pos <= span_hi
+                            and (best is None or ln > best[2])):
                         best = ("INS", ref_pos, ln)
                 elif interior and op == "D" and ln >= o.min_sv_len:
-                    if best is None or ln > best[2]:
+                    # a deletion's event interval [ref_pos, ref_pos+ln]
+                    # ends at a clip consensus when the cluster holds only
+                    # the right breakpoint's clips — overlap, not contain
+                    if (not ins_site
+                            and ref_pos <= span_hi and ref_pos + ln >= span_lo
+                            and (best is None or ln > best[2])):
                         best = ("DEL", ref_pos, ln)
                 if op in ("M", "D"):
                     ref_pos += ln
@@ -243,7 +360,11 @@ class DeNovoCaller:
                 ez = ez2
                 q = q[::-1] ^ 3
         if best is None:
-            return None
+            # single-contig alignment can't resolve insertions longer than
+            # a read: fall back to two-sided clip assembly at the clip
+            # consensus (the reference's BND-style INS resolution,
+            # SveHandler assembly of left/right clip groups)
+            return self._resolve_ins_two_sided(cluster, chrom)
         svt, off, ln = best
         bp0 = lo + off          # 0-based breakpoint (base before event)
         anchor0 = max(bp0 - 1, 0)
