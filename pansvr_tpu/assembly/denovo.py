@@ -91,7 +91,7 @@ class DeNovoCaller:
                 if rec.is_secondary or rec.is_supplementary:
                     continue
                 if rec.tid != cur_tid and buf:
-                    out.extend(self._call_block(buf, chroms[cur_tid]))
+                    out.extend(self._call_block(buf, chroms[cur_tid], chroms))
                     buf = []
                 cur_tid = rec.tid
                 if rec.tid < 0:
@@ -101,10 +101,10 @@ class DeNovoCaller:
                     buf[-1].pos - buf[0].pos > self.o.block_size
                 ):
                     keep_from = buf[-1].pos - self.o.block_overlap
-                    out.extend(self._call_block(buf, chroms[cur_tid]))
+                    out.extend(self._call_block(buf, chroms[cur_tid], chroms))
                     buf = [r for r in buf if r.pos >= keep_from]
             if buf and cur_tid >= 0:
-                out.extend(self._call_block(buf, chroms[cur_tid]))
+                out.extend(self._call_block(buf, chroms[cur_tid], chroms))
         # dedupe overlapping-block repeats
         seen = set()
         uniq = []
@@ -145,10 +145,11 @@ class DeNovoCaller:
         return [c for c in clusters if len(c) >= o.min_support]
 
     # ------------------------------------------------------------------
-    def _call_block(self, reads: list[BamRecord], chrom: str) -> list[VCFRecord]:
+    def _call_block(self, reads: list[BamRecord], chrom: str,
+                    chroms: list[str]) -> list[VCFRecord]:
         o = self.o
         ev = self._collect(reads)
-        records: list[VCFRecord] = []
+        records: list[VCFRecord] = list(self._call_tra(reads, chrom, chroms))
         for cluster in self._cluster(ev):
             lo = min(e.pos for e in cluster) - o.window_pad
             hi = max(max(e.pos, e.pos2) for e in cluster) + o.window_pad
@@ -183,6 +184,54 @@ class DeNovoCaller:
                         samples=[f"./.:{inv_votes}"],
                     ))
         return records
+
+    # ------------------------------------------------------------------
+    def _call_tra(self, reads, chrom, chroms):
+        """Inter-chromosomal breakends (the reference's TRA sve type,
+        sve.hpp:18-30): cluster pairs whose mates map to another
+        chromosome by (mate chromosome, junction position, mate window)
+        and emit paired-breakend BND records (IMPRECISE; breakpoint at
+        the clip/fragment edge consensus)."""
+        o = self.o
+        cand = []
+        for r in reads:
+            if (r.is_unmapped or r.mate_unmapped or r.tid == r.mtid
+                    or r.mtid < 0 or r.mapq < o.min_mapq):
+                continue
+            jpos = r.pos if r.is_reverse else r.end_pos
+            cand.append((r.mtid, jpos, r.mpos, r))
+        cand.sort(key=lambda t: (t[0], t[1]))
+        clusters: list[list] = []
+        for item in cand:
+            if (clusters
+                    and item[0] == clusters[-1][-1][0]
+                    and item[1] - clusters[-1][-1][1] <= o.max_cluster_gap
+                    and abs(item[2] - clusters[-1][-1][2]) <= 2 * o.isize_max):
+                clusters[-1].append(item)
+            else:
+                clusters.append([item])
+        for cl in clusters:
+            if len(cl) < o.min_support:
+                continue
+            mtid = cl[0][0]
+            bp0 = int(np.median([x[1] for x in cl]))
+            mate_bp = int(np.median([x[2] for x in cl]))
+            fwd = sum(1 for x in cl if not x[3].is_reverse)
+            anchor0 = max(bp0 - 1, 0)
+            anchor = self.genome.fetch(chrom, anchor0, anchor0 + 1) or "N"
+            chrom2 = chroms[mtid]
+            if fwd * 2 >= len(cl):        # junction extends rightward
+                alt = f"{anchor}[{chrom2}:{mate_bp + 1}["
+            else:
+                alt = f"]{chrom2}:{mate_bp + 1}]{anchor}"
+            yield VCFRecord(
+                chrom=chrom, pos1=anchor0 + 1,
+                id=f"nova.BND.{chrom}.{anchor0}",
+                ref=anchor, alts=[alt], qual=".", filter="PASS",
+                info={"SVTYPE": "BND", "CHR2": chrom2,
+                      "END": str(mate_bp + 1), "IMPRECISE": True},
+                format="GT:DP", samples=[f"./.:{len(cl)}"],
+            )
 
     # ------------------------------------------------------------------
     def _resolve_ins_two_sided(self, cluster, chrom):

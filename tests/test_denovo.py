@@ -48,3 +48,56 @@ def test_denovo_genotypes_reported(world):
         assert rec.format == "GT:DP"
         gt = rec.samples[0].split(":")[0]
         assert gt in ("0/1", "1/1", "./.")
+
+
+def test_denovo_emits_bnd_for_translocations(tmp_path):
+    """Inter-chromosomal discordant pairs must surface as paired-breakend
+    BND records (the reference's TRA sve type)."""
+    import numpy as np
+
+    from pansvr_tpu.assembly.denovo import DeNovoCaller, DeNovoOptions
+    from pansvr_tpu.io.bai import sort_bam
+    from pansvr_tpu.io.bam import BamHeader, BamRecord, BamWriter
+    from pansvr_tpu.io.fasta import Faidx, write_fasta
+
+    rng = np.random.default_rng(5)
+    bases = np.array(list("ACGT"))
+    g = {c: "".join(rng.choice(bases, size=20_000)) for c in ("chrA", "chrB")}
+    write_fasta(str(tmp_path / "g.fa"), g.items(), width=60)
+    header = BamHeader.from_sam_text(
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        + "".join(f"@SQ\tSN:{c}\tLN:{len(s)}\n" for c, s in g.items())
+    )
+    recs = []
+    # junction: chrA:5000 -> chrB:8000; six supporting pairs
+    for k in range(6):
+        pos = 4850 - 7 * k
+        seq = g["chrA"][pos : pos + 150]
+        recs.append(BamRecord(
+            name=f"tra.{k}", flag=0x1 | 0x20 | 0x40, tid=0, pos=pos, mapq=60,
+            cigar=[("M", 150)], mtid=1, mpos=8000 + 5 * k, isize=0,
+            seq=seq, qual="I" * 150,
+        ))
+    # concordant background on both chroms
+    for k in range(30):
+        for tid, c in ((0, "chrA"), (1, "chrB")):
+            pos = 200 + 600 * k
+            seq = g[c][pos : pos + 150]
+            recs.append(BamRecord(
+                name=f"bg.{c}.{k}", flag=0x1 | 0x2 | 0x20 | 0x40, tid=tid,
+                pos=pos, mapq=60, cigar=[("M", 150)], mtid=tid,
+                mpos=pos + 250, isize=400, seq=seq, qual="I" * 150,
+            ))
+    with BamWriter(str(tmp_path / "t.bam"), header) as w:
+        for r in recs:
+            w.write(r)
+    sort_bam(str(tmp_path / "t.bam"), str(tmp_path / "s.bam"))
+    out = DeNovoCaller(Faidx(str(tmp_path / "g.fa")),
+                       DeNovoOptions(min_support=3)).call_bam(
+        str(tmp_path / "s.bam"))
+    bnd = [r for r in out if r.sv_type == "BND"]
+    assert bnd, f"no BND calls: {[(r.pos1, r.sv_type) for r in out]}"
+    r = bnd[0]
+    assert r.chrom == "chrA" and abs(r.pos1 - 5000) <= 60
+    assert r.info["CHR2"] == "chrB"
+    assert "[chrB:" in r.alts[0] or "]chrB:" in r.alts[0]
