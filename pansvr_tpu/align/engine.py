@@ -38,15 +38,21 @@ import jax.numpy as jnp
 from ..index.builder import RdBGIndex
 from ..index.device import to_device
 from ..ops import chain_ref
-from ..ops.chain import chain_batch
+from ..ops.chain import chain_batch, chain_extract_batch
 from ..ops.extd2_jax import (
     Extd2Params,
     extd2_batch,
     ops_to_cigar,
     traceback_batch,
 )
+from ..ops import extd2_pallas as epl
 from ..ops.ksw2_ref import NEG_INF, Ez
-from ..ops.seeding import merge_expand_device, pack_reads, seed_reads
+from ..ops.seeding import (
+    merge_expand_device,
+    pack_reads,
+    seed_reads,
+    seed_reads2,
+)
 from ..utils import dna
 from .host_align import (
     FORWARD,
@@ -72,9 +78,10 @@ from .host_align import (
 # ---- fused device programs (one dispatch each; per-op dispatch latency
 # over a remote-chip link otherwise dominates the batch time) -------------
 
-@functools.partial(jax.jit, static_argnames=("S0", "S", "M"))
-def _device_front(didx, words, lens, mask, S0, S, M=64):
-    sb = seed_reads(didx, words, lens, mask, S0=S0, M=M)
+@functools.partial(jax.jit, static_argnames=("S0", "S", "M", "front"))
+def _device_front(didx, words, lens, mask, S0, S, M=64, front="v2"):
+    seed_fn = seed_reads2 if front == "v2" else seed_reads
+    sb = seed_fn(didx, words, lens, mask, S0=S0, M=M)
     es = merge_expand_device(sb, didx, S=S)
     stats3 = jnp.stack([
         sb.n_overflow,
@@ -112,10 +119,38 @@ def _device_front_pack(didx, words, lens, mask, S0, S, K):
 @jax.jit
 def _device_chain_pack(rb, re_, fb, fe, cov, sid, valid, is_str):
     cr = chain_batch(rb, re_, fb, fe, cov, sid, valid, is_str)
-    return jnp.stack([
+    hit_idx, hit_score, hit_final = chain_extract_batch(
+        cr.dist, cr.pre, cr.valid
+    )
+    packed = jnp.stack([
         cr.dist, cr.pre, cr.read_begin, cr.read_end,
         cr.ref_begin, cr.ref_end, cr.cov,
     ])
+    hits = jnp.stack([hit_idx, hit_score, hit_final])   # (3, B, 6)
+    return packed, hits
+
+
+@functools.partial(jax.jit, static_argnames=("params", "W", "interpret"))
+def _device_dp_pallas(qc, ql, tc, tl, params, W, interpret):
+    """Pallas wavefront DP + traceback (ops/extd2_pallas.py): the whole
+    sweep runs in-kernel with VMEM-resident state instead of one XLA scan
+    step per diagonal (which is dispatch-latency-bound on TPU)."""
+    Qmax, Tmax = qc.shape[1], tc.shape[1]
+    _, n_diag_pad, _, _ = epl._plan(Qmax, Tmax, W)
+    res = epl.extd2_batch_pallas(qc, ql, tc, tl, params=params, W=W,
+                                 interpret=interpret)
+    i0 = jnp.where(~res.zdropped, tl - 1,
+                   jnp.where(res.max_t >= 0, res.max_t, -1)).astype(jnp.int32)
+    j0 = jnp.where(~res.zdropped, ql - 1,
+                   jnp.where(res.max_q >= 0, res.max_q, -1)).astype(jnp.int32)
+    ops, i_f, j_f = epl.traceback_batch_pallas(
+        res.dmat, ql, tl, i0, j0, params=params, W=W,
+        n_diag_pad=n_diag_pad, Tmax=Tmax, interpret=interpret)
+    packed = jnp.stack([
+        res.score, res.mqe, res.max, res.max_q, res.max_t,
+        res.zdropped.astype(jnp.int32), i_f, j_f,
+    ])
+    return ops, packed
 
 
 @functools.partial(jax.jit, static_argnames=("params", "K"))
@@ -167,6 +202,14 @@ class EngineConfig:
     mem_slots: int = 32          # M: compacted MEM lanes (overflow -> host)
     dp_q: int = 176              # DP size class (query)
     dp_t: int = 256              # DP size class (target)
+    dp_backend: str = "auto"     # "pallas" | "scan" | "auto" (pallas on TPU)
+    dp_interpret: bool = False   # Pallas interpret mode (CPU testing)
+    front: str = "v2"            # seeding front: "v2" hash+slab, "v1" bisect
+
+    def use_pallas(self) -> bool:
+        if self.dp_backend == "auto":
+            return jax.default_backend() != "cpu"
+        return self.dp_backend == "pallas"
 
 
 class AlignEngine:
@@ -321,7 +364,7 @@ class AlignEngine:
         # on the remote link — see STATUS.md perf notes)
         es, stats3_dev = _device_front(
             self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds,
-            M=cfg.mem_slots,
+            M=cfg.mem_slots, front=cfg.front,
         )
         return dict(states=states, active=active, n=n, n_pad=n_pad,
                     seqs=seqs, oris=oris, front=(es, stats3_dev),
@@ -361,13 +404,16 @@ class AlignEngine:
         # seeds are compacted to the front of the S axis, so [:, :K] keeps
         # every valid seed
         t = time.perf_counter()
-        packed = np.asarray(_device_chain_pack(
+        packed_dev, hits_dev = _device_chain_pack(
             es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
             es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
             es.valid[:, :K], is_str2,
-        ))
+        )
+        packed = np.asarray(packed_dev)
+        hits = np.asarray(hits_dev)
         self.prof["sync_chain"] += time.perf_counter() - t
         dist, pre, s_rb, s_re, s_fb, s_fe, s_cov = packed
+        hit_idx, hit_score, hit_final = hits
         nv = seed_count
 
         # ---- per-read chain extraction + walk (collect pass) ----------
@@ -379,8 +425,9 @@ class AlignEngine:
             results: list[AlnResult] = []
             meta = []
             max_chain_score = 0
-            graphs = {}
             for d, row in ((FORWARD, i), (REVERSE, i + n_pad)):
+                if hit_idx[row, 0] < 0:
+                    continue
                 k = int(nv[row])
                 g = chain_ref.ChainGraph(
                     read_begin=s_rb[row][:k], read_end=s_re[row][:k],
@@ -389,22 +436,26 @@ class AlignEngine:
                     dist=dist[row][:k].astype(np.float64),
                     pre=pre[row][:k].astype(np.int64),
                 )
-                graphs[d] = g
-                for _ in range(MAX_OUTPUT_NUMBER):
-                    hit = chain_ref.extract_chain(g, rng=None)
-                    if hit is None:
+                # hits come pre-extracted from the device (sort_output
+                # semantics in ops/chain.chain_extract_batch); the break
+                # rules replay the sequential loop exactly
+                for s in range(hit_idx.shape[1]):
+                    hi = int(hit_idx[row, s])
+                    if hi < 0:
                         break
-                    cs = int(hit.chain_score)
+                    cs = int(hit_score[row, s])
                     max_chain_score = max(max_chain_score, cs)
                     if cs + MAX_CHAIN_SCORE_DIFF < max_chain_score or cs < MIN_CHAIN_SCORE_LOOP:
                         break
+                    fin = int(hit_final[row, s])
+                    ref_begin0 = int(s_fb[row][fin])
                     r = AlnResult(chain_score=cs, direction=d,
-                                  read_bg=hit.read_begin)
-                    cid = self.idx.chr_of_pos(hit.ref_begin)
+                                  read_bg=int(s_rb[row][fin]))
+                    cid = self.idx.chr_of_pos(ref_begin0)
                     r.chr_id = cid
-                    r.ref_bg = hit.ref_begin - int(self.idx.chr_starts[cid])
+                    r.ref_bg = ref_begin0 - int(self.idx.chr_starts[cid])
                     results.append(r)
-                    meta.append((g, hit.max_index))
+                    meta.append((g, hi))
             if not results or max_chain_score < MIN_CHAIN_SCORE:
                 continue
             idxs = sorted(range(len(results)),
@@ -524,10 +575,16 @@ class AlignEngine:
                 tc[bi, : len(t)] = t
                 ql[bi] = len(q)
                 tl[bi] = len(t)
-            ops_dev, packed_dev = _device_dp(
-                qc, ql, tc, tl, params=self.dp_params,
-                K=cfg.dp_q + cfg.dp_t,
-            )
+            if cfg.use_pallas():
+                ops_dev, packed_dev = _device_dp_pallas(
+                    qc, ql, tc, tl, params=self.dp_params,
+                    W=256, interpret=cfg.dp_interpret,
+                )
+            else:
+                ops_dev, packed_dev = _device_dp(
+                    qc, ql, tc, tl, params=self.dp_params,
+                    K=cfg.dp_q + cfg.dp_t,
+                )
             handles["chunks"].append((chunk, ops_dev, packed_dev))
         return handles
 
@@ -536,12 +593,14 @@ class AlignEngine:
         responses = handles["responses"]
         reqs = handles["reqs"]
         owners = handles["owners"]
+        to_cigar = epl.ops_to_cigar_skip if self.cfg.use_pallas() \
+            else ops_to_cigar
         for chunk, ops_dev, packed_dev in handles["chunks"]:
             packed = np.asarray(packed_dev)
             score, mqe, mx, mxq, mxt, zdr, i_f, j_f = packed
             ops = np.asarray(ops_dev)
             for bi, k in enumerate(chunk):
-                cig = ops_to_cigar(ops[bi], int(i_f[bi]), int(j_f[bi]))
+                cig = to_cigar(ops[bi], int(i_f[bi]), int(j_f[bi]))
                 ez = Ez(
                     score=int(score[bi]), mqe=int(mqe[bi]),
                     max=int(mx[bi]), max_q=int(mxq[bi]), max_t=int(mxt[bi]),

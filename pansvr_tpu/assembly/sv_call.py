@@ -305,12 +305,14 @@ class SvCaller:
     # ------------------------------------------------------------------
     def _add_depth(self, depth_counter, r: LoadedRead):
         off = r.pos
+        n = len(depth_counter)
         for op, ln in r.cigar:
             if op == "M":
-                for i in range(ln):
-                    if 0 <= off < len(depth_counter):
-                        depth_counter[off] += 1
-                    off += 1
+                a = max(off, 0)
+                b = min(off + ln, n)
+                if b > a:
+                    depth_counter[a:b] += 1
+                off += ln
             elif op in ("D", "N", "S"):
                 off += ln
 

@@ -36,11 +36,18 @@ def pack_u32(codes: np.ndarray) -> np.ndarray:
 _ARRAY_FIELDS = (
     "hash_g", "kmer_g", "off_g", "uni_seqf", "uni_posp", "uni_pos",
     "uni_words", "ref_words",
+    "ht_check", "ht_payload", "ent_uid", "ent_off_l", "ent_off_r",
+    "ent_pos_n", "uni_words_pad",
 )
 _STATIC_FIELDS = (
     "k", "search_k", "first_level_bases", "uni_len", "ref_len",
-    "n_kmer", "n_uni", "max_bucket_bits",
+    "n_kmer", "n_uni", "max_bucket_bits", "ht_bits", "ht_probe",
 )
+
+# odd mixing constant for the 40-bit bijective multiply (mod 2^40); the
+# top hash bits of key * MIX_C are the table slot (Fibonacci hashing)
+MIX_C = 0x9E3779B97F4A7C15 & ((1 << 40) - 1) | 1
+PAD_WORDS = 64   # zero words padded on BOTH sides of uni_words_pad
 
 
 @dataclass(frozen=True)
@@ -62,6 +69,19 @@ class DeviceIndex:
     ref_len: int
     n_kmer: int
     n_uni: int
+    # open-addressing 20-mer hash (seed_reads2 fast path): slots hold the
+    # low 40-ht_bits check bits of the mixed key (-1 = empty) and a
+    # payload (left entry index | (count-1) << 27)
+    ht_check: jnp.ndarray
+    ht_payload: jnp.ndarray
+    # per-entry precomputed lookups (replace searchsorted/posp chains)
+    ent_uid: jnp.ndarray
+    ent_off_l: jnp.ndarray   # off - uni_seqf[uid]
+    ent_off_r: jnp.ndarray   # uni_seqf[uid+1] - off - search_k
+    ent_pos_n: jnp.ndarray   # occurrence count of the entry's unitig
+    uni_words_pad: jnp.ndarray  # uni_words with PAD_WORDS zero words both ends
+    ht_bits: int
+    ht_probe: int            # static linear-probe bound
     max_bucket_bits: int = 24   # ceil(log2(largest first-level bucket))
 
 
@@ -77,13 +97,93 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def build_kmer_hash(idx: RdBGIndex):
+    """Open-addressing hash over distinct search-k-mers (the 20-base
+    prefixes of the 22-mer table entries). Replaces the device two-level
+    binary search (~13 dependent gathers) with ~2 gathers per probe.
+
+    key40 = 20-mer value; mixed = key40 * MIX_C mod 2^40 (bijective, so
+    a matching check field proves exact key equality); slot = top
+    ht_bits of mixed; check = low (40 - ht_bits) bits; payload packs
+    (left entry index, run length - 1)."""
+    sk, fl = idx.search_k, idx.first_level_bases
+    lb = 2 * (sk - fl)
+    entry_shift = 2 * (idx.k - sk)
+    n = idx.n_kmers
+    if n == 0:
+        return (np.full(512, -1, np.int32), np.zeros(512, np.int32), 9, 1)
+    bucket = (np.searchsorted(idx.hash_g, np.arange(n), side="right") - 1)
+    key = (bucket.astype(np.uint64) << np.uint64(lb)) | (
+        idx.kmer_g.astype(np.uint64) >> np.uint64(entry_shift)
+    )
+    first = np.ones(n, bool)
+    first[1:] = key[1:] != key[:-1]
+    left = np.nonzero(first)[0]
+    count = np.diff(np.append(left, n))
+    gkey = key[left]
+    assert count.max() <= 16 and left.max() < (1 << 27)
+    payload = left.astype(np.int32) | ((count.astype(np.int32) - 1) << 27)
+
+    m = max(9, int(np.ceil(np.log2(max(len(gkey), 1) * 2.5))))
+    while True:
+        size = 1 << m
+        mask40 = np.uint64((1 << 40) - 1)
+        mixed = (gkey * np.uint64(MIX_C)) & mask40
+        slot0 = (mixed >> np.uint64(40 - m)).astype(np.int64)
+        check = (mixed & np.uint64((1 << (40 - m)) - 1)).astype(np.int32)
+        tbl_check = np.full(size, -1, np.int32)
+        tbl_pay = np.zeros(size, np.int32)
+        remaining = np.arange(len(gkey))
+        offset = np.zeros(len(gkey), np.int64)
+        max_probe = 1
+        while len(remaining):
+            s = (slot0[remaining] + offset[remaining]) & (size - 1)
+            free = tbl_check[s] == -1
+            cand = remaining[free]
+            scand = s[free]
+            u, firsti = np.unique(scand, return_index=True)
+            win = cand[firsti]
+            tbl_check[u] = check[win]
+            tbl_pay[u] = payload[win]
+            if len(win):
+                max_probe = max(max_probe, int(offset[win].max()) + 1)
+            placed = np.zeros(len(gkey), bool)
+            placed[win] = True
+            keep = ~placed[remaining]
+            remaining = remaining[keep]
+            offset[remaining] += 1
+        if max_probe <= 24 or m >= 30:
+            return tbl_check, tbl_pay, m, max_probe
+        m += 1  # unlucky clustering: grow the table and rebuild
+
+
 def to_device(idx: RdBGIndex) -> DeviceIndex:
     packed_ref = np.where(idx.ref_codes >= 4, np.uint8(2), idx.ref_codes)
     packed_uni = np.where(idx.uni_codes >= 4, np.uint8(2), idx.uni_codes)
     bucket_sizes = np.diff(idx.hash_g)
     max_bucket = int(bucket_sizes.max()) if len(bucket_sizes) else 1
     mbb = max(int(np.ceil(np.log2(max(max_bucket, 2)))) + 1, 4)
+    ht_check, ht_pay, ht_bits, ht_probe = build_kmer_hash(idx)
+    ent_uid = (np.searchsorted(idx.uni_seqf, idx.off_g, side="right") - 1)
+    ent_uid = np.clip(ent_uid, 0, max(idx.n_unitigs - 1, 0))
+    ent_off_l = idx.off_g - idx.uni_seqf[ent_uid]
+    ent_off_r = idx.uni_seqf[ent_uid + 1] - idx.off_g - idx.search_k
+    ent_pos_n = idx.uni_posp[ent_uid + 1] - idx.uni_posp[ent_uid]
+    uni_words32 = pack_u32(packed_uni)
+    uni_words_pad = np.concatenate([
+        np.zeros(PAD_WORDS, np.int32), uni_words32,
+        np.zeros(PAD_WORDS, np.int32),
+    ])
     return DeviceIndex(
+        ht_check=jnp.asarray(ht_check),
+        ht_payload=jnp.asarray(ht_pay),
+        ht_bits=ht_bits,
+        ht_probe=ht_probe,
+        ent_uid=jnp.asarray(ent_uid.astype(np.int32)),
+        ent_off_l=jnp.asarray(ent_off_l.astype(np.int32)),
+        ent_off_r=jnp.asarray(ent_off_r.astype(np.int32)),
+        ent_pos_n=jnp.asarray(ent_pos_n.astype(np.int32)),
+        uni_words_pad=jnp.asarray(uni_words_pad),
         max_bucket_bits=mbb,
         k=idx.k,
         search_k=idx.search_k,
@@ -94,7 +194,7 @@ def to_device(idx: RdBGIndex) -> DeviceIndex:
         uni_seqf=jnp.asarray(idx.uni_seqf.astype(np.int32)),
         uni_posp=jnp.asarray(idx.uni_posp.astype(np.int32)),
         uni_pos=jnp.asarray(idx.uni_pos.astype(np.int32)),
-        uni_words=jnp.asarray(pack_u32(packed_uni)),
+        uni_words=jnp.asarray(uni_words32),
         uni_len=int(len(idx.uni_codes)),
         ref_words=jnp.asarray(pack_u32(packed_ref)),
         ref_len=int(len(idx.ref_codes)),

@@ -283,3 +283,98 @@ def chain_batch_np(read_begin, read_end, ref_begin, ref_end, cov, seed_id,
         read_begin=rb, read_end=re_, ref_begin=fb, ref_end=fe, cov=cv,
         valid=val,
     )
+
+
+# -------------------------------------------------------------------------
+# device chain extraction (sort_output, read_realignment.cpp:213-293)
+# -------------------------------------------------------------------------
+#
+# Scalar spec: ops/chain_ref.extract_chain. Up to MAX_OUTPUT=6 chains per
+# row: repeatedly take the unused node with max dist (ties -> largest
+# sorted index, the C scan order with rand() removed), walk its pre[]
+# path marking nodes used, apply the STR region suppression, and retry
+# (without emitting) when >= half the path was already used.
+#
+# Vectorized trick: with K <= 32 the ancestor set of every node fits an
+# int32 bitmask, computed once by pointer doubling; each extraction
+# attempt is then O(1) vector work (popcounts over path & used masks)
+# instead of a sequential walk — the whole extraction is ~K small steps.
+
+MAX_OUTPUT = 6
+
+
+@jax.jit
+def chain_extract_batch(dist, pre, valid):
+    """dist/pre (B, K) int32 (pre -1 = chain head), valid (B, K) bool.
+    Returns (hit_idx, hit_score, hit_final): (B, 6) int32, idx -1 = none.
+    K must be <= 32 (callers bucket K; larger falls back to host)."""
+    B, K = dist.shape
+    assert K <= 32
+    lanes = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    # ancestor bitmasks by pointer doubling
+    pre_c = jnp.where(pre >= 0, pre, lanes)           # self-loop at heads
+    bit = (jnp.uint32(1) << lanes.astype(jnp.uint32)) + jnp.zeros(
+        (B, 1), jnp.uint32)
+    anc = bit
+    jump = pre_c
+    for _ in range(6):                                # 2^6 >= 32
+        anc = anc | jnp.take_along_axis(anc, jump, axis=1)
+        jump = jnp.take_along_axis(jump, jump, axis=1)
+    root = jump[:, :]                                 # fixpoint = head node
+
+    used = jnp.zeros((B,), jnp.uint32)
+    stop = jnp.zeros((B,), bool)
+    n_out = jnp.zeros((B,), jnp.int32)
+    hit_idx = jnp.full((B, MAX_OUTPUT), -1, jnp.int32)
+    hit_score = jnp.zeros((B, MAX_OUTPUT), jnp.int32)
+    hit_final = jnp.zeros((B, MAX_OUTPUT), jnp.int32)
+
+    rows = jnp.arange(B, dtype=jnp.int32)
+
+    def attempt(carry, _):
+        used, stop, n_out, hit_idx, hit_score, hit_final = carry
+        used_b = (used[:, None] >> lanes.astype(jnp.uint32)) & 1
+        eligible = valid & (dist > 0) & (used_b == 0)
+        key = jnp.where(eligible, dist * 64 + lanes, -1)
+        best = jnp.argmax(key, axis=1).astype(jnp.int32)
+        best_key = jnp.take_along_axis(key, best[:, None], axis=1)[:, 0]
+        any_left = best_key >= 0
+        act = any_left & ~stop
+
+        path = jnp.take_along_axis(anc, best[:, None], axis=1)[:, 0]
+        fin = jnp.take_along_axis(root, best[:, None], axis=1)[:, 0]
+        sc = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+        u_cnt = _popcount32(path & used)
+        total = _popcount32(path)
+        nu_cnt = total - u_cnt
+        used_n = jnp.where(act, used | path, used)
+
+        # STR suppression: already_used[final:best] = True
+        suppress = act & (best - fin > ((total + 5) << 1))
+        range_mask = ((jnp.uint32(1) << best.astype(jnp.uint32))
+                      - jnp.uint32(1)) & ~(
+            (jnp.uint32(1) << fin.astype(jnp.uint32)) - jnp.uint32(1))
+        used_n = jnp.where(suppress, used_n | range_mask, used_n)
+
+        retry = u_cnt >= nu_cnt
+        emit = act & ~retry
+        slot = jnp.where(emit, n_out, MAX_OUTPUT)
+        onehot = slot[:, None] == jnp.arange(MAX_OUTPUT)[None, :]
+        hit_idx = jnp.where(onehot, best[:, None], hit_idx)
+        hit_score = jnp.where(onehot, sc[:, None], hit_score)
+        hit_final = jnp.where(onehot, fin[:, None], hit_final)
+        n_out_n = n_out + emit.astype(jnp.int32)
+        stop_n = stop | ~any_left | (n_out_n >= MAX_OUTPUT)
+        return (used_n, stop_n, n_out_n, hit_idx, hit_score, hit_final), None
+
+    carry = (used, stop, n_out, hit_idx, hit_score, hit_final)
+    carry, _ = jax.lax.scan(attempt, carry, None, length=K)
+    _, _, _, hit_idx, hit_score, hit_final = carry
+    return hit_idx, hit_score, hit_final
+
+
+def _popcount32(x):
+    return jax.lax.population_count(
+        jax.lax.bitcast_convert_type(x, jnp.int32)
+    ).astype(jnp.int32)

@@ -571,3 +571,246 @@ def merge_expand_device(sb: SeedBatch, didx: DeviceIndex, S: int,
         valid=slot_ok,
         n_dropped=jnp.maximum(total - S, 0),
     )
+
+
+# -------------------------------------------------------------------------
+# v2 device front: open-addressing hash + slab MEM extension
+# -------------------------------------------------------------------------
+#
+# Identical results to seed_reads, restructured for TPU gather economics:
+#   - the two-level binary search (~max_bucket_bits dependent gathers per
+#     seed) becomes an exact open-addressing probe (~2 gathers): the
+#     40-bit 20-mer key is mixed by a bijective odd multiply mod 2^40
+#     (emulated in 16-bit limbs; no int64 on this backend), the top bits
+#     select a slot and the low bits are an exact-equality check;
+#   - per-entry unitig attributes (uid, intra-unitig offsets, occurrence
+#     count) are precomputed at index upload, replacing a searchsorted
+#     (~20 gathers) and posp chains with single-gather lookups;
+#   - MEM extension reads ONE contiguous word slab per hit
+#     (uni_words_pad[woff-n_ext .. woff+n_ext+2]) and one read-window
+#     table slice, then compares entirely in registers with static slab
+#     indices — instead of 2 random HBM gathers per lane per step.
+
+def _mix40(bucket_u32, residue_u32, lb: int, ht_bits: int):
+    """Fibonacci-hash a 40-bit k-mer key held as (bucket, residue):
+    returns (slot, check) per the build_kmer_hash layout."""
+    from ..index.device import MIX_C
+    key_lo = ((bucket_u32 << jnp.uint32(lb)) | residue_u32)
+    key_hi = (bucket_u32 >> jnp.uint32(32 - lb)) & jnp.uint32(0xFF)
+    a0 = key_lo & jnp.uint32(0xFFFF)
+    a1 = key_lo >> jnp.uint32(16)
+    a2 = key_hi
+    c0 = jnp.uint32(MIX_C & 0xFFFF)
+    c1 = jnp.uint32((MIX_C >> 16) & 0xFFFF)
+    c2 = jnp.uint32((MIX_C >> 32) & 0xFF)
+    p0 = a0 * c0
+    limb0 = p0 & jnp.uint32(0xFFFF)
+    carry0 = p0 >> jnp.uint32(16)
+    m1 = a0 * c1
+    m2 = a1 * c0
+    s1 = (m1 & jnp.uint32(0xFFFF)) + (m2 & jnp.uint32(0xFFFF)) + carry0
+    limb1 = s1 & jnp.uint32(0xFFFF)
+    carry1 = (s1 >> jnp.uint32(16)) + (m1 >> jnp.uint32(16)) \
+        + (m2 >> jnp.uint32(16))
+    limb2 = (a0 * c2 + a1 * c1 + a2 * c0 + carry1) & jnp.uint32(0xFF)
+    mixed_lo = limb0 | (limb1 << jnp.uint32(16))
+    mixed_hi = limb2
+    slot = ((mixed_hi << jnp.uint32(ht_bits - 8))
+            | (mixed_lo >> jnp.uint32(32 - (ht_bits - 8)))).astype(jnp.int32)
+    check = (mixed_lo & jnp.uint32((1 << (40 - ht_bits)) - 1)).astype(jnp.int32)
+    return slot, check
+
+
+@functools.partial(jax.jit, static_argnames=("S0", "n_ext_steps", "M"))
+def seed_reads2(
+    didx: DeviceIndex,
+    read_words: jnp.ndarray,   # (B, Wr) int32 packed
+    read_lens: jnp.ndarray,    # (B,) int32
+    seed_mask: jnp.ndarray,    # (B, S0) bool
+    S0: int,
+    n_ext_steps: int = 10,
+    M: int = 64,
+) -> SeedBatch:
+    B, Wr = read_words.shape
+    fl = didx.first_level_bases
+    sk = didx.search_k
+    lb = 2 * (sk - fl)
+    NE = n_ext_steps
+
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    rw_u = bc(read_words)
+    ht_check = didx.ht_check
+    ht_payload = didx.ht_payload
+    size_mask = (1 << didx.ht_bits) - 1
+
+    offs = jnp.arange(S0, dtype=jnp.int32) * SEED_STEP
+    o = jnp.broadcast_to(offs[None, :], (B, S0))
+    n_kmer = read_lens[:, None] - sk + 1
+    seed_ok = (o < n_kmer) & seed_mask
+
+    # --- k-mer keys -------------------------------------------------------
+    win_a = _window32_rows(rw_u, o)
+    win_b = _window32_rows(rw_u, o + fl)
+    bucket = win_a >> jnp.uint32(32 - 2 * fl)
+    residue = win_b >> jnp.uint32(32 - lb)
+    slot0, check = _mix40(bucket, residue, lb, didx.ht_bits)
+
+    # --- open-addressing probe -------------------------------------------
+    found = jnp.zeros((B, S0), bool)
+    done = jnp.zeros((B, S0), bool)
+    fslot = jnp.zeros((B, S0), jnp.int32)
+    for pstep in range(didx.ht_probe):
+        sl = (slot0 + pstep) & size_mask
+        c = ht_check[sl]
+        hit = (c == check) & ~done
+        fslot = jnp.where(hit, sl, fslot)
+        found = found | hit
+        done = done | hit | (c == -1)
+    payload = jnp.where(found, ht_payload[fslot], 0)
+    left = payload & ((1 << 27) - 1)
+    count = jnp.where(found, (payload >> 27) + 1, 0)
+    found = seed_ok & found & (count <= UNI_POS_N_MAX)
+
+    # --- compact hits to (B, M) lanes (same as v1) ------------------------
+    eff = jnp.where(found, count, 0)
+    cum = jnp.cumsum(eff, axis=1)
+    start = cum - eff
+    n_hits = cum[:, -1]
+    overflow0 = jnp.maximum(n_hits - M, 0).astype(jnp.int32)
+
+    m_slot = jnp.arange(M, dtype=jnp.int32)[None, :]
+    hit_seed = jax.vmap(
+        lambda c_, s_: jnp.searchsorted(c_, s_, side="right")
+    )(cum, m_slot + jnp.zeros((B, 1), jnp.int32)).astype(jnp.int32)
+    hit_seed = jnp.clip(hit_seed, 0, S0 - 1)
+    hit_h = m_slot - jnp.take_along_axis(start, hit_seed, axis=1)
+    hit_ok = m_slot < jnp.minimum(n_hits, M)[:, None]
+
+    gb = lambda a: jnp.take_along_axis(a, hit_seed, axis=1)
+    entry = gb(left) + hit_h
+    o2 = gb(o)
+    entry_c = jnp.clip(entry, 0, max(didx.n_kmer - 1, 0))
+    valid_entry = hit_ok
+    off = jnp.where(valid_entry, didx.off_g[entry_c], 0)
+    uid = jnp.where(valid_entry, didx.ent_uid[entry_c], 0)
+    off_l = jnp.where(valid_entry, didx.ent_off_l[entry_c], 0)
+    off_r = jnp.where(valid_entry, didx.ent_off_r[entry_c], 0)
+    pos_n = jnp.where(valid_entry, didx.ent_pos_n[entry_c], 0)
+
+    max_left = jnp.minimum(off_l, o2)
+    max_right = jnp.minimum(off_r, read_lens[:, None] - o2 - sk)
+
+    # --- unitig slab: ONE contiguous gather per lane ----------------------
+    from ..index.device import PAD_WORDS
+    SLAB = 2 * NE + 3
+    woff = off >> 4
+    slab_start = (woff - NE + PAD_WORDS).reshape(-1)
+    uni_pad_u = bc(didx.uni_words_pad)
+    slab = jax.vmap(
+        lambda s_: jax.lax.dynamic_slice(uni_pad_u, (s_,), (SLAB,))
+    )(slab_start).reshape(B, M, SLAB)
+    sh_l = (off & 15).astype(jnp.uint32) * 2
+    p_r = off + sk
+    sh_r = (p_r & 15).astype(jnp.uint32) * 2
+    delta_r = (p_r >> 4) - woff                      # 1 or 2
+
+    def uwin_left(b_):
+        hi = slab[:, :, NE - b_]
+        lo = slab[:, :, NE - b_ + 1]
+        lo_part = jnp.where(sh_l == 0, jnp.uint32(0),
+                            lo >> (jnp.uint32(32) - sh_l))
+        return (hi << sh_l) | lo_part
+
+    def uwin_right(b_):
+        hi = jnp.where(delta_r == 1, slab[:, :, NE + 1 + b_],
+                       slab[:, :, NE + 2 + b_])
+        lo = jnp.where(delta_r == 1, slab[:, :, NE + 2 + b_],
+                       slab[:, :, NE + 3 + b_] if NE + 3 + b_ < SLAB
+                       else slab[:, :, SLAB - 1])
+        lo_part = jnp.where(sh_r == 0, jnp.uint32(0),
+                            lo >> (jnp.uint32(32) - sh_r))
+        return (hi << sh_r) | lo_part
+
+    # --- read windows: static per (seed column, step), one lane gather ---
+    offs_np = np.arange(S0, dtype=np.int32) * SEED_STEP
+    w0 = offs_np // 16                               # static per column
+    shs = np.asarray((offs_np % 16) * 2, np.int32)
+    pr = offs_np + sk
+    wr0 = np.asarray(pr // 16, np.int32)
+    shr = np.asarray((pr % 16) * 2, np.int32)
+
+    def rwin_table(widx, shv):
+        """(B, S0) windows from static word indices + shifts."""
+        hi = rw_u[:, np.clip(widx, 0, Wr - 1)]
+        lo = rw_u[:, np.clip(widx + 1, 0, Wr - 1)]
+        shv_j = jnp.asarray(shv.astype(np.uint32))[None, :]
+        lo_part = jnp.where(shv_j == 0, jnp.uint32(0),
+                            lo >> (jnp.uint32(32) - shv_j))
+        return (hi << shv_j) | lo_part
+
+    rl_cols = [rwin_table(np.asarray(w0) - b_, shs) for b_ in range(1, NE + 1)]
+    rr_cols = [rwin_table(wr0 + b_, shr) for b_ in range(NE)]
+    rtab = jnp.stack(rl_cols + rr_cols, axis=2)       # (B, S0, 2*NE)
+    rlanes = jnp.take_along_axis(
+        rtab, hit_seed[:, :, None] + jnp.zeros((1, 1, 2 * NE), jnp.int32),
+        axis=1,
+    )                                                # (B, M, 2*NE)
+
+    # --- left extension ---------------------------------------------------
+    left_m = jnp.zeros_like(off)
+    still = jnp.ones_like(off, dtype=bool)
+    for step in range(NE):
+        wr = rlanes[:, :, step]
+        wu = uwin_left(step + 1)
+        x = wr ^ wu
+        mm = jnp.where(x == 0, 16, _ctz32(x) >> 1)
+        take = jnp.where(still, jnp.minimum(mm, max_left - left_m), 0)
+        left_m = left_m + jnp.maximum(take, 0)
+        still = still & (mm >= 16) & (left_m < max_left)
+    left_m = jnp.minimum(left_m, max_left)
+
+    # --- right extension --------------------------------------------------
+    right_m = jnp.zeros_like(off)
+    still = jnp.ones_like(off, dtype=bool)
+    for step in range(NE):
+        wr = rlanes[:, :, NE + step]
+        wu = uwin_right(step)
+        x = wr ^ wu
+        mm = jnp.where(x == 0, 16, _clz32(x) >> 1)
+        take = jnp.where(still, jnp.minimum(mm, max_right - right_m), 0)
+        right_m = right_m + jnp.maximum(take, 0)
+        still = still & (mm >= 16) & (right_m < max_right)
+    right_m = jnp.minimum(right_m, max_right)
+
+    read_pos = o2 - left_m
+    uni_pos_off = off_l - left_m
+    length = sk + left_m + right_m
+
+    # --- sequential coverage skip (same as v1) ----------------------------
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    per_seed_max_right = (
+        jnp.full((B, S0), -1, jnp.int32)
+        .at[rows + jnp.zeros_like(hit_seed), hit_seed]
+        .max(jnp.where(hit_ok, right_m, -1))
+    )
+
+    def skip_step(msr, s):
+        o_s = offs[s]
+        used = (o_s + sk - 1 > msr) & found[:, s]
+        max_right_i = jnp.maximum(per_seed_max_right[:, s] + 1, 1)
+        msr_new = jnp.where(used, o_s + sk + max_right_i - 1, msr)
+        return msr_new, used
+    _, used_list = jax.lax.scan(skip_step, jnp.zeros((B,), jnp.int32),
+                                jnp.arange(S0))
+    seed_used = jnp.transpose(used_list)
+
+    valid = hit_ok & jnp.take_along_axis(seed_used, hit_seed, axis=1)
+    return SeedBatch(
+        uid=jnp.where(valid, uid, 0),
+        read_pos=jnp.where(valid, read_pos, 0),
+        uni_pos_off=jnp.where(valid, uni_pos_off, 0),
+        length=jnp.where(valid, length, 0),
+        pos_n=jnp.where(valid, pos_n, 0),
+        valid=valid,
+        n_overflow=overflow0,
+    )

@@ -80,3 +80,23 @@ def test_engine_matches_host_with_errors(world):
     for i, seq in enumerate(seqs):
         expect = host.align_read(seq, oris[i])
         _cmp_states(expect, got[i], f"mut{i}")
+
+
+def test_engine_pallas_dp_matches_host(world):
+    """Engine with the Pallas DP backend (interpret mode on CPU) must
+    reproduce the host aligner exactly, like the scan backend does."""
+    ds, idx, host, eng = world
+    eng_p = AlignEngine(
+        idx, ori_chrom_names=list(ds.genome),
+        config=EngineConfig(dp_backend="pallas", dp_interpret=True),
+    )
+    reads = ds.reads[:30]
+    seqs = [r.seq1 for r in reads] + [r.seq2 for r in reads]
+    oris = [OriResult(unmapped=True)] * len(seqs)
+    got = eng_p.align_batch(seqs, oris)
+    n_with = 0
+    for i, seq in enumerate(seqs):
+        expect = host.align_read(seq, oris[i])
+        _cmp_states(expect, got[i], f"read{i}")
+        n_with += bool(expect.results)
+    assert n_with > 10

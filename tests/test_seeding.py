@@ -118,3 +118,61 @@ def test_seed_mask_respected(world):
     mask = np.zeros((2, S0), bool)  # everything masked -> no seeds
     sb = seed_reads(didx, words, lens, mask, S0=S0)
     assert not bool(np.asarray(sb.valid).any())
+
+
+def test_seed_reads2_matches_v1(world):
+    """The hash+slab front (seed_reads2) must produce the exact same
+    SeedBatch as the binary-search front on identical inputs."""
+    from pansvr_tpu.ops.seeding import seed_reads2
+
+    idx, didx, contigs = world
+    rng = np.random.default_rng(33)
+    reads = _reads_from(contigs, rng, 24, err=0.03)
+    L = 150
+    B = len(reads)
+    codes = np.stack(reads)
+    words = pack_reads(codes)
+    lens = np.full(B, L, np.int32)
+    # exercise variable lengths too
+    lens[::5] = 120
+    S0 = (L - idx.search_k) // SEED_STEP + 1
+    mask = np.ones((B, S0), bool)
+    mask[3, ::3] = False  # STR-style seed whitelist holes
+
+    v1 = seed_reads(didx, words, lens, mask, S0=S0, M=64)
+    v2 = seed_reads2(didx, words, lens, mask, S0=S0, M=64)
+    for f in ("uid", "read_pos", "uni_pos_off", "length", "pos_n",
+              "valid", "n_overflow"):
+        a, b = np.asarray(getattr(v1, f)), np.asarray(getattr(v2, f))
+        assert np.array_equal(a, b), f"field {f} differs"
+
+
+def test_seed_reads2_matches_oracle(world):
+    from pansvr_tpu.ops.seeding import seed_reads2
+
+    idx, didx, contigs = world
+    rng = np.random.default_rng(34)
+    reads = _reads_from(contigs, rng, 16)
+    L = 150
+    B = len(reads)
+    codes = np.stack(reads)
+    words = pack_reads(codes)
+    lens = np.full(B, L, np.int32)
+    S0 = (L - idx.search_k) // SEED_STEP + 1
+    mask = np.ones((B, S0), bool)
+
+    sb = seed_reads2(didx, words, lens, mask, S0=S0, M=64)
+    assert not np.asarray(sb.n_overflow).any()
+    for b in range(B):
+        expect = _host_mems(idx, reads[b])
+        got = []
+        valid = np.asarray(sb.valid[b])
+        for m in np.nonzero(valid)[0]:
+            got.append(
+                (int(sb.uid[b, m]), int(sb.read_pos[b, m]),
+                 int(sb.uni_pos_off[b, m]), int(sb.length[b, m]),
+                 int(sb.pos_n[b, m]))
+            )
+        exp = [(m.uid, m.read_pos, m.uni_pos_off, m.length, m.pos_n)
+               for m in expect]
+        assert sorted(got) == sorted(exp), f"read {b}: {got} != {exp}"
