@@ -204,23 +204,121 @@ class SvVerdict:
     depth_bp2: float = 0.0
 
 
+CONTIG_DP = dict(match=2, mismatch=-10, q=24, e=2, q2=32, e2=1,
+                 w=132, zdrop=132)   # SignalAssembly.hpp:411-420 profile
+
+
+class ContigDpBatcher:
+    """Collect/replay batcher for contig<->anchor DP problems.
+
+    fc_sv's DP calls are independent across SVs, so SvCaller first PLANS
+    every SV (assembly + voting + DP request collection), then all
+    requests run as one batched device program (ops/extd2_pallas with
+    the contig scoring profile), then verdicts are finished. The inline
+    mode (device=False) resolves each request immediately with the
+    scalar oracle — same results, used on CPU-only deployments."""
+
+    def __init__(self, device: bool = False, Q: int = 576, T: int = 704,
+                 W: int = 192, interpret: bool = False):
+        self.device = device
+        self.Q, self.T, self.W = Q, T, W
+        self.interpret = interpret
+        self.requests: list = []
+        self.results: list = []
+
+    def request(self, qseq: np.ndarray, tseq: np.ndarray) -> int:
+        idx = len(self.requests)
+        self.requests.append((qseq, tseq))
+        if not self.device:
+            self.results.append(ksw2_ref.extd2(qseq, tseq, **CONTIG_DP))
+        return idx
+
+    def result(self, idx: int):
+        return self.results[idx]
+
+    def run(self):
+        """Resolve all pending requests (device path)."""
+        if not self.device or not self.requests:
+            return
+        from ..ops.extd2_jax import Extd2Params
+        from ..ops import extd2_pallas as epl
+        from ..ops.ksw2_ref import Ez, NEG_INF
+
+        params = Extd2Params(
+            match=CONTIG_DP["match"], mismatch=CONTIG_DP["mismatch"],
+            q=CONTIG_DP["q"], e=CONTIG_DP["e"], q2=CONTIG_DP["q2"],
+            e2=CONTIG_DP["e2"], w=CONTIG_DP["w"], zdrop=CONTIG_DP["zdrop"],
+        )
+        self.results = [None] * len(self.requests)
+        small = [k for k, (q, t) in enumerate(self.requests)
+                 if len(q) <= self.Q and len(t) <= self.T]
+        for k in range(len(self.requests)):
+            if k not in set(small):
+                q, t = self.requests[k]
+                self.results[k] = ksw2_ref.extd2(q, t, **CONTIG_DP)
+        BLK = epl.BLK
+        _, n_diag_pad, _, _ = epl._plan(self.Q, self.T, self.W)
+        for c0 in range(0, len(small), 4 * BLK):
+            chunk = small[c0 : c0 + 4 * BLK]
+            B = ((len(chunk) + BLK - 1) // BLK) * BLK
+            qc = np.zeros((B, self.Q), np.int32)
+            tc = np.zeros((B, self.T), np.int32)
+            ql = np.ones(B, np.int32)
+            tl = np.ones(B, np.int32)
+            for bi, k in enumerate(chunk):
+                q, t = self.requests[k]
+                qc[bi, : len(q)] = q
+                tc[bi, : len(t)] = t
+                ql[bi] = len(q)
+                tl[bi] = len(t)
+            res = epl.extd2_batch_pallas(
+                qc, ql, tc, tl, params=params, W=self.W,
+                interpret=self.interpret,
+            )
+            zdr = np.asarray(res.zdropped)
+            mxt = np.asarray(res.max_t)
+            mxq = np.asarray(res.max_q)
+            i0 = np.where(~zdr, tl - 1, np.where(mxt >= 0, mxt, -1)).astype(np.int32)
+            j0 = np.where(~zdr, ql - 1, np.where(mxq >= 0, mxq, -1)).astype(np.int32)
+            ops, i_f, j_f = epl.traceback_batch_pallas(
+                res.dmat, ql, tl, i0, j0, params=params, W=self.W,
+                n_diag_pad=n_diag_pad, Tmax=self.T,
+                interpret=self.interpret,
+            )
+            ops = np.asarray(ops)
+            i_f = np.asarray(i_f)
+            j_f = np.asarray(j_f)
+            score = np.asarray(res.score)
+            mqe = np.asarray(res.mqe)
+            mx = np.asarray(res.max)
+            for bi, k in enumerate(chunk):
+                cig = epl.ops_to_cigar_skip(ops[bi], int(i_f[bi]), int(j_f[bi])) \
+                    if i0[bi] >= 0 else []
+                self.results[k] = Ez(
+                    score=int(score[bi]), mqe=int(mqe[bi]), max=int(mx[bi]),
+                    max_q=int(mxq[bi]), max_t=int(mxt[bi]),
+                    zdropped=bool(zdr[bi]), cigar=cig,
+                )
+        self.requests = []
+
+
 class SvCaller:
     def __init__(self, sf: SVRefSequence, opts: SvCallOptions | None = None,
-                 detail_out=None):
+                 detail_out=None, dp: ContigDpBatcher | None = None):
         self.sf = sf
         self.o = opts or SvCallOptions()
         self.am = AssemblyManager()
         self.detail = detail_out
-
-    # ------------------------------------------------------------------
-    def _dp_align(self, qseq: np.ndarray, tseq: np.ndarray):
-        return ksw2_ref.extd2(
-            qseq, tseq, match=2, mismatch=-10, q=24, e=2, q2=32, e2=1,
-            w=132, zdrop=132,
-        )
+        self.dp = dp or ContigDpBatcher(device=False)
 
     def call_sv(self, sv_id: int, reads: list[LoadedRead],
                 cluster_reads: list[tuple[int, list[LoadedRead]]] = ()) -> SvVerdict:
+        plan = self.plan_sv(sv_id, reads, cluster_reads)
+        self.dp.run()
+        return self.finish_sv(plan)
+
+    def plan_sv(self, sv_id: int, reads: list[LoadedRead],
+                cluster_reads: list[tuple[int, list[LoadedRead]]] = ()):
         o = self.o
         info = self.sf.sv_info[sv_id]
         sv_len = info.length
@@ -262,9 +360,9 @@ class SvCaller:
             if other_id != sv_id:
                 add_reads(other_reads, False)
 
-        # ---- per-block assembly + contig handling ----------------------
+        # ---- per-block assembly + contig handling (DP deferred) --------
         global_depth = _GlobalDepth(sv_len, tseq)
-        variations: list[dict] = []
+        pending: list[dict] = []
 
         for ab_idx, blk in enumerate(blocks):
             if not blk:
@@ -292,15 +390,34 @@ class SvCaller:
                     continue
                 self._handle_contig(
                     contig, contig_id, ab_idx, read_strs, offsets, mains,
-                    score_flags, tseq, sv_len, global_depth, variations,
+                    score_flags, tseq, sv_len, pending,
                 )
 
+        return dict(sv_id=sv_id, info=info, sv_len=sv_len, bp1=bp1, bp2=bp2,
+                    global_depth=global_depth, pending=pending, tseq=tseq,
+                    depth_counter=depth_counter)
+
+    def finish_sv(self, plan) -> SvVerdict:
+        """Resolve the planned DP requests into variations + verdict.
+        Requires self.dp.run() to have been called (device mode)."""
+        global_depth = plan["global_depth"]
+        tseq = plan["tseq"]
+        variations: list[dict] = []
+        for p in plan["pending"]:
+            ez = self.dp.result(p["dp"])
+            if not ez.cigar:
+                continue
+            cig, pos_adj = cigar_adjust(ez.cigar, delete_small_tail=15,
+                                        add_blank=False)
+            self._extract_vars(
+                cig, p["st"] + pos_adj, p["qcodes"], p["qdepth"], tseq,
+                p["ab_idx"], p["contig_id"], global_depth, variations,
+            )
         global_depth.finalize()
         merged = _merge_variations(variations, global_depth)
-
-        # ---- region analysis + PASS/FAIL + VCF -------------------------
-        return self._verdict(sv_id, info, sv_len, bp1, bp2, global_depth,
-                             merged, depth_counter)
+        return self._verdict(plan["sv_id"], plan["info"], plan["sv_len"],
+                             plan["bp1"], plan["bp2"], global_depth,
+                             merged, plan["depth_counter"])
 
     # ------------------------------------------------------------------
     def _add_depth(self, depth_counter, r: LoadedRead):
@@ -317,18 +434,19 @@ class SvCaller:
                 off += ln
 
     def _handle_contig(self, contig, contig_id, ab_idx, read_strs, offsets,
-                       mains, score_flags, tseq, sv_len, global_depth,
-                       variations):
+                       mains, score_flags, tseq, sv_len, pending):
         # position voting from the action journal
         removed = set()
         votes: dict[int, int] = {}
         contig_seq = contig.seq
         clen = len(contig_seq)
+        contig_arr = np.frombuffer(contig_seq.encode(), np.uint8)
         contig_depth = np.zeros(clen, dtype=np.int32)
         used = 0
         bigger = 0
         smaller = 0
         wl = contig.word_length
+        read_arrs: dict[int, np.ndarray] = {}
         for kmer_idx, rid, is_add in contig.actions:
             if rid >= len(read_strs) or not mains[rid]:
                 continue
@@ -353,16 +471,14 @@ class SvCaller:
                 st_read = -st_ref
                 st_ref = 0
             ed_ref = min(clen, st_ref + len(rseq) - st_read)
-            wrong = 0
-            for i in range(st_ref, ed_ref):
-                if contig_seq[i] != rseq[st_read + i - st_ref]:
-                    wrong += 1
-                    if wrong > 8:
-                        break
-            if wrong <= 8:
-                for i in range(st_ref, ed_ref):
-                    if contig_seq[i] == rseq[st_read + i - st_ref]:
-                        contig_depth[i] += 1
+            rarr = read_arrs.get(rid)
+            if rarr is None:
+                rarr = read_arrs[rid] = np.frombuffer(rseq.encode(), np.uint8)
+            seg_c = contig_arr[st_ref:ed_ref]
+            seg_r = rarr[st_read : st_read + (ed_ref - st_ref)]
+            eq = seg_c == seg_r
+            if (len(eq) - int(eq.sum())) <= 8:
+                contig_depth[st_ref:ed_ref] += eq
                 used += 1
                 sug = offsets[rid] - (kmer_idx - contig.ass_begin_offset_in_contig - pos_read)
                 votes[sug] = votes.get(sug, 0) + 1
@@ -399,16 +515,12 @@ class SvCaller:
             ed = min(sug + clen + 60, sv_len)
             if ed < st + 20 or q_st > clen:
                 continue
-            ez = self._dp_align(qcodes_full[q_st:], tseq[st:ed])
-            if not ez.cigar:
-                continue
-            cig, pos_adj = cigar_adjust(ez.cigar, delete_small_tail=15,
-                                        add_blank=False)
-            self._extract_vars(
-                cig, st + pos_adj, qcodes_full[q_st:],
-                contig_depth[q_st:], tseq, ab_idx, contig_id,
-                global_depth, variations,
-            )
+            dp_id = self.dp.request(qcodes_full[q_st:], tseq[st:ed])
+            pending.append(dict(
+                dp=dp_id, st=st, qcodes=qcodes_full[q_st:],
+                qdepth=contig_depth[q_st:], ab_idx=ab_idx,
+                contig_id=contig_id,
+            ))
 
     def _extract_vars(self, cigar, ref_pos, qcodes, qdepth, tseq, ab_idx,
                       contig_id, global_depth, variations):
@@ -419,32 +531,53 @@ class SvCaller:
         match_base = 0
         finished_head = False
         n = len(cigar)
+        nt = len(tseq)
+        nq = len(qcodes)
+        nd = len(qdepth)
         for ci, (op, ln) in enumerate(cigar):
             if op == "M":
-                for _ in range(ln):
-                    if out >= len(tseq) or qi >= len(qcodes):
-                        qi += 1
-                        out += 1
-                        continue
-                    if not finished_head:
-                        match_base += 1 if tseq[out] == qcodes[qi] else -1
-                        if match_base >= HEAD_MIN_MATCH_BASE:
-                            finished_head = True
-                        qi += 1
-                        out += 1
-                        continue
-                    global_depth.set_base(out, int(qcodes[qi]), ab_idx,
-                                          int(qdepth[min(qi, len(qdepth) - 1)]))
-                    if qcodes[qi] != tseq[out]:
+                # vectorized M run: positions are distinct, so the head
+                # walk is a cumsum and the body is masked array updates
+                i = np.arange(ln)
+                t_idx = out + i
+                q_idx = qi + i
+                valid = (t_idx < nt) & (q_idx < nq)
+                eq = np.zeros(ln, bool)
+                if valid.any():
+                    vt = t_idx[valid]
+                    vq = q_idx[valid]
+                    eq[valid] = tseq[vt] == qcodes[vq]
+                body_from = 0
+                if not finished_head:
+                    delta = np.where(valid, np.where(eq, 1, -1), 0)
+                    cum = match_base + np.cumsum(delta)
+                    hit = np.nonzero(cum >= HEAD_MIN_MATCH_BASE)[0]
+                    if len(hit):
+                        finished_head = True
+                        body_from = int(hit[0]) + 1
+                        match_base = int(cum[hit[0]])
+                    else:
+                        body_from = ln
+                        match_base = int(cum[-1]) if ln else match_base
+                if body_from < ln:
+                    sel = valid.copy()
+                    sel[:body_from] = False
+                    p = t_idx[sel]
+                    qsel = q_idx[sel]
+                    d = qdepth[np.minimum(qsel, nd - 1)]
+                    global_depth.set_base_run(p, qcodes[qsel], ab_idx, d)
+                    for k in np.nonzero(sel & ~eq)[0]:
+                        oi = out + int(k)
+                        qk = qi + int(k)
                         variations.append(dict(
-                            ref=dna.decode(tseq[out : out + 1]),
-                            alt=dna.decode(qcodes[qi : qi + 1]),
-                            ref_position=out, var_type="SNP",
-                            depth=int(qdepth[min(qi, len(qdepth) - 1)]),
+                            ref=dna.decode(tseq[oi : oi + 1]),
+                            alt=dna.decode(qcodes[qk : qk + 1]),
+                            ref_position=oi, var_type="SNP",
+                            depth=int(qdepth[min(qk, nd - 1)]),
                             assembly_part=ab_idx, contig_id=contig_id,
                         ))
-                    qi += 1
-                    out += 1
+                qi += ln
+                out += ln
             elif op == "I":
                 if 0 < ci < n - 1 and ln < MAX_INDEL_LEN:
                     if not finished_head:
@@ -589,23 +722,15 @@ class SvCaller:
 def _find_read_kmer(rseq: str, contig_seq: str, kmer_idx: int,
                     ass_begin: int, wl: int) -> int:
     """AddReadAction::set_read_pos: locate the contig word in the read
-    (backward scan for left-extension actions)."""
+    (backward scan for left-extension actions). str.find/rfind are the
+    C-speed equivalents of the reference's scan loops."""
     cpos = kmer_idx - ass_begin
     if cpos < 0 or cpos + wl > len(contig_seq):
         return -1
     word = contig_seq[cpos : cpos + wl]
-    n = len(rseq) - wl + 1
-    if n <= 0:
+    if len(rseq) < wl:
         return -1
-    if kmer_idx < 0:
-        for i in range(n - 1, -1, -1):
-            if rseq[i : i + wl] == word:
-                return i
-    else:
-        for i in range(n):
-            if rseq[i : i + wl] == word:
-                return i
-    return -1
+    return rseq.rfind(word) if kmer_idx < 0 else rseq.find(word)
 
 
 class _GlobalDepth:
@@ -632,10 +757,32 @@ class _GlobalDepth:
             self.counts[pos, base] += self.tmp[pos, base]
             self.tmp[pos, base] = depth
 
+    def set_base_run(self, pos: np.ndarray, base: np.ndarray, ab_block: int,
+                     depth: np.ndarray):
+        """Vectorized set_base over DISTINCT positions (one M run)."""
+        m = (pos >= 0) & (pos < self.n)
+        if not m.all():
+            pos, base, depth = pos[m], base[m], depth[m]
+        if len(pos) == 0:
+            return
+        same = self.cur_block[pos] == ab_block
+        ps, bs = pos[same], base[same]
+        self.tmp[ps, bs] = np.maximum(self.tmp[ps, bs], depth[same])
+        pd, bd = pos[~same], base[~same]
+        self.cur_block[pd] = ab_block
+        self.counts[pd, bd] += self.tmp[pd, bd]
+        self.tmp[pd, bd] = depth[~same]
+
     def finalize(self):
         self.counts += self.tmp
         self.total = self.counts.sum(axis=1)
         self.maxb = np.argmax(self.counts, axis=1)
+        top = self.counts[np.arange(self.n), self.maxb]
+        self.ei = np.where(
+            self.total == 0, 1,
+            np.where(self.maxb != self.ref, 3 + self.maxb,
+                     np.where(top != self.total, 2, 0)),
+        ).astype(np.int32)
 
     def ref_base(self, pos):
         return self.ref[np.clip(pos, 0, self.n - 1)]
@@ -657,27 +804,18 @@ class _GlobalDepth:
     def analyze(self, st, ed):
         st = max(0, st)
         ed = min(self.n, ed)
-        out = dict(blank=0, snp=0, ins=0, term_del=0, **{"del": 0})
-        total_depth = 0
-        depth_cnt = 0
-        min_depth = None
-        for i in range(st, ed):
-            ei = self.event_info(i)
-            if ei == 1:
-                out["blank"] += 1
-            elif ei in (3, 4, 5, 6):
-                out["snp"] += 1
-            elif ei == 7:
-                out["del"] += 1
-            elif ei == 8:
-                out["ins"] += 1
-            if ei not in (1, 7):
-                depth_cnt += 1
-                total_depth += int(self.total[i])
-                min_depth = int(self.total[i]) if min_depth is None else min(
-                    min_depth, int(self.total[i]))
-        out["ave_depth"] = total_depth / depth_cnt if depth_cnt else 0.0
-        out["min_depth"] = min_depth or 0
+        ei = self.ei[st:ed]
+        out = dict(
+            blank=int((ei == 1).sum()),
+            snp=int(((ei >= 3) & (ei <= 6)).sum()),
+            ins=int((ei == 8).sum()),
+            term_del=0,
+        )
+        out["del"] = int((ei == 7).sum())
+        m = (ei != 1) & (ei != 7)
+        tot = self.total[st:ed][m]
+        out["ave_depth"] = float(tot.sum()) / len(tot) if len(tot) else 0.0
+        out["min_depth"] = int(tot.min()) if len(tot) else 0
         return out
 
 
@@ -712,16 +850,22 @@ def _merge_variations(variations: list[dict], gd: _GlobalDepth) -> list[dict]:
 
 
 def run_sv_calling(bam_path: str, sf: SVRefSequence,
-                   opts: SvCallOptions | None = None):
-    """Full fc_sv pass over a realigned BAM: returns (verdicts, vcf_records)."""
+                   opts: SvCallOptions | None = None,
+                   dp: ContigDpBatcher | None = None):
+    """Full fc_sv pass over a realigned BAM: returns (verdicts, vcf_records).
+
+    With a device ContigDpBatcher, every SV region is planned first
+    (assembly + voting), then ALL contig<->anchor DP problems run as one
+    batched device program, then verdicts are finished — the fc_sv analog
+    of the realigner's collect/replay."""
     o = opts or SvCallOptions()
-    caller = SvCaller(sf, o)
+    caller = SvCaller(sf, o, dp=dp)
     by_sv = load_reads_by_sv(bam_path, sf.sv_info, min_score=o.min_score)
     # chromosome-range sharding (the reference's -S/-E resumability
     # contract, generateVCFoptions.hpp:80-83): only SVs whose original
     # chromosome index falls in [st_chr, ed_chr] are handled here
     chrom_index = {c: i for i, c in enumerate(sf.ori_chrom_names)}
-    verdicts = []
+    plans = []
     for sv_id in sorted(by_sv):
         if sf.used[sv_id]:
             continue
@@ -747,6 +891,8 @@ def run_sv_calling(bam_path: str, sf: SVRefSequence,
         if not reads:
             continue
         cluster_reads = [(m, by_sv.get(m, [])) for m in members]
-        verdicts.append(caller.call_sv(best_id, reads, cluster_reads))
+        plans.append(caller.plan_sv(best_id, reads, cluster_reads))
+    caller.dp.run()
+    verdicts = [caller.finish_sv(p) for p in plans]
     vcf_records = [v.vcf for v in verdicts if v.vcf is not None]
     return verdicts, vcf_records

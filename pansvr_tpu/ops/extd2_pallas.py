@@ -483,7 +483,7 @@ def _tb_kernel(qlen_ref, tlen_ref, i0_ref, j0_ref, dmat_ref,
         st = st0 // 16 * 16
         en = jnp.minimum((en0 + 16) // 16 * 16 - 1, tlen_pad16 - 1)
 
-        here = alive & (i + j == r)
+        here = (alive != 0) & (i + j == r)
         diag = stage_ref[slot, r % DCHUNK]         # (W, BLK) uint8
         dm = jnp.max(
             jnp.where(kidx == (i - o_r)[None, :],
@@ -502,7 +502,9 @@ def _tb_kernel(qlen_ref, tlen_ref, i0_ref, j0_ref, dmat_ref,
         i_n = jnp.where(op != 1, i - 1, i)
         j_n = jnp.where(op != 2, j - 1, j)
         emitted = jnp.where(here, op, 3).astype(jnp.int8)
-        alive_n = jnp.where(here, (i_n >= 0) & (j_n >= 0), alive)
+        alive_n = jnp.where(
+            here, ((i_n >= 0) & (j_n >= 0)).astype(jnp.int32), alive
+        )
 
         ops_stage_ref[slot, r % DCHUNK] = emitted.reshape(1, BLK)
 
@@ -527,7 +529,7 @@ def _tb_kernel(qlen_ref, tlen_ref, i0_ref, j0_ref, dmat_ref,
 
     i0 = i0_ref[0, 0, :]
     j0 = j0_ref[0, 0, :]
-    alive0 = (i0 >= 0) & (j0 >= 0)
+    alive0 = ((i0 >= 0) & (j0 >= 0)).astype(jnp.int32)
     i_f, j_f, _, _ = jax.lax.fori_loop(
         0, n_diag_pad, step,
         (i0, j0, jnp.zeros((BLK,), jnp.int32), alive0),

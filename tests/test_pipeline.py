@@ -149,3 +149,37 @@ def test_denovo_recovers_hidden_svs(hidden_sv_world):
     # two-sided clip assembly resolves long INS (possibly IMPRECISE);
     # every hidden SV must come back at the right position
     assert n_hit == len(hidden), f"recovered {n_hit}/{len(hidden)}"
+
+
+def test_sv_calling_device_dp_matches_inline(pipeline_result):
+    """ContigDpBatcher device path (Pallas, interpret on CPU) must yield
+    the same verdicts/VCF records as the inline scalar-DP path."""
+    from pansvr_tpu.assembly.sv_call import (
+        ContigDpBatcher,
+        SVRefSequence,
+        SvCallOptions,
+        run_sv_calling,
+    )
+    from pansvr_tpu.io.fasta import Faidx, read_fasta
+
+    ds, records, work = pipeline_result
+    bam = os.path.join(work, "realigned.bam")
+    anchors = os.path.join(work, "anchors.fa")
+    genome_fa = os.path.join(work, "..", "genome.fa")
+    seqs = read_fasta(anchors)
+    names = list(seqs)
+
+    def fresh_sf():
+        return SVRefSequence(names, seqs, Faidx(genome_fa),
+                             list(ds.genome))
+
+    opts = SvCallOptions()
+    _, vcf_inline = run_sv_calling(bam, fresh_sf(), opts)
+    _, vcf_device = run_sv_calling(
+        bam, fresh_sf(), opts,
+        dp=ContigDpBatcher(device=True, interpret=True),
+    )
+    assert len(vcf_inline) == len(vcf_device)
+    for a, b in zip(vcf_inline, vcf_device):
+        assert (a.chrom, a.pos1, a.ref, a.alts, a.info) == \
+            (b.chrom, b.pos1, b.ref, b.alts, b.info)
