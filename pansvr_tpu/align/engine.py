@@ -78,10 +78,12 @@ from .host_align import (
 # ---- fused device programs (one dispatch each; per-op dispatch latency
 # over a remote-chip link otherwise dominates the batch time) -------------
 
-@functools.partial(jax.jit, static_argnames=("S0", "S", "M", "front"))
-def _device_front(didx, words, lens, mask, S0, S, M=64, front="v2"):
+@functools.partial(
+    jax.jit, static_argnames=("S0", "S", "M", "front", "n_ext"))
+def _device_front(didx, words, lens, mask, S0, S, M=64, front="v2",
+                  n_ext=10):
     seed_fn = seed_reads2 if front == "v2" else seed_reads
-    sb = seed_fn(didx, words, lens, mask, S0=S0, M=M)
+    sb = seed_fn(didx, words, lens, mask, S0=S0, M=M, n_ext_steps=n_ext)
     es = merge_expand_device(sb, didx, S=S)
     stats3 = jnp.stack([
         sb.n_overflow,
@@ -196,15 +198,36 @@ class _CollectDP(KswHandler):
 
 @dataclass
 class EngineConfig:
-    max_read_len: int = 160      # compiled read-length class
+    # compiled read-length classes: each batch runs in the smallest class
+    # that fits its longest read; longer reads fall back to the host
+    # aligner (reference cap is 1600, read_realignment.hpp:322)
+    read_classes: tuple = (160, 256, 512)
     max_seeds: int = 32          # S: expanded seeds per read/direction
     chain_bucket: int = 32       # K: fixed chain width (over-K reads -> host)
     mem_slots: int = 32          # M: compacted MEM lanes (overflow -> host)
-    dp_q: int = 176              # DP size class (query)
-    dp_t: int = 256              # DP size class (target)
+    dp_q: int = 176              # DP size class for the 160 read class
+    dp_t: int = 256
     dp_backend: str = "auto"     # "pallas" | "scan" | "auto" (pallas on TPU)
     dp_interpret: bool = False   # Pallas interpret mode (CPU testing)
     front: str = "v2"            # seeding front: "v2" hash+slab, "v1" bisect
+
+    @property
+    def max_read_len(self) -> int:
+        return max(self.read_classes)
+
+    def read_class(self, max_len: int) -> int | None:
+        for c in sorted(self.read_classes):
+            if max_len <= c:
+                return c
+        return None
+
+    def dp_class(self, read_class: int) -> tuple[int, int]:
+        """(dp_q, dp_t) for a read class; bigger classes scale with L
+        (same +80 target slack the 160 class uses)."""
+        if read_class <= 160:
+            return self.dp_q, self.dp_t
+        q = read_class + 16
+        return q, q + 80
 
     def use_pallas(self) -> bool:
         if self.dp_backend == "auto":
@@ -279,7 +302,9 @@ class AlignEngine:
         # pad the batch row count to a power-of-two bucket so the jitted
         # device stages compile once per bucket, not once per call
         n_pad = max(64, 1 << (max(n, 1) - 1).bit_length())
-        L = cfg.max_read_len
+        fit_lens = [len(s) for s in seqs if len(s) <= cfg.max_read_len]
+        L = cfg.read_class(max(fit_lens)) if fit_lens \
+            else min(cfg.read_classes)
         states: list[SingleEndState] = []
         active: list[int] = []
 
@@ -362,13 +387,18 @@ class AlignEngine:
         # chaining bucketed to the real max seed count (measured fastest:
         # host-NumPy chaining and fixed-K fused chaining both lose to this
         # on the remote link — see STATUS.md perf notes)
+        n_ext = max(9, -(-(L - LEN_KMER) // 16))
+        # MEM lanes scale with the seed-position count of the class (the
+        # overflow counter tallies hits BEFORE the coverage skip, so M
+        # must at least cover one hit per seed position)
+        M = max(cfg.mem_slots, (S0 + 16 + 15) // 16 * 16)
         es, stats3_dev = _device_front(
             self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds,
-            M=cfg.mem_slots, front=cfg.front,
+            M=M, front=cfg.front, n_ext=n_ext,
         )
         return dict(states=states, active=active, n=n, n_pad=n_pad,
                     seqs=seqs, oris=oris, front=(es, stats3_dev),
-                    is_str=is_str)
+                    is_str=is_str, read_class=L)
 
     def _finish_batch(self, pend, on_dp_dispatched=None) -> list[SingleEndState]:
         cfg = self.cfg
@@ -476,7 +506,8 @@ class AlignEngine:
 
         # ---- batched DP ------------------------------------------------
         t = time.perf_counter()
-        dp_handles = self._dispatch_dp_batch(handlers)
+        dp_handles = self._dispatch_dp_batch(handlers,
+                                             pend.get("read_class", 160))
         self.prof["dp_dispatch"] += time.perf_counter() - t
         if on_dp_dispatched is not None:
             # pipelining hook: the next batch's device front is queued HERE,
@@ -537,11 +568,13 @@ class AlignEngine:
         finally:
             al.ksw = saved
 
-    def _dispatch_dp_batch(self, handlers: dict[int, "_CollectDP"]):
+    def _dispatch_dp_batch(self, handlers: dict[int, "_CollectDP"],
+                           read_class: int = 160):
         """Dispatch all collected DP requests (fixed-size chunks) without
         synchronizing; returns handles for _sync_dp_batch. Oversize
         segments fall back to the scalar reference kernel at sync time."""
         cfg = self.cfg
+        dp_q, dp_t = cfg.dp_class(read_class)
         reqs = []
         owners = []
         for i, h in handlers.items():
@@ -556,7 +589,7 @@ class AlignEngine:
         if not reqs:
             return handles
         small = [k for k, (q, t) in enumerate(reqs)
-                 if len(q) <= cfg.dp_q and len(t) <= cfg.dp_t]
+                 if len(q) <= dp_q and len(t) <= dp_t]
         handles["big"] = [k for k in range(len(reqs)) if k not in set(small)]
 
         # fixed-size DP chunks: ONE compiled shape for the DP+traceback
@@ -565,8 +598,8 @@ class AlignEngine:
         for c0 in range(0, len(small), CHUNK):
             chunk = small[c0 : c0 + CHUNK]
             B = CHUNK
-            qc = np.zeros((B, cfg.dp_q), np.int32)
-            tc = np.zeros((B, cfg.dp_t), np.int32)
+            qc = np.zeros((B, dp_q), np.int32)
+            tc = np.zeros((B, dp_t), np.int32)
             ql = np.ones(B, np.int32)
             tl = np.ones(B, np.int32)
             for bi, k in enumerate(chunk):
@@ -583,7 +616,7 @@ class AlignEngine:
             else:
                 ops_dev, packed_dev = _device_dp(
                     qc, ql, tc, tl, params=self.dp_params,
-                    K=cfg.dp_q + cfg.dp_t,
+                    K=dp_q + dp_t,
                 )
             handles["chunks"].append((chunk, ops_dev, packed_dev))
         return handles

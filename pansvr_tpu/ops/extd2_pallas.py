@@ -432,8 +432,8 @@ def extd2_batch_pallas(q_codes, qlens, t_codes, tlens,
 # -------------------------------------------------------------------------
 
 def _tb_kernel(qlen_ref, tlen_ref, i0_ref, j0_ref, dmat_ref,
-               ops_ref, fin_ref, stage_ref, ops_stage_ref, dma_sem,
-               ops_sem, *, p: Extd2Params, W: int, n_diag_pad: int,
+               ops_ref, fin_ref, stage_ref, ops_acc_ref, dma_sem,
+               *, p: Extd2Params, W: int, n_diag_pad: int,
                t_pad: int):
     g = pl.program_id(0)
     qlen = qlen_ref[0, 0, :]
@@ -447,13 +447,6 @@ def _tb_kernel(qlen_ref, tlen_ref, i0_ref, j0_ref, dmat_ref,
             dmat_ref.at[g, pl.ds(chunk * DCHUNK, DCHUNK)],
             stage_ref.at[slot],
             dma_sem.at[slot],
-        )
-
-    def out_dma(slot, chunk):
-        return pltpu.make_async_copy(
-            ops_stage_ref.at[slot],
-            ops_ref.at[g, pl.ds(chunk * DCHUNK, DCHUNK)],
-            ops_sem.at[slot],
         )
 
     # prefetch the last two chunks (the walk goes backwards)
@@ -501,28 +494,21 @@ def _tb_kernel(qlen_ref, tlen_ref, i0_ref, j0_ref, dmat_ref,
                        jnp.where((st4 == 1) | (st4 == 3), 2, 1))
         i_n = jnp.where(op != 1, i - 1, i)
         j_n = jnp.where(op != 2, j - 1, j)
-        emitted = jnp.where(here, op, 3).astype(jnp.int8)
+        emitted = jnp.where(here, op, 3)
         alive_n = jnp.where(
             here, ((i_n >= 0) & (j_n >= 0)).astype(jnp.int32), alive
         )
 
-        ops_stage_ref[slot, r % DCHUNK] = emitted.reshape(1, BLK)
+        # int32 accumulation row (int8 rows would violate Mosaic's 4-row
+        # sublane tiling for single-row updates); whole array converts to
+        # int8 once at the end
+        ops_acc_ref[r, :] = emitted
 
-        # leaving this chunk: flush ops, then queue the chunk two below
-        # into the slot we just finished reading
-        @pl.when(r % DCHUNK == 0)
-        def _():
-            out_dma(slot, chunk).start()
-
+        # leaving this chunk: queue the chunk two below into the slot we
+        # just finished reading
         @pl.when((r % DCHUNK == 0) & (chunk >= 2))
         def _():
             in_dma(slot, chunk - 2).start()
-
-        # before this slot's ops staging is re-written (2 chunks later),
-        # its previous out-DMA must be done; wait as we enter a chunk
-        @pl.when((r % DCHUNK == DCHUNK - 1) & (chunk + 2 <= nchunks - 1))
-        def _():
-            out_dma(slot, chunk + 2).wait()
 
         return (jnp.where(here, i_n, i), jnp.where(here, j_n, j),
                 jnp.where(here, st4, state), alive_n)
@@ -535,14 +521,7 @@ def _tb_kernel(qlen_ref, tlen_ref, i0_ref, j0_ref, dmat_ref,
         (i0, j0, jnp.zeros((BLK,), jnp.int32), alive0),
     )
 
-    @pl.when(nchunks >= 1)
-    def _():
-        out_dma(0, 0).wait()
-
-    @pl.when(nchunks >= 2)
-    def _():
-        out_dma(1, 1).wait()
-
+    ops_ref[0] = ops_acc_ref[:].astype(jnp.int8)
     fin_ref[0, 0, :] = i_f
     fin_ref[0, 1, :] = j_f
 
@@ -571,17 +550,16 @@ def traceback_batch_pallas(dmat, qlens, tlens, i0, j0,
         in_specs=[bspec(1), bspec(1), bspec(1), bspec(1),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
+            bspec(n_diag_pad),
             bspec(2),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((G, n_diag_pad, 1, BLK), jnp.int8),
+            jax.ShapeDtypeStruct((G, n_diag_pad, BLK), jnp.int8),
             jax.ShapeDtypeStruct((G, 2, BLK), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, DCHUNK, W, BLK), jnp.uint8),
-            pltpu.VMEM((2, DCHUNK, 1, BLK), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_diag_pad, BLK), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -590,8 +568,7 @@ def traceback_batch_pallas(dmat, qlens, tlens, i0, j0,
       i0.astype(jnp.int32).reshape(G, 1, BLK),
       j0.astype(jnp.int32).reshape(G, 1, BLK), dmat)
     # memory order is ascending r; walk order is descending r
-    ops_b = ops.reshape(G, n_diag_pad, BLK).transpose(0, 2, 1).reshape(
-        B, n_diag_pad)[:, ::-1]
+    ops_b = ops.transpose(0, 2, 1).reshape(B, n_diag_pad)[:, ::-1]
     i_f = fin[:, 0, :].reshape(B)
     j_f = fin[:, 1, :].reshape(B)
     return ops_b, i_f, j_f

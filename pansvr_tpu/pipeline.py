@@ -137,22 +137,35 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
     realigned_bam = os.path.join(workdir, "realigned.bam")
     ori_bam = os.path.join(workdir, "output_ori.bam")
     filt = min_filter_score(stats.read_len or 150)
-    pairs = []
-    for name, seq, qual, comment in read_signal_fastq(signal_fq):
-        pairs.append((name, seq, qual, comment))
     writer = BamWriter(realigned_bam, header)
     ori_writer = BamWriter(ori_bam, header)
     B = cfg.batch_size
     n_emitted = 0
     step = 2 * (B // 2)
-    chunks = [pairs[i : i + step] for i in range(0, len(pairs) - 1, step)]
+
+    def chunk_stream():
+        """Stream the signal FASTQ in engine-batch chunks (the 2M-pair
+        pipeline-block analog, read_realignment.cpp:22-24,109): memory
+        stays O(batch), not O(file). A trailing unpaired record is
+        dropped exactly like the reference's paired kseq loop."""
+        buf = []
+        for rec in read_signal_fastq(signal_fq):
+            buf.append(rec)
+            if len(buf) == step:
+                yield buf
+                buf = []
+        if len(buf) >= 2:
+            yield buf[: len(buf) // 2 * 2]
+
+    import itertools
+    chunks_a, chunks_b = itertools.tee(chunk_stream())
 
     def batch_stream():
-        for chunk in chunks:
+        for chunk in chunks_b:
             yield ([p[1] for p in chunk],
                    [parse_signal_comment(p[3])[0] for p in chunk])
 
-    for chunk, states in zip(chunks, eng.align_stream(batch_stream())):
+    for chunk, states in zip(chunks_a, eng.align_stream(batch_stream())):
         for k in range(0, len(chunk) - 1, 2):
             st1, st2 = states[k], states[k + 1]
             pr = pe.pair(st1, st2)

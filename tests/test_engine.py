@@ -100,3 +100,34 @@ def test_engine_pallas_dp_matches_host(world):
         _cmp_states(expect, got[i], f"read{i}")
         n_with += bool(expect.results)
     assert n_with > 10
+
+
+def test_engine_read_class_256(world):
+    """250 bp reads must run through the device path (256 class), not the
+    per-read host fallback, and still match the host aligner."""
+    ds, idx, host, eng = world
+    rng = np.random.default_rng(42)
+    contigs = list(idx.chr_names)
+    seqs = []
+    for _ in range(24):
+        cid = int(rng.integers(len(contigs)))
+        start = int(idx.chr_starts[cid])
+        end = int(idx.chr_starts[cid + 1])
+        if end - start < 260:
+            continue
+        p = int(rng.integers(0, end - start - 250))
+        codes = idx.ref_codes[start + p : start + p + 250].copy()
+        codes = np.where(codes >= 4, np.uint8(0), codes)
+        err = rng.random(250) < 0.01
+        codes[err] = (codes[err] + 1) % 4
+        seqs.append(dna.decode(codes))
+    oris = [OriResult(unmapped=True)] * len(seqs)
+    eng2 = AlignEngine(idx, ori_chrom_names=list(ds.genome))
+    got = eng2.align_batch(seqs, oris)
+    assert eng2.prof.get("n_fallback", 0) == 0
+    n_with = 0
+    for i, seq in enumerate(seqs):
+        expect = host.align_read(seq, oris[i])
+        _cmp_states(expect, got[i], f"read{i}")
+        n_with += bool(expect.results)
+    assert n_with > len(seqs) // 2
