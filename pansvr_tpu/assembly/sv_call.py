@@ -118,66 +118,122 @@ class LoadedRead:
     rc_chr_id: int
 
 
+def _rec_to_loaded(rec, sv_infos) -> tuple[int, LoadedRead] | None:
+    """signalSAMLoader per-record semantics: keep reads with AS >=
+    min_score (checked by callers) and an SV tag, cigar_adjust(4,
+    add_blank), region-2 position shift for original alignments;
+    position converted to contig space."""
+    sv_tag = rec.get_tag("SV")
+    if sv_tag is None:
+        return None
+    score = rec.get_tag("AS") or 0
+    cs = rec.get_tag("CS")
+    if cs is None and rec.isize == 0:
+        return None
+    sv_id = int(str(sv_tag).split("_")[0])
+    if sv_id >= len(sv_infos):
+        return None
+    info = sv_infos[sv_id]
+    cig, pos_adj = cigar_adjust(rec.cigar, delete_small_tail=4,
+                                add_blank=True)
+    pos = rec.pos + pos_adj
+    if cs is None and info.bp2 < pos < info.ed_pos:
+        # original alignment right of the SV: shift into contig space
+        if info.sv_type == "INS":
+            adj = info.length - (info.bp1 - info.st_pos) - (info.ed_pos - info.bp2)
+        elif info.sv_type == "DEL":
+            adj = info.bp1 - info.bp2
+        else:
+            adj = 0
+        pos += adj
+    # genome pos -> contig offset (emitted pos = st_pos - 1 + offset)
+    contig_pos = pos - (info.st_pos - 1)
+    oa = str(rec.get_tag("OA") or ",,,,M;")
+    rc = str(rec.get_tag("RC") or "")
+    rc_fields = rc.split(",") if rc else []
+    xa_num = 0
+    rc_mapq = 60
+    rc_chr = 0
+    if len(rc_fields) >= 7:
+        try:
+            rc_chr = int(rc_fields[0])
+            rc_mapq = int(rc_fields[4])
+            xa_num = int(rc_fields[6])
+        except ValueError:
+            pass
+    return sv_id, LoadedRead(
+        pos=contig_pos, cigar=cig, seq=rec.seq, mapq=rec.mapq,
+        score=score, ori_score=rec.get_tag("OS") or 0,
+        has_cs=cs is not None,
+        ori_unmapped=oa.rstrip(";").endswith("U"),
+        xa_num=xa_num, rc_mapq=rc_mapq, rc_chr_id=rc_chr,
+    )
+
+
 def load_reads_by_sv(bam_path: str, sv_infos: list, min_score: int = 50):
-    """signalSAMLoader semantics: keep reads with AS >= min_score and an SV
-    tag (new alignments or mated originals), cigar_adjust(4, add_blank),
-    region-2 position shift for original alignments; group by SV id,
-    sorted by position. Positions converted to contig space here."""
+    """Whole-file variant: group by SV id, sorted by position."""
     by_sv: dict[int, list[LoadedRead]] = {}
     with BamReader(bam_path) as rd:
         for rec in rd:
-            sv_tag = rec.get_tag("SV")
-            if sv_tag is None:
+            if (rec.get_tag("AS") or 0) < min_score:
                 continue
-            score = rec.get_tag("AS") or 0
-            if score < min_score:
-                continue
-            cs = rec.get_tag("CS")
-            if cs is None and rec.isize == 0:
-                continue
-            sv_id = int(str(sv_tag).split("_")[0])
-            if sv_id >= len(sv_infos):
-                continue
-            info = sv_infos[sv_id]
-            cig, pos_adj = cigar_adjust(rec.cigar, delete_small_tail=4,
-                                        add_blank=True)
-            pos = rec.pos + pos_adj
-            if cs is None and info.bp2 < pos < info.ed_pos:
-                # original alignment right of the SV: shift into contig space
-                if info.sv_type == "INS":
-                    adj = info.length - (info.bp1 - info.st_pos) - (info.ed_pos - info.bp2)
-                elif info.sv_type == "DEL":
-                    adj = info.bp1 - info.bp2
-                else:
-                    adj = 0
-                pos += adj
-            # genome pos -> contig offset (emitted pos = st_pos - 1 + offset)
-            contig_pos = pos - (info.st_pos - 1)
-            oa = str(rec.get_tag("OA") or ",,,,M;")
-            rc = str(rec.get_tag("RC") or "")
-            rc_fields = rc.split(",") if rc else []
-            xa_num = 0
-            rc_mapq = 60
-            rc_chr = 0
-            if len(rc_fields) >= 7:
-                try:
-                    rc_chr = int(rc_fields[0])
-                    rc_mapq = int(rc_fields[4])
-                    xa_num = int(rc_fields[6])
-                except ValueError:
-                    pass
-            by_sv.setdefault(sv_id, []).append(
-                LoadedRead(
-                    pos=contig_pos, cigar=cig, seq=rec.seq, mapq=rec.mapq,
-                    score=score, ori_score=rec.get_tag("OS") or 0,
-                    has_cs=cs is not None,
-                    ori_unmapped=oa.rstrip(";").endswith("U"),
-                    xa_num=xa_num, rc_mapq=rc_mapq, rc_chr_id=rc_chr,
-                )
-            )
+            out = _rec_to_loaded(rec, sv_infos)
+            if out is not None:
+                by_sv.setdefault(out[0], []).append(out[1])
     for lst in by_sv.values():
         lst.sort(key=lambda r: r.pos)
     return by_sv
+
+
+class SvReadIndex:
+    """Memory-bounded loader: one streaming pass records each kept
+    record's (uncompressed offset, length) keyed by SV id — ints only —
+    then each SV's reads are materialized on demand through block-level
+    random access (io.bam.BamRandomReader). Same filters and per-SV
+    ordering as load_reads_by_sv, so results are identical with memory
+    O(region) instead of O(file) (signalSAMLoader.hpp:79-157 contract)."""
+
+    def __init__(self, bam_path: str, sv_infos: list, min_score: int = 50):
+        from ..io.bam import BamRandomReader, BamReaderOffsets
+
+        self.sv_infos = sv_infos
+        self.min_score = min_score
+        self.spans: dict[int, list[tuple[int, int]]] = {}
+        rd = BamReaderOffsets(bam_path)
+        try:
+            for uoff, ln, rec in rd.iter_with_spans():
+                if (rec.get_tag("AS") or 0) < min_score:
+                    continue
+                sv_tag = rec.get_tag("SV")
+                if sv_tag is None:
+                    continue
+                if rec.get_tag("CS") is None and rec.isize == 0:
+                    continue
+                sv_id = int(str(sv_tag).split("_")[0])
+                if sv_id >= len(sv_infos):
+                    continue
+                self.spans.setdefault(sv_id, []).append((uoff, ln))
+        finally:
+            rd.close()
+        self._rand = BamRandomReader(bam_path)
+
+    def sv_ids(self):
+        return sorted(self.spans)
+
+    def get(self, sv_id: int, default=None):
+        if sv_id not in self.spans:
+            return default if default is not None else []
+        out = []
+        for uoff, ln in self.spans[sv_id]:
+            rec = self._rand.record_at(uoff, ln)
+            conv = _rec_to_loaded(rec, self.sv_infos)
+            if conv is not None:
+                out.append(conv[1])
+        out.sort(key=lambda r: r.pos)
+        return out
+
+    def close(self):
+        self._rand.close()
 
 
 def read_score_filter(r: LoadedRead) -> bool:
@@ -860,13 +916,13 @@ def run_sv_calling(bam_path: str, sf: SVRefSequence,
     of the realigner's collect/replay."""
     o = opts or SvCallOptions()
     caller = SvCaller(sf, o, dp=dp)
-    by_sv = load_reads_by_sv(bam_path, sf.sv_info, min_score=o.min_score)
+    index = SvReadIndex(bam_path, sf.sv_info, min_score=o.min_score)
     # chromosome-range sharding (the reference's -S/-E resumability
     # contract, generateVCFoptions.hpp:80-83): only SVs whose original
     # chromosome index falls in [st_chr, ed_chr] are handled here
     chrom_index = {c: i for i, c in enumerate(sf.ori_chrom_names)}
     plans = []
-    for sv_id in sorted(by_sv):
+    for sv_id in index.sv_ids():
         if sf.used[sv_id]:
             continue
         ci = chrom_index.get(sf.sv_info[sv_id].chrom, 0)
@@ -875,10 +931,11 @@ def run_sv_calling(bam_path: str, sf: SVRefSequence,
         members = sf.cluster_members(sv_id)
         for m in members:
             sf.used[m] = True
+        member_reads = {m: index.get(m) for m in members}
         # pick the best cluster member by mapq-weighted score
         best_id, best_score = sv_id, -1
         for m in members:
-            rs = by_sv.get(m, [])
+            rs = member_reads[m]
             if not rs:
                 continue
             hq = sum(1 for r in rs if r.has_cs and r.mapq > 5)
@@ -887,11 +944,12 @@ def run_sv_calling(bam_path: str, sf: SVRefSequence,
             score = hq * 10 + tot_q + n * 2
             if score > best_score:
                 best_score, best_id = score, m
-        reads = by_sv.get(best_id, [])
+        reads = member_reads.get(best_id) or index.get(best_id)
         if not reads:
             continue
-        cluster_reads = [(m, by_sv.get(m, [])) for m in members]
+        cluster_reads = [(m, member_reads[m]) for m in members]
         plans.append(caller.plan_sv(best_id, reads, cluster_reads))
+    index.close()
     caller.dp.run()
     verdicts = [caller.finish_sv(p) for p in plans]
     vcf_records = [v.vcf for v in verdicts if v.vcf is not None]

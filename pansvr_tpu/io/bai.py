@@ -35,19 +35,79 @@ def reg2bin(beg: int, end: int) -> int:
     return 0
 
 
-def sort_bam(in_path: str, out_path: str) -> None:
-    """Position-sort (tid, pos) into a new BAM (in-memory)."""
+def _sort_key(r):
+    return (r.tid if r.tid >= 0 else 1 << 30, r.pos)
+
+
+def sort_bam(in_path: str, out_path: str,
+             max_records_in_ram: int | None = None) -> None:
+    """Position-sort (tid, pos) into a new BAM.
+
+    With max_records_in_ram set, runs as an external merge sort (the
+    samtools-sort analog in the reference driver, panSVR_run.sh:53):
+    sorted runs are spilled to temp BAMs and k-way merged, so a 30x WGS
+    realigned output sorts in bounded memory."""
+    import heapq
+    import os as _os
+    import tempfile
+
     with BamReader(in_path) as rd:
         header = rd.header
-        recs = list(rd)
-    recs.sort(key=lambda r: (r.tid if r.tid >= 0 else 1 << 30, r.pos))
-    text = header.text
-    if "SO:" in text:
-        text = text.replace("SO:unsorted", "SO:coordinate")
-    header.text = text
-    with BamWriter(out_path, header) as w:
-        for r in recs:
-            w.write(r)
+        text = header.text
+        if "SO:" in text:
+            header.text = text.replace("SO:unsorted", "SO:coordinate")
+
+        if max_records_in_ram is None:
+            recs = list(rd)
+            recs.sort(key=_sort_key)
+            with BamWriter(out_path, header) as w:
+                for r in recs:
+                    w.write(r)
+            return
+
+        tmpdir = tempfile.mkdtemp(prefix="bamsort_")
+        runs = []
+        try:
+            buf = []
+            for r in rd:
+                buf.append(r)
+                if len(buf) >= max_records_in_ram:
+                    buf.sort(key=_sort_key)
+                    p = _os.path.join(tmpdir, f"run{len(runs)}.bam")
+                    with BamWriter(p, header) as w:
+                        for x in buf:
+                            w.write(x)
+                    runs.append(p)
+                    buf = []
+            buf.sort(key=_sort_key)
+            if not runs:
+                with BamWriter(out_path, header) as w:
+                    for x in buf:
+                        w.write(x)
+                return
+            if buf:
+                p = _os.path.join(tmpdir, f"run{len(runs)}.bam")
+                with BamWriter(p, header) as w:
+                    for x in buf:
+                        w.write(x)
+                runs.append(p)
+            readers = [BamReader(p) for p in runs]
+            streams = [iter(rr) for rr in readers]
+            with BamWriter(out_path, header) as w:
+                for r in heapq.merge(*streams, key=_sort_key):
+                    w.write(r)
+            for rr in readers:
+                rr.close()
+        finally:
+            for p in runs:
+                try:
+                    _os.unlink(p)
+                except OSError:
+                    pass
+            try:
+                _os.rmdir(tmpdir)
+            except OSError:
+                pass
 
 
 def _block_table(path: str):

@@ -9,6 +9,7 @@ rely on (bam_file.c:1138-1226).
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -428,3 +429,94 @@ def cigar_adjust(cigar: list, delete_small_tail: int, add_blank: bool):
     if add_blank:
         out = out + [("M", 0)] * (orig_len - len(out))
     return out, position_adjust
+
+
+class BamReaderOffsets(BamReader):
+    """BamReader variant that also yields each record's uncompressed
+    stream span, for building tag-keyed record indexes (the loader-side
+    analog of signalSAMLoader's region index over BGZF offsets)."""
+
+    def iter_with_spans(self):
+        while True:
+            uoff = self._r.uoffset
+            szb = self._r.read(4)
+            if len(szb) < 4:
+                return
+            sz = struct.unpack("<I", szb)[0]
+            body = self._r.read(sz)
+            if len(body) < sz:
+                return
+            yield uoff, 4 + sz, _decode_record(body)
+
+
+class BamRandomReader:
+    """Random access to BAM records by uncompressed-stream spans.
+
+    Walks the BGZF block table once at construction, then decompresses
+    only the blocks covering each requested span (with a small LRU of
+    decompressed blocks). Memory stays O(touched blocks), giving fc_sv
+    its O(region) loading contract (signalSAMLoader.hpp:79-157)."""
+
+    def __init__(self, path: str, cache_blocks: int = 64):
+        self.path = path
+        self._fh = open(path, "rb")
+        self._table = []        # (file_off, u_start, u_len)
+        upos = 0
+        while True:
+            foff = self._fh.tell()
+            header = self._fh.read(18)
+            if len(header) < 18:
+                break
+            bsize = struct.unpack("<H", header[16:18])[0] + 1
+            self._fh.seek(foff + bsize - 4)
+            isize = struct.unpack("<I", self._fh.read(4))[0]
+            self._table.append((foff, upos, isize))
+            upos += isize
+        self._ustarts = [t[1] for t in self._table]
+        self._cache: dict[int, bytes] = {}
+        self._cache_order: list[int] = []
+        self._cache_blocks = cache_blocks
+
+    def _block_data(self, bi: int) -> bytes:
+        data = self._cache.get(bi)
+        if data is None:
+            foff, _, _ = self._table[bi]
+            self._fh.seek(foff)
+            header = self._fh.read(18)
+            bsize = struct.unpack("<H", header[16:18])[0] + 1
+            rest = self._fh.read(bsize - 18)
+            data = zlib.decompress(rest[:-8], -15)
+            self._cache[bi] = data
+            self._cache_order.append(bi)
+            if len(self._cache_order) > self._cache_blocks:
+                old = self._cache_order.pop(0)
+                self._cache.pop(old, None)
+        return data
+
+    def read_span(self, uoff: int, length: int) -> bytes:
+        import bisect
+        bi = bisect.bisect_right(self._ustarts, uoff) - 1
+        out = bytearray()
+        while length > 0:
+            foff, ustart, ulen = self._table[bi]
+            data = self._block_data(bi)
+            local = uoff - ustart
+            take = min(length, ulen - local)
+            out += data[local : local + take]
+            uoff += take
+            length -= take
+            bi += 1
+        return bytes(out)
+
+    def record_at(self, uoff: int, length: int):
+        body = self.read_span(uoff, length)
+        return _decode_record(body[4:])
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

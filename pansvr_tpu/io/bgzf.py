@@ -90,6 +90,7 @@ class BGZFReader:
         self._fh = open(path_or_fh, "rb") if self._own else path_or_fh
         self._buf = bytearray()
         self._eof = False
+        self.uoffset = 0   # uncompressed bytes handed out so far
 
     def _read_block(self) -> bool:
         header = self._fh.read(18)
@@ -113,6 +114,7 @@ class BGZFReader:
             self._read_block()
         out = bytes(self._buf[:n])
         del self._buf[:n]
+        self.uoffset += len(out)
         return out
 
     def read_all(self) -> bytes:

@@ -133,3 +133,79 @@ def test_cigar_adjust_add_blank():
     assert out[1] == ("M", 100)
     assert out[2] == ("I", 6)
     assert out[3][1] == 0 and out[4][1] == 0
+
+
+def test_external_sort_matches_in_memory(tmp_path):
+    """External merge sort must produce the same record order as the
+    in-memory sort."""
+    import numpy as np
+
+    from pansvr_tpu.io.bai import sort_bam
+    from pansvr_tpu.io.bam import BamHeader, BamReader, BamRecord, BamWriter
+
+    rng = np.random.default_rng(5)
+    header = BamHeader.from_sam_text(
+        "@HD\tVN:1.6\tSO:unsorted\n@SQ\tSN:c1\tLN:100000\n@SQ\tSN:c2\tLN:100000\n"
+    )
+    path = str(tmp_path / "in.bam")
+    with BamWriter(path, header) as w:
+        for i in range(500):
+            w.write(BamRecord(
+                name=f"r{i}", flag=0, tid=int(rng.integers(0, 2)),
+                pos=int(rng.integers(0, 100000)), mapq=30,
+                cigar=[("M", 50)], mtid=-1, mpos=-1, isize=0,
+                seq="A" * 50, qual="I" * 50, tags={},
+            ))
+    a = str(tmp_path / "mem.bam")
+    b = str(tmp_path / "ext.bam")
+    sort_bam(path, a)
+    sort_bam(path, b, max_records_in_ram=64)
+    with BamReader(a) as ra, BamReader(b) as rb:
+        la = [(r.tid, r.pos, r.name) for r in ra]
+        lb = [(r.tid, r.pos, r.name) for r in rb]
+    assert [x[:2] for x in la] == [x[:2] for x in lb]
+
+
+def test_sv_read_index_matches_full_load(tmp_path):
+    """SvReadIndex (bounded-memory loader) returns the same LoadedReads
+    as load_reads_by_sv on the same realigned BAM."""
+    # reuse any realigned BAM produced by a tiny pipeline run
+    import os
+
+    from pansvr_tpu.assembly.sv_call import SvReadIndex, load_reads_by_sv
+    from pansvr_tpu.anchor.builder import AnchorContig
+    from pansvr_tpu.io.fasta import write_fasta
+    from pansvr_tpu.io.vcf import VCFWriter, minimal_header
+    from pansvr_tpu.pipeline import PipelineConfig, run_pipeline
+    from pansvr_tpu.utils.simulate import make_dataset, write_sim_bam
+
+    ds = make_dataset(seed=99, n_sv=3, n_pairs=600, types=("DEL", "INS"),
+                      chrom_lengths={"chr1": 120_000}, err_rate=0.0)
+    genome_fa = str(tmp_path / "genome.fa")
+    write_fasta(genome_fa, ds.genome.items(), width=60)
+    vcf = str(tmp_path / "svs.vcf")
+    w = VCFWriter(vcf, minimal_header([(c, len(s)) for c, s in ds.genome.items()]))
+    for r in ds.vcf_records:
+        w.write(r)
+    w.close()
+    bam = str(tmp_path / "sim.bam")
+    write_sim_bam(ds, bam)
+    run_pipeline(vcf, genome_fa, bam, str(tmp_path / "work"),
+                 PipelineConfig(first_level_bases=11))
+    realigned = os.path.join(str(tmp_path / "work"), "realigned.bam")
+
+    from pansvr_tpu.io.fasta import read_fasta
+    anchors = read_fasta(os.path.join(str(tmp_path / "work"), "anchors.fa"))
+    infos = [AnchorContig.parse_name(n) for n in anchors]
+
+    full = load_reads_by_sv(realigned, infos)
+    idx = SvReadIndex(realigned, infos)
+    assert sorted(full) == idx.sv_ids()
+    for sv in idx.sv_ids():
+        a = full[sv]
+        b = idx.get(sv)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert (x.pos, x.seq, x.score, x.cigar) == \
+                (y.pos, y.seq, y.score, y.cigar)
+    idx.close()
