@@ -105,6 +105,11 @@ def plant_svs(
         elif t == "DUP":
             ref = seq[pos0 - 1 : pos0 + L]
             alt = ref + ref[1:]  # tandem duplication representation
+        elif t == "INV":
+            seg = seq[pos0 : pos0 + L]
+            comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+            ref = anchor + seg
+            alt = anchor + "".join(comp.get(c, "N") for c in reversed(seg))
         else:
             raise ValueError(t)
         occupied[c].append((pos0, pos0 + L))
@@ -241,6 +246,10 @@ def _alt_to_ref_segments(genome: dict[str, str], svs: list[PlantedSV]):
                 k += 1
             if k:
                 out.append((alt_cur, alt_cur + k, ref_cur))
+            if sv.sv_type == "INV":
+                # inverted content: alt[a0:a1] == revcomp(ref[r0:r0+L])
+                out.append((alt_cur + k, alt_cur + len(sv.alt),
+                            ref_cur + k, True))
             alt_cur += len(sv.alt)
             ref_cur += len(sv.ref)
         out.append((alt_cur, alt_cur + len(seq) - ref_cur, ref_cur))
@@ -266,26 +275,42 @@ def sim_bam_records(ds: "SimDataset", read_len: int = 150):
     segs = _alt_to_ref_segments(ds.genome, ds.svs)
 
     def map_read(chrom, p, L, from_alt):
-        """-> (ref_pos, cigar, mapped_len) with soft clips at breakpoints,
-        or None if unmappable (inside insertion)."""
+        """-> (ref_pos, cigar, mapped_len, strand_flip) with soft clips
+        at breakpoints, or None if unmappable (inside insertion). A read
+        landing in a strand-flipped segment (inversion interior) maps to
+        the reverse strand with its clip sides swapped — the BWA
+        behavior that produces the same-strand INV pair signal."""
         if not from_alt:
-            return p, [("M", L)], L
+            return p, [("M", L)], L, False
         best = None
-        for a0, a1, r0 in segs[chrom]:
+        for seg in segs[chrom]:
+            a0, a1, r0 = seg[0], seg[1], seg[2]
+            rev = len(seg) > 3 and seg[3]
             lo = max(p, a0)
             hi = min(p + L, a1)
             if hi - lo > (best[1] - best[0] if best else 0):
-                best = (lo, hi, r0 + (lo - a0))
+                best = (lo, hi, a0, a1, r0, rev)
         if best is None or best[1] - best[0] < 30:
             return None
-        lo, hi, rpos = best
+        lo, hi, a0, a1, r0, rev = best
+        if not rev:
+            rpos = r0 + (lo - a0)
+            cig = []
+            if lo > p:
+                cig.append(("S", lo - p))
+            cig.append(("M", hi - lo))
+            if p + L > hi:
+                cig.append(("S", p + L - hi))
+            return rpos, cig, hi - lo, False
+        # reverse segment: alt[a0:a1] == revcomp(ref[r0:r0+(a1-a0)])
+        rpos = r0 + (a1 - hi)
         cig = []
-        if lo > p:
-            cig.append(("S", lo - p))
-        cig.append(("M", hi - lo))
-        if p + L > hi:
+        if p + L > hi:                      # alt right clip -> ref left
             cig.append(("S", p + L - hi))
-        return rpos, cig, hi - lo
+        cig.append(("M", hi - lo))
+        if lo > p:                          # alt left clip -> ref right
+            cig.append(("S", lo - p))
+        return rpos, cig, hi - lo, True
 
     records = []
     for rd in ds.reads:
@@ -300,21 +325,24 @@ def sim_bam_records(ds: "SimDataset", read_len: int = 150):
         ):
             m = hap_maps[k]
             mm = hap_maps[1 - k]
+            flip = m[3] if m else False
+            mflip = mm[3] if mm else False
+            strand_rev = rev ^ flip
+            mate_rev = (k == 0) ^ mflip   # mate's sequenced dir is opposite
             flag = FPAIRED | (FREAD1 if k == 0 else FREAD2)
-            if rev:
+            if strand_rev:
                 flag |= FREVERSE
-            if not (k == 0):
-                pass
             if mm is None:
                 flag |= FMUNMAP
-            else:
-                flag |= FMREVERSE if k == 0 else 0
-            if k == 1:
-                flag |= 0  # mate (read1) is forward
+            elif mate_rev:
+                flag |= FMREVERSE
+            # BAM stores the read on the forward reference strand: the
+            # sequenced bases as-is when mapped forward, revcomp'd when
+            # mapped reverse (strand flips inside inverted segments)
             r = BamRecord(
                 name=rd.name, flag=flag, tid=tid,
-                seq=seq if not rev else dna.revcomp(seq),
-                qual=qual, mapq=60,
+                seq=seq if not strand_rev else dna.revcomp(seq),
+                qual=qual if not strand_rev else qual[::-1], mapq=60,
                 tags=[("NM", "i", 0)],
             )
             if m is None:
@@ -323,15 +351,10 @@ def sim_bam_records(ds: "SimDataset", read_len: int = 150):
                 r.mapq = 0
                 r.cigar = []
             else:
-                r.pos, r.cigar, _ = m
+                r.pos, r.cigar, _ = m[0], m[1], m[2]
             r.mtid = tid
             r.mpos = (mm[0] if mm else (m[0] if m else 0))
             recs.append(r)
-        # store the read in BAM orientation: reverse reads are stored
-        # revcomp'd relative to original; our seq2 is already the revcomp
-        # read as sequenced, so the BAM stores the forward-strand seq:
-        recs[1].seq = dna.revcomp(rd.seq2)
-        recs[1].qual = rd.qual2[::-1]
         # isize
         if hap_maps[0] and hap_maps[1]:
             lo = min(recs[0].pos, recs[1].pos)

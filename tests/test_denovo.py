@@ -45,7 +45,7 @@ def test_denovo_finds_deletions(world):
 def test_denovo_genotypes_reported(world):
     ds, records = world
     for rec in records:
-        assert rec.format == "GT:DP"
+        assert rec.format == "GT:SR"
         gt = rec.samples[0].split(":")[0]
         assert gt in ("0/1", "1/1", "./.")
 
@@ -101,3 +101,36 @@ def test_denovo_emits_bnd_for_translocations(tmp_path):
     assert r.chrom == "chrA" and abs(r.pos1 - 5000) <= 60
     assert r.info["CHR2"] == "chrB"
     assert "[chrB:" in r.alts[0] or "]chrB:" in r.alts[0]
+
+
+def test_denovo_finds_inversions(tmp_path):
+    """Planted inversions must surface as INV records via the typed
+    INV_1/INV_2 signal lists + orientation-aware assembly."""
+    from pansvr_tpu.assembly.denovo import DeNovoCaller, DeNovoOptions
+    from pansvr_tpu.io.fasta import Faidx, write_fasta
+    from pansvr_tpu.utils.simulate import make_dataset, write_sim_bam
+
+    ds = make_dataset(
+        seed=131, n_sv=4, n_pairs=4000, types=("INV",),
+        chrom_lengths={"chr1": 260_000}, err_rate=0.0,
+        min_len=250, max_len=500,
+    )
+    genome_fa = str(tmp_path / "genome.fa")
+    write_fasta(genome_fa, ds.genome.items(), width=60)
+    bam = str(tmp_path / "sim.bam")
+    write_sim_bam(ds, bam)
+    caller = DeNovoCaller(Faidx(genome_fa))
+    records = caller.call_bam(bam)
+    invs = [r for r in records if r.info.get("SVTYPE") == "INV"]
+    hits = 0
+    for sv in ds.svs:
+        for rec in invs:
+            if (rec.chrom == sv.chrom
+                    and abs(rec.pos1 - sv.pos1) <= 150
+                    and abs(abs(rec.sv_len or 0) - sv.length) <= 150):
+                hits += 1
+                break
+    assert hits >= len(ds.svs) * 0.5, (
+        f"{hits}/{len(ds.svs)} inversions recovered; calls: "
+        + str([(r.pos1, r.info) for r in invs])
+    )
