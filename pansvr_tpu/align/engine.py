@@ -209,7 +209,9 @@ class EngineConfig:
     dp_t: int = 256
     dp_backend: str = "auto"     # "pallas" | "scan" | "auto" (pallas on TPU)
     dp_interpret: bool = False   # Pallas interpret mode (CPU testing)
-    front: str = "v2"            # seeding front: "v2" hash+slab, "v1" bisect
+    front: str = "v1"            # seeding front: "v1" bisect, "v2" hash+slab
+                                 # (A/B on-chip at M=32: v1 0.58 s/call vs
+                                 # v2 0.80 — the bisect front wins on TPU)
 
     @property
     def max_read_len(self) -> int:
@@ -391,7 +393,7 @@ class AlignEngine:
         # MEM lanes scale with the seed-position count of the class (the
         # overflow counter tallies hits BEFORE the coverage skip, so M
         # must at least cover one hit per seed position)
-        M = max(cfg.mem_slots, (S0 + 16 + 15) // 16 * 16)
+        M = max(cfg.mem_slots, (S0 + 1 + 15) // 16 * 16)
         es, stats3_dev = _device_front(
             self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds,
             M=M, front=cfg.front, n_ext=n_ext,
