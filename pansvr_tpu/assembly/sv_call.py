@@ -44,7 +44,8 @@ class SvCallOptions:
     rsf_block_size: int = 32
     normal_read_len: int = 150
     ave_read_depth: float = 30.0
-    print_detail: bool = False
+    print_detail: bool = False     # -D: per-read pileup renderings
+    depth_detail: bool = False     # -d: event-matrix dumps
     st_chr: int = 0
     ed_chr: int = 10_000
 
@@ -416,6 +417,9 @@ class SvCaller:
             if other_id != sv_id:
                 add_reads(other_reads, False)
 
+        if o.print_detail:
+            self._print_read_details(sv_id, blocks)
+
         # ---- per-block assembly + contig handling (DP deferred) --------
         global_depth = _GlobalDepth(sv_len, tseq)
         pending: list[dict] = []
@@ -453,6 +457,65 @@ class SvCaller:
                     global_depth=global_depth, pending=pending, tseq=tseq,
                     depth_counter=depth_counter)
 
+    def _print_read_details(self, sv_id: int, blocks):
+        """The reference's -D pileup rendering (output_reads,
+        SignalAssembly.cpp:200-223): one line per kept read — dashes up
+        to its contig offset, read bases for M, '-' for D/S, nothing for
+        I — followed by pos/offset and the raw sequence."""
+        out = self.detail or sys.stderr
+        print(f"== SV {sv_id} read pileup ==", file=out)
+        for blk in blocks:
+            for r, is_main in blk:
+                line = ["-"] * max(r.pos, 0)
+                seq_i = 0
+                off = r.pos
+                for op, ln in r.cigar:
+                    if op == "M":
+                        for _ in range(ln):
+                            if off >= 0:
+                                line.append(r.seq[seq_i]
+                                            if seq_i < len(r.seq) else "?")
+                            seq_i += 1
+                            off += 1
+                    elif op == "I":
+                        seq_i += ln
+                    elif op in ("D",):
+                        for _ in range(ln):
+                            if off >= 0:
+                                line.append("-")
+                            off += 1
+                    elif op == "N":
+                        for _ in range(ln):
+                            if off >= 0:
+                                line.append("N")
+                            seq_i += 1
+                            off += 1
+                    elif op == "S":
+                        for _ in range(ln):
+                            if off >= 0:
+                                line.append("-")
+                            seq_i += 1
+                            off += 1
+                print("".join(line)
+                      + f" pos {r.pos} main {int(is_main)} AS {r.score}"
+                      f" OS {r.ori_score} {r.seq}", file=out)
+
+    def _print_depth_detail(self, plan, gd: "_GlobalDepth"):
+        """The reference's -d event-matrix dump: per-base event codes
+        around the breakpoints plus depth totals."""
+        out = self.detail or sys.stderr
+        bp1, bp2 = plan["bp1"], plan["bp2"]
+        print(f"== SV {plan['sv_id']} event matrix bp1={bp1} bp2={bp2} ==",
+              file=out)
+        for name, bp in (("bp1", bp1), ("bp2", bp2)):
+            lo = max(0, bp - 30)
+            hi = min(gd.n, bp + 30)
+            codes = "".join(str(int(gd.ei[i])) for i in range(lo, hi))
+            depth = " ".join(str(int(gd.total[i]))
+                             for i in range(lo, hi, 10))
+            print(f"{name} [{lo},{hi}) events {codes} depth10 {depth}",
+                  file=out)
+
     def finish_sv(self, plan) -> SvVerdict:
         """Resolve the planned DP requests into variations + verdict.
         Requires self.dp.run() to have been called (device mode)."""
@@ -470,6 +533,8 @@ class SvCaller:
                 p["ab_idx"], p["contig_id"], global_depth, variations,
             )
         global_depth.finalize()
+        if self.o.depth_detail:
+            self._print_depth_detail(plan, global_depth)
         merged = _merge_variations(variations, global_depth)
         return self._verdict(plan["sv_id"], plan["info"], plan["sv_len"],
                              plan["bp1"], plan["bp2"], global_depth,

@@ -129,6 +129,7 @@ def _cmd_fc_sv(args):
         normal_read_len=stats.read_len or 150,
         ave_read_depth=max(stats.ave_read_depth, 1.0),
         st_chr=args.st_chr, ed_chr=args.ed_chr,
+        print_detail=args.print_detail, depth_detail=args.depth_detail,
     )
     verdicts, records = run_sv_calling(args.bam, sf, opts)
     out = open(args.output, "w") if args.output != "-" else sys.stdout
@@ -236,6 +237,10 @@ def main(argv=None):
     s.add_argument("-e", "--edge-len", type=int, default=500)
     s.add_argument("-S", "--st-chr", type=int, default=0)
     s.add_argument("-E", "--ed-chr", type=int, default=10000)
+    s.add_argument("-D", "--print-detail", action="store_true",
+                   help="per-read pileup renderings to stderr")
+    s.add_argument("-d", "--depth-detail", action="store_true",
+                   help="event-matrix dumps to stderr")
     s.set_defaults(fn=_cmd_fc_sv)
 
     s = sub.add_parser("run", help="full pipeline (panSVR_run.sh equivalent)")

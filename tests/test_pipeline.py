@@ -183,3 +183,33 @@ def test_sv_calling_device_dp_matches_inline(pipeline_result):
     for a, b in zip(vcf_inline, vcf_device):
         assert (a.chrom, a.pos1, a.ref, a.alts, a.info) == \
             (b.chrom, b.pos1, b.ref, b.alts, b.info)
+
+
+def test_sv_detail_channels(pipeline_result, capsys):
+    """-D/-d stderr renderings (the reference's de facto debug channel,
+    SignalAssembly.cpp:200-223): pileup lines + event-matrix dumps."""
+    import io
+
+    from pansvr_tpu.assembly.sv_call import (
+        SVRefSequence, SvCallOptions, SvCaller, SvReadIndex,
+    )
+    from pansvr_tpu.io.fasta import Faidx, read_fasta
+
+    ds, records, work = pipeline_result
+    bam = os.path.join(work, "realigned.bam")
+    seqs = read_fasta(os.path.join(work, "anchors.fa"))
+    sf = SVRefSequence(list(seqs), seqs,
+                       Faidx(os.path.join(work, "..", "genome.fa")),
+                       list(ds.genome))
+    out = io.StringIO()
+    opts = SvCallOptions(print_detail=True, depth_detail=True)
+    caller = SvCaller(sf, opts, detail_out=out)
+    idx = SvReadIndex(bam, sf.sv_info)
+    sv_id = idx.sv_ids()[0]
+    plan = caller.plan_sv(sv_id, idx.get(sv_id))
+    caller.dp.run()
+    caller.finish_sv(plan)
+    text = out.getvalue()
+    assert "read pileup" in text and "event matrix" in text
+    assert any(line.startswith("-") for line in text.splitlines())
+    idx.close()
