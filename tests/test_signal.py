@@ -85,3 +85,44 @@ def test_extract_all_dump(sim_bam):
     n_reads_out = out.getvalue().count("\n@") + 1
     # dump mode emits every paired read
     assert n_reads_out >= 2 * 500
+
+
+def test_stats_manager_region_sampling(tmp_path):
+    """The Manta StatsManager port: region-sampled quantiles must agree
+    with the directly computed proper-pair quantiles on a sim BAM, and
+    the depth estimate must be in the right range."""
+    import numpy as np
+
+    from pansvr_tpu.signal.stats_manager import StatsManager
+    from pansvr_tpu.io.bam import BamReader
+    from pansvr_tpu.utils.simulate import make_dataset, write_sim_bam
+
+    ds = make_dataset(seed=55, n_sv=2, n_pairs=4000, types=("DEL",),
+                      chrom_lengths={"chr1": 150_000}, err_rate=0.0,
+                      sv_region_reads=False)
+    bam = str(tmp_path / "sim.bam")
+    write_sim_bam(ds, bam)
+    sm = StatsManager().handle_bam(bam)
+
+    # direct proper-pair isizes from the same sampled region (>=20%)
+    sizes = []
+    with BamReader(bam) as rd:
+        clen = rd.header.ref_lens[0]
+        for rec in rd:
+            if rec.pos < int(clen * 0.2):
+                continue
+            if (rec.flag & 0x1) and not (rec.flag & 0xC) \
+                    and rec.is_reverse != rec.mate_reverse \
+                    and ((not rec.is_reverse and rec.pos <= rec.mpos)
+                         or (rec.is_reverse and rec.mpos <= rec.pos)):
+                sizes.append(abs(rec.isize))
+    sizes = np.array(sizes)
+    for p in (0.01, 0.5, 0.99):
+        direct = float(np.quantile(sizes, p))
+        got = sm.get_insert_len(p)
+        assert abs(got - direct) <= max(20, direct * 0.05), \
+            f"quantile {p}: {got} vs {direct}"
+    assert sm.ave_depth > 0.5
+    dr, sh, um, st_um = sm.breakpoint_distributions(150)
+    assert abs(dr.sum() - 1.0) < 0.01 or len(dr) == 50
+    assert len(sh) == 10
