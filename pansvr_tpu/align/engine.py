@@ -78,10 +78,7 @@ from .host_align import (
 # ---- fused device programs (one dispatch each; per-op dispatch latency
 # over a remote-chip link otherwise dominates the batch time) -------------
 
-@functools.partial(
-    jax.jit, static_argnames=("S0", "S", "M", "front", "n_ext"))
-def _device_front(didx, words, lens, mask, S0, S, M=64, front="v2",
-                  n_ext=10):
+def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext):
     seed_fn = seed_reads2 if front == "v2" else seed_reads
     sb = seed_fn(didx, words, lens, mask, S0=S0, M=M, n_ext_steps=n_ext)
     es = merge_expand_device(sb, didx, S=S)
@@ -91,6 +88,42 @@ def _device_front(didx, words, lens, mask, S0, S, M=64, front="v2",
         es.valid.sum(axis=1).astype(jnp.int32),
     ])
     return es, stats3
+
+
+@functools.partial(
+    jax.jit, static_argnames=("S0", "S", "M", "front", "n_ext"))
+def _device_front(didx, words, lens, mask, S0, S, M=64, front="v2",
+                  n_ext=10):
+    return _front_body(didx, words, lens, mask, S0, S, M, front, n_ext)
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """jax.shard_map across jax versions (jax.experimental.shard_map is
+    deprecated in 0.8)."""
+    kw = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+              check_rep=False)
+    try:
+        return jax.shard_map(fn, **kw)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as sm
+        return sm(fn, **kw)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_front(mesh, S0, S, M, front, n_ext):
+    """Data-parallel front over an ICI mesh: read rows sharded on the
+    'data' axis, the RdBG index replicated per chip. Per-row outputs come
+    back sharded; the engine's host glue is shard-agnostic."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(didx, words, lens, mask):
+        return _front_body(didx, words, lens, mask, S0, S, M, front, n_ext)
+
+    return jax.jit(_shard_map(
+        body, mesh,
+        in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P(None, "data")),
+    ))
 
 
 @functools.partial(jax.jit, static_argnames=("S0", "S", "K"))
@@ -118,8 +151,7 @@ def _device_front_pack(didx, words, lens, mask, S0, S, K):
     return stats, packed
 
 
-@jax.jit
-def _device_chain_pack(rb, re_, fb, fe, cov, sid, valid, is_str):
+def _chain_body(rb, re_, fb, fe, cov, sid, valid, is_str):
     cr = chain_batch(rb, re_, fb, fe, cov, sid, valid, is_str)
     hit_idx, hit_score, hit_final = chain_extract_batch(
         cr.dist, cr.pre, cr.valid
@@ -132,8 +164,21 @@ def _device_chain_pack(rb, re_, fb, fe, cov, sid, valid, is_str):
     return packed, hits
 
 
-@functools.partial(jax.jit, static_argnames=("params", "W", "interpret"))
-def _device_dp_pallas(qc, ql, tc, tl, params, W, interpret):
+_device_chain_pack = jax.jit(_chain_body)
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_chain(mesh):
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(_shard_map(
+        _chain_body, mesh,
+        in_specs=tuple([P("data")] * 8),
+        out_specs=(P(None, "data"), P(None, "data")),
+    ))
+
+
+def _dp_pallas_body(qc, ql, tc, tl, params, W, interpret):
     """Pallas wavefront DP + traceback (ops/extd2_pallas.py): the whole
     sweep runs in-kernel with VMEM-resident state instead of one XLA scan
     step per diagonal (which is dispatch-latency-bound on TPU)."""
@@ -155,8 +200,12 @@ def _device_dp_pallas(qc, ql, tc, tl, params, W, interpret):
     return ops, packed
 
 
-@functools.partial(jax.jit, static_argnames=("params", "K"))
-def _device_dp(qc, ql, tc, tl, params, K):
+@functools.partial(jax.jit, static_argnames=("params", "W", "interpret"))
+def _device_dp_pallas(qc, ql, tc, tl, params, W, interpret):
+    return _dp_pallas_body(qc, ql, tc, tl, params, W, interpret)
+
+
+def _dp_scan_body(qc, ql, tc, tl, params, K):
     res = extd2_batch(qc, ql, tc, tl, params=params)
     i0 = jnp.where(~res.zdropped, tl - 1,
                    jnp.where(res.max_t >= 0, res.max_t, -1)).astype(jnp.int32)
@@ -169,6 +218,32 @@ def _device_dp(qc, ql, tc, tl, params, K):
         res.zdropped.astype(jnp.int32), i_f, j_f,
     ])
     return ops, packed
+
+
+@functools.partial(jax.jit, static_argnames=("params", "K"))
+def _device_dp(qc, ql, tc, tl, params, K):
+    return _dp_scan_body(qc, ql, tc, tl, params, K)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_dp(mesh, params, pallas: bool, W: int, K: int,
+                interpret: bool):
+    """Data-parallel DP over the mesh: each chip sweeps its slice of the
+    segment chunk with the same compiled kernel."""
+    from jax.sharding import PartitionSpec as P
+
+    if pallas:
+        def body(qc, ql, tc, tl):
+            return _dp_pallas_body(qc, ql, tc, tl, params, W, interpret)
+    else:
+        def body(qc, ql, tc, tl):
+            return _dp_scan_body(qc, ql, tc, tl, params, K)
+
+    return jax.jit(_shard_map(
+        body, mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P(None, "data")),
+    ))
 
 
 class _CollectDP(KswHandler):
@@ -243,10 +318,15 @@ class AlignEngine:
 
     def __init__(self, idx: RdBGIndex, params: AlignParams | None = None,
                  config: EngineConfig | None = None,
-                 ori_chrom_names: list[str] | None = None):
+                 ori_chrom_names: list[str] | None = None,
+                 mesh=None):
         self.idx = idx
         self.p = params or AlignParams()
         self.cfg = config or EngineConfig()
+        # jax.sharding.Mesh with a 'data' axis: the front/chain/DP device
+        # programs run shard_mapped (reads data-parallel, index replicated
+        # per chip); None = single-device jit
+        self.mesh = mesh
         self.didx = to_device(idx)
         self.host = HostAligner(idx, self.p, ori_chrom_names=ori_chrom_names)
         self.sv_info = self.host.sv_info
@@ -394,10 +474,15 @@ class AlignEngine:
         # overflow counter tallies hits BEFORE the coverage skip, so M
         # must at least cover one hit per seed position)
         M = max(cfg.mem_slots, (S0 + 1 + 15) // 16 * 16)
-        es, stats3_dev = _device_front(
-            self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds,
-            M=M, front=cfg.front, n_ext=n_ext,
-        )
+        if self.mesh is not None:
+            fr = _sharded_front(self.mesh, S0, cfg.max_seeds, M,
+                                cfg.front, n_ext)
+            es, stats3_dev = fr(self.didx, words, lens2, mask2)
+        else:
+            es, stats3_dev = _device_front(
+                self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds,
+                M=M, front=cfg.front, n_ext=n_ext,
+            )
         return dict(states=states, active=active, n=n, n_pad=n_pad,
                     seqs=seqs, oris=oris, front=(es, stats3_dev),
                     is_str=is_str, read_class=L)
@@ -436,7 +521,9 @@ class AlignEngine:
         # seeds are compacted to the front of the S axis, so [:, :K] keeps
         # every valid seed
         t = time.perf_counter()
-        packed_dev, hits_dev = _device_chain_pack(
+        chain_fn = _sharded_chain(self.mesh) if self.mesh is not None \
+            else _device_chain_pack
+        packed_dev, hits_dev = chain_fn(
             es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
             es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
             es.valid[:, :K], is_str2,
@@ -610,7 +697,13 @@ class AlignEngine:
                 tc[bi, : len(t)] = t
                 ql[bi] = len(q)
                 tl[bi] = len(t)
-            if cfg.use_pallas():
+            if self.mesh is not None:
+                dp_fn = _sharded_dp(
+                    self.mesh, self.dp_params, cfg.use_pallas(), 256,
+                    dp_q + dp_t, cfg.dp_interpret,
+                )
+                ops_dev, packed_dev = dp_fn(qc, ql, tc, tl)
+            elif cfg.use_pallas():
                 ops_dev, packed_dev = _device_dp_pallas(
                     qc, ql, tc, tl, params=self.dp_params,
                     W=256, interpret=cfg.dp_interpret,

@@ -145,7 +145,8 @@ def _cmd_run(args):
     from ..pipeline import PipelineConfig, run_pipeline
 
     out = run_pipeline(args.vcf, args.ref, args.bam, args.workdir,
-                       PipelineConfig(first_level_bases=args.first_level))
+                       PipelineConfig(first_level_bases=args.first_level,
+                                      sv_shards=args.sv_shards))
     print(out)
 
 
@@ -249,6 +250,9 @@ def main(argv=None):
     s.add_argument("bam")
     s.add_argument("workdir")
     s.add_argument("--first-level", type=int, default=12)
+    s.add_argument("--sv-shards", type=int, default=1,
+                   help="fan fc_sv out over N worker processes "
+                        "(panSVR_run.sh per-chromosome fan-out analog)")
     s.set_defaults(fn=_cmd_run)
 
     s = sub.add_parser("assembly_test", help="assemble reads from stdin")

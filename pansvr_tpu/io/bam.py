@@ -221,9 +221,17 @@ def _encode_record(r: BamRecord) -> bytes:
             tags_b += tb + b"f" + struct.pack("<f", float(v))
         elif ty == "A":
             tags_b += tb + b"A" + str(v)[:1].encode()
-        elif ty == "Z":
-            tags_b += tb + b"Z" + str(v).encode() + b"\0"
-        # H/B unsupported for writing (unused by the pipeline)
+        elif ty in "ZH":
+            tags_b += tb + ty.encode() + str(v).encode() + b"\0"
+        elif ty == "B":
+            # decoder representation: (subtype char, raw element bytes)
+            sub, raw = v
+            size = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4,
+                    "f": 4}[sub]
+            tags_b += (tb + b"B" + sub.encode()
+                       + struct.pack("<I", len(raw) // size) + bytes(raw))
+        else:
+            raise ValueError(f"unsupported tag type {ty!r} for {t}")
     # bin left 0 (htslib computes reg2bin; unused by our readers)
     body = struct.pack(
         "<iiBBHHHiiii",

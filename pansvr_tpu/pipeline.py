@@ -33,6 +33,9 @@ class PipelineConfig:
     first_level_bases: int = 12
     batch_size: int = 2048
     genome_size: float | None = None
+    # >1: S5 runs as N fc_sv worker subprocesses over contiguous
+    # anchor-contig ranges, parts merged (panSVR_run.sh fan-out analog)
+    sv_shards: int = 1
 
     def __post_init__(self):
         if self.anchor is None:
@@ -191,6 +194,16 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
     ori_writer.close()
 
     # ---- S5: SV calling --------------------------------------------------
+    out_vcf = os.path.join(workdir, "result.vcf")
+    if cfg.sv_shards > 1:
+        from .parallel.fanout import run_sv_fanout
+
+        return run_sv_fanout(
+            anchors_fa, realigned_bam, genome_fa, out_vcf,
+            n_shards=cfg.sv_shards,
+            status_file=os.path.join(workdir, "status.txt"),
+            edge_len=cfg.anchor.edge_len,
+        )
     sf = SVRefSequence(
         [c.name for c in contigs],
         {c.name: c.seq for c in contigs},
@@ -204,7 +217,6 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
     )
     verdicts, vcf_records = run_sv_calling(realigned_bam, sf, opts)
 
-    out_vcf = os.path.join(workdir, "result.vcf")
     header_lines = (
         ["##fileformat=VCFv4.2", "##source=pansvr_tpu"]
         + [f"##contig=<ID={n},length={l}>" for n, l in zip(ori_names, ori_lens)]

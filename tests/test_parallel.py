@@ -51,6 +51,85 @@ def test_sharded_front_matches_single_device(tmp_path):
     assert int(total) == int(np.asarray(es.valid).sum())
 
 
+def test_mesh_engine_matches_single_device():
+    """The REAL engine step (front+chain+DP+replay) under an 8-device
+    mesh must reproduce the single-device engine bit-for-bit (VERDICT
+    round-1 item 4: the mesh wired into the product, not just the
+    front kernels)."""
+    from pansvr_tpu.align.engine import AlignEngine, EngineConfig
+    from pansvr_tpu.align.host_align import OriResult
+    from pansvr_tpu.anchor.builder import AnchorConfig, build_anchor_contigs
+    from pansvr_tpu.utils.simulate import DictGenome, make_dataset
+
+    ds = make_dataset(
+        seed=44, n_sv=4, n_pairs=80, types=("DEL", "INS"),
+        chrom_lengths={"chr1": 120_000},
+    )
+    contigs = list(build_anchor_contigs(
+        ds.vcf_records, DictGenome(ds.genome), AnchorConfig()))
+    idx = build_index([(c.name, c.seq) for c in contigs],
+                      first_level_bases=11)
+    seqs = [r.seq1 for r in ds.reads[:48]] + [r.seq2 for r in ds.reads[:48]]
+    oris = [OriResult(unmapped=True)] * len(seqs)
+
+    mesh = make_data_mesh(8)
+    eng_m = AlignEngine(idx, ori_chrom_names=list(ds.genome), mesh=mesh)
+    eng_1 = AlignEngine(idx, ori_chrom_names=list(ds.genome))
+    got_m = eng_m.align_batch(seqs, oris)
+    got_1 = eng_1.align_batch(seqs, oris)
+    n_aligned = 0
+    for sm, s1 in zip(got_m, got_1):
+        assert len(sm.results) == len(s1.results)
+        for rm, r1 in zip(sm.results, s1.results):
+            assert (rm.align_score, rm.ref_bg, rm.mapq, rm.cigar) == \
+                (r1.align_score, r1.ref_bg, r1.mapq, r1.cigar)
+        n_aligned += bool(sm.results)
+    assert n_aligned >= 24
+
+
+def test_sv_fanout_matches_inline(tmp_path):
+    """Multiprocess fc_sv region fan-out (panSVR_run.sh:61-91 analog):
+    N worker subprocesses over contiguous anchor ranges must produce the
+    same merged VCF body as one inline run."""
+    from pansvr_tpu.io.fasta import write_fasta
+    from pansvr_tpu.io.vcf import VCFReader, VCFWriter, minimal_header
+    from pansvr_tpu.parallel.fanout import run_sv_fanout
+    from pansvr_tpu.pipeline import PipelineConfig, run_pipeline
+    from pansvr_tpu.utils.simulate import make_dataset, write_sim_bam
+
+    ds = make_dataset(
+        seed=78, n_sv=4, n_pairs=1200, types=("DEL", "INS"),
+        chrom_lengths={"chr1": 160_000}, err_rate=0.0,
+    )
+    genome_fa = str(tmp_path / "genome.fa")
+    write_fasta(genome_fa, ds.genome.items(), width=60)
+    vcf = str(tmp_path / "svs.vcf")
+    w = VCFWriter(vcf, minimal_header(
+        [(c, len(s)) for c, s in ds.genome.items()]))
+    for r in ds.vcf_records:
+        w.write(r)
+    w.close()
+    bam = str(tmp_path / "sim.bam")
+    write_sim_bam(ds, bam)
+
+    work = str(tmp_path / "work")
+    inline_vcf = run_pipeline(vcf, genome_fa, bam, work,
+                              PipelineConfig(first_level_bases=11))
+    with VCFReader(inline_vcf) as rd:
+        inline = [(r.chrom, r.pos1, r.ref, tuple(r.alts), r.info)
+                  for r in rd]
+
+    merged = run_sv_fanout(
+        f"{work}/anchors.fa", f"{work}/realigned.bam", genome_fa,
+        str(tmp_path / "fanout.vcf"), n_shards=2,
+        status_file=f"{work}/status.txt",
+    )
+    with VCFReader(merged) as rd:
+        fanned = [(r.chrom, r.pos1, r.ref, tuple(r.alts), r.info)
+                  for r in rd]
+    assert inline and fanned == inline
+
+
 def test_region_sharding_covers_all():
     seen = []
     for s in range(5):
