@@ -148,7 +148,21 @@ def read_acgt_analysis(args):
         print(f"{c}\t{n}")
 
 
+def vcf_compare(args):
+    """[truth.vcf query.vcf [pos_tol [min_size_sim]]] — tolerance-aware
+    SV call-set comparison; prints recall/precision/F1 + divergence
+    classes and each MISSED/EXTRA call."""
+    from ..io.vcf_compare import compare_vcfs
+
+    pos_tol = int(args[2]) if len(args) > 2 else 500
+    mss = float(args[3]) if len(args) > 3 else 0.7
+    res = compare_vcfs(args[0], args[1], pos_tol=pos_tol, min_size_sim=mss)
+    for line in res.summary_lines():
+        print(line)
+
+
 _TOOLS = {
+    "vcf_compare": vcf_compare,
     "bam2Fastq": bam2fastq,
     "isize_count": isize_count,
     "bamDump": bam_dump,
