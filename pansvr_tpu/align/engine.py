@@ -79,8 +79,15 @@ from .host_align import (
 # over a remote-chip link otherwise dominates the batch time) -------------
 
 def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext):
-    seed_fn = seed_reads2 if front == "v2" else seed_reads
-    sb = seed_fn(didx, words, lens, mask, S0=S0, M=M, n_ext_steps=n_ext)
+    if front == "v2":
+        sb = seed_reads2(didx, words, lens, mask, S0=S0, M=M,
+                         n_ext_steps=n_ext)
+    else:
+        # v1 = bisect seeding + stepped extension; v3 = bisect seeding +
+        # the v2 slab extension (one contiguous word-slab fetch per lane)
+        sb = seed_reads(didx, words, lens, mask, S0=S0, M=M,
+                        n_ext_steps=n_ext,
+                        ext_mode="slab" if front == "v3" else "steps")
     es = merge_expand_device(sb, didx, S=S)
     stats3 = jnp.stack([
         sb.n_overflow,
@@ -287,6 +294,14 @@ class EngineConfig:
     front: str = "v1"            # seeding front: "v1" bisect, "v2" hash+slab
                                  # (A/B on-chip at M=32: v1 0.58 s/call vs
                                  # v2 0.80 — the bisect front wins on TPU)
+    pipe_order: str = "late"     # align_stream next-front dispatch point:
+                                 # "late" = after this batch's DP,
+                                 # "early" = right after its chain program.
+                                 # Measured on-chip (B=8192, 3 interleaved
+                                 # trials): late 5507 vs early 5002 — over
+                                 # the remote link result transfers queue
+                                 # behind dispatched programs, so the
+                                 # early front delays the chain fetch.
 
     @property
     def max_read_len(self) -> int:
@@ -528,6 +543,18 @@ class AlignEngine:
             es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
             es.valid[:, :K], is_str2,
         )
+        self.prof["sync_chain"] += time.perf_counter() - t
+        if on_dp_dispatched is not None and cfg.pipe_order == "early":
+            # "early" pipelining: queue the NEXT batch's device front
+            # right behind this batch's (small) chain program, so the
+            # device chews through it while this batch's
+            # host_collect/replay run. This batch's DP lands behind the
+            # next front in the FIFO — per-batch sync_dp grows, but the
+            # device never idles. "late" (default) queues it after this
+            # batch's DP instead.
+            on_dp_dispatched()
+            on_dp_dispatched = None
+        t = time.perf_counter()
         packed = np.asarray(packed_dev)
         hits = np.asarray(hits_dev)
         self.prof["sync_chain"] += time.perf_counter() - t
