@@ -51,8 +51,12 @@ def _cmd_fc_signal(args):
         discard_both_full_match=args.discard_full_match,
         not_using_filter=args.not_use_filter,
     )
+    ref = None
+    if args.ref:
+        from ..io.fasta import Faidx
+        ref = Faidx(args.ref)
     out = open(args.output, "w") if args.output != "-" else sys.stdout
-    stats = extract_signal(args.bam, out, opts=opts)
+    stats = extract_signal(args.bam, out, opts=opts, ref=ref)
     if args.status_file:
         with open(args.status_file, "w") as fh:
             fh.write(stats.status_file_text())
@@ -209,12 +213,14 @@ def main(argv=None):
     s.add_argument("--first-level", type=int, default=12)
     s.set_defaults(fn=_cmd_fc_index)
 
-    s = sub.add_parser("fc_signal", help="BAM -> signal FASTQ")
+    s = sub.add_parser("fc_signal", help="BAM/CRAM -> signal FASTQ")
     s.add_argument("bam")
     s.add_argument("-o", "--output", default="-")
     s.add_argument("-s", "--status-file", default="status.txt")
     s.add_argument("-U", "--discard-full-match", action="store_true")
     s.add_argument("-D", "--not-use-filter", action="store_true")
+    s.add_argument("-f", "--ref", default=None,
+                   help="reference FASTA (required for CRAM input)")
     s.set_defaults(fn=_cmd_fc_signal)
 
     s = sub.add_parser("fc_aln", help="signal FASTQ -> realigned BAM")

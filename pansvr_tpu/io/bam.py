@@ -58,6 +58,17 @@ class BamHeader:
                 lens.append(int(d.get("LN", 0)))
         return cls(text=text, ref_names=names, ref_lens=lens)
 
+    def to_sam_text(self) -> str:
+        """SAM header text; synthesizes @SQ lines if the stored text
+        lacks them (e.g. a header built programmatically)."""
+        if "@SQ" in self.text or not self.ref_names:
+            return self.text
+        sq = "".join(
+            f"@SQ\tSN:{n}\tLN:{l}\n"
+            for n, l in zip(self.ref_names, self.ref_lens)
+        )
+        return (self.text or "@HD\tVN:1.6\n") + sq
+
 
 @dataclass
 class BamRecord:
@@ -241,32 +252,12 @@ def _encode_record(r: BamRecord) -> bytes:
     return struct.pack("<I", len(body)) + body
 
 
-def _decode_record(body: bytes) -> BamRecord:
-    (tid, pos, l_name, mapq, _bin, n_cigar, flag, l_seq, mtid, mpos,
-     isize) = struct.unpack_from("<iiBBHHHiiii", body, 0)
-    off = 32
-    name = body[off : off + l_name - 1].decode()
-    off += l_name
-    cigar = []
-    for k in range(n_cigar):
-        v = struct.unpack_from("<I", body, off + 4 * k)[0]
-        cigar.append((CIGAR_OPS[v & 0xF], v >> 4))
-    off += 4 * n_cigar
-    n_seq_b = (l_seq + 1) // 2
-    seq_chars = []
-    for i in range(l_seq):
-        b = body[off + i // 2]
-        code = (b >> 4) if i % 2 == 0 else (b & 0xF)
-        seq_chars.append(SEQ_NT16[code])
-    seq = "".join(seq_chars)
-    off += n_seq_b
-    qual_raw = body[off : off + l_seq]
-    qual = (
-        "" if (l_seq == 0 or (qual_raw and qual_raw[0] == 0xFF))
-        else "".join(chr(min(q, 93) + 33) for q in qual_raw)
-    )
-    off += l_seq
+def _parse_tags(body: bytes) -> list:
+    """Decode a raw BAM aux blob into [(tag, type_char, value)] — shared
+    by the BAM record decoder and the CRAM reader (whose tag series carry
+    the same value byte layout)."""
     tags = []
+    off = 0
     end = len(body)
     while off + 3 <= end:
         tag = body[off : off + 2].decode()
@@ -303,6 +294,58 @@ def _decode_record(body: bytes) -> BamRecord:
             off += 5 + cnt * size
         else:
             break
+    return tags
+
+
+def _encode_tag_value(ty: str, v) -> bytes:
+    """BAM aux VALUE bytes for one tag (no tag/type prefix) — the layout
+    CRAM tag series store."""
+    if ty == "i":
+        return struct.pack("<i", int(v))
+    if ty == "f":
+        return struct.pack("<f", float(v))
+    if ty == "A":
+        return str(v)[:1].encode()
+    if ty in "ZH":
+        return str(v).encode() + b"\0"
+    if ty == "B":
+        sub, raw = v
+        size = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+        return (sub.encode() + struct.pack("<I", len(raw) // size)
+                + bytes(raw))
+    if ty in "cC":
+        return struct.pack("<b" if ty == "c" else "<B", int(v))
+    if ty in "sS":
+        return struct.pack("<h" if ty == "s" else "<H", int(v))
+    raise ValueError(f"unsupported tag type {ty!r}")
+
+
+def _decode_record(body: bytes) -> BamRecord:
+    (tid, pos, l_name, mapq, _bin, n_cigar, flag, l_seq, mtid, mpos,
+     isize) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+    off = 32
+    name = body[off : off + l_name - 1].decode()
+    off += l_name
+    cigar = []
+    for k in range(n_cigar):
+        v = struct.unpack_from("<I", body, off + 4 * k)[0]
+        cigar.append((CIGAR_OPS[v & 0xF], v >> 4))
+    off += 4 * n_cigar
+    n_seq_b = (l_seq + 1) // 2
+    seq_chars = []
+    for i in range(l_seq):
+        b = body[off + i // 2]
+        code = (b >> 4) if i % 2 == 0 else (b & 0xF)
+        seq_chars.append(SEQ_NT16[code])
+    seq = "".join(seq_chars)
+    off += n_seq_b
+    qual_raw = body[off : off + l_seq]
+    qual = (
+        "" if (l_seq == 0 or (qual_raw and qual_raw[0] == 0xFF))
+        else "".join(chr(min(q, 93) + 33) for q in qual_raw)
+    )
+    off += l_seq
+    tags = _parse_tags(body[off:])
     return BamRecord(
         name=name, flag=flag, tid=tid, pos=pos, mapq=mapq, cigar=cigar,
         mtid=mtid, mpos=mpos, isize=isize, seq=seq, qual=qual, tags=tags,

@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..io.alignment import open_alignment
 from ..io.bam import BamReader, BamRecord
 from ..utils import dna
 
@@ -69,13 +70,13 @@ class SignalStats:
 
 
 def compute_stats(bam_path: str, genome_size: float = 3.1e9,
-                  sample_limit: int = 100_000) -> SignalStats:
+                  sample_limit: int = 100_000, ref=None) -> SignalStats:
     """First-pass sampling: read length mode, depth estimate, isize
     quantiles (1% / 50% / 99%) and the isize pmf between them."""
     isize_hist = np.zeros(MAX_ISIZE, dtype=np.int64)
     len_hist = np.zeros(4096, dtype=np.int64)
     n = 0
-    with BamReader(bam_path) as rd:
+    with open_alignment(bam_path, ref=ref) as rd:
         for rec in rd:
             if rec.is_secondary or rec.is_supplementary:
                 continue
@@ -302,14 +303,17 @@ class SignalExtractor:
 
 
 def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
-                   opts: SignalOptions | None = None) -> SignalStats:
-    """Full fc_signal pass: stats + block pairing + signal FASTQ."""
+                   opts: SignalOptions | None = None,
+                   ref=None) -> SignalStats:
+    """Full fc_signal pass: stats + block pairing + signal FASTQ.
+    `bam_path` may be BAM or CRAM (CRAM needs `ref`, the reference
+    genome, to reconstruct mapped sequences)."""
     if stats is None:
-        stats = compute_stats(bam_path)
+        stats = compute_stats(bam_path, ref=ref)
     ex = SignalExtractor(stats, opts)
     unpaired: list[BamRecord] = []
 
-    with BamReader(bam_path) as rd:
+    with open_alignment(bam_path, ref=ref) as rd:
         block: list[BamRecord] = []
 
         def flush_block():
