@@ -413,25 +413,67 @@ class AlignEngine:
         seed_mask_r = np.ones((n_pad, S0), bool)
         is_str = np.zeros(n_pad, bool)
 
+        # ---- batch-vectorized read encoding --------------------------
+        # One frombuffer + LUT over the joined batch replaces 8k per-read
+        # encode/fill_n/revcomp calls (was ~0.25 s/batch of host_submit).
+        # fill_n hashes the LOCAL read position, which is exactly the
+        # column index of the padded matrix, so the vectorized fill is
+        # bit-identical to the per-read path.
+        all_lens = np.fromiter((len(s) for s in seqs), np.int32, count=n)
+        fit = all_lens <= L
+        col = np.arange(L)
+        if n:
+            joined = "".join(s for s, f in zip(seqs, fit) if f).encode()
+            flat = dna.encode(joined)
+            in_row = col[None, :] < all_lens[fit, None]
+            cf_rows = np.zeros((int(fit.sum()), L), np.uint8)
+            cf_rows[in_row] = flat          # row-major fill order
+            # fill N's with the position hash (dna.fill_n semantics)
+            n_mask = (cf_rows >= 4) & in_row
+            if n_mask.any():
+                h = ((col.astype(np.uint64)
+                      * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(61))
+                cf_rows = np.where(
+                    n_mask, (h & np.uint64(3)).astype(np.uint8)[None, :],
+                    cf_rows)
+            # per-row reversal of the first rl entries, then complement
+            rev_idx = np.clip(all_lens[fit, None] - 1 - col[None, :], 0,
+                              L - 1)
+            cr_rows = np.where(
+                in_row,
+                np.take_along_axis(cf_rows, rev_idx, axis=1) ^ 3, 0
+            ).astype(np.uint8)
+            fit_idx = np.nonzero(fit)[0]
+            # rows of refused (full-score) reads keep garbage codes here;
+            # they never enter `active` and lens stays 0, which masks
+            # every seed, matching the zero rows of the per-read path
+            codes_f[fit_idx] = cf_rows
+            codes_r[fit_idx] = cr_rows
+        fit_row = np.zeros(n, np.int32)
+        fit_row[fit] = np.arange(int(fit.sum()))
+
         maybe_str: list[int] = []
         for i, (seq, ori) in enumerate(zip(seqs, oris)):
-            rl = len(seq)
-            cf = dna.fill_n(dna.encode(seq), seed=0)
-            cr = (cf[::-1] ^ 3).astype(np.uint8)
+            rl = int(all_lens[i])
+            if fit[i]:
+                r = fit_row[i]
+                cf = cf_rows[r, :rl]
+                cr = cr_rows[r, :rl]
+            else:
+                cf = dna.fill_n(dna.encode(seq), seed=0)
+                cr = (cf[::-1] ^ 3).astype(np.uint8)
             st = SingleEndState(
                 results=[], ori=ori,
                 ori_unmapped=ori.unmapped or ori.chr_id > 24,
                 read_codes_fwd=cf, read_codes_rev=cr,
             )
             states.append(st)
-            if rl > L:
+            if not fit[i]:
                 # out-of-class read: host fallback
                 states[i] = self.host.align_read(seq, ori)
                 continue
             if not st.ori_unmapped and ori.align_score == rl * self.p.match:
                 continue  # refuse full-score reads
-            codes_f[i, :rl] = cf
-            codes_r[i, :rl] = cr
             lens[i] = rl
             if rl - LEN_KMER + 1 > 0:
                 maybe_str.append(i)
