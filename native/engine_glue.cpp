@@ -1,0 +1,680 @@
+// Native host glue for the batched realignment engine.
+//
+// Replaces the per-read Python hot loops of align/engine.py's
+// _finish_batch (chain-hit extraction, the get_ksw_score walk in
+// collect+replay form, CIGAR reverse-merge, result ranking) with a C++
+// pass over the packed device outputs. Semantics are a line-for-line
+// transcription of align/host_align.py (KswHandler, _score_chain,
+// reverse_merge_cigar, align_read result ranking), which itself pins
+// the reference behavior of src/PanSVgenerateVCF/read_realignment.cpp
+// get_ksw_score (:306-400) + KSW_ALN_handler (:803-990) + sort_output.
+//
+// Protocol (driven from align/native_glue.py):
+//   ctx = glue_collect(...)         walk every kept chain; DP segments
+//                                   become request records
+//   glue_req_sizes(ctx, ...)        expose (qlen, tlen) per request so
+//                                   Python can bucket into device size
+//                                   classes
+//   glue_fill_dp(ctx, members, ...) write padded int32 code matrices
+//                                   for one class chunk
+//   glue_set_dp_chunk(ctx, ...)     hand back one chunk's device
+//                                   results (raw backward op rows)
+//   glue_set_dp_scalar(ctx, ...)    hand back one oversize request's
+//                                   scalar-DP result as cigar runs
+//   glue_replay(ctx)                second walk pass: final scores,
+//                                   cigars, ranking
+//   glue_out_sizes / glue_copy_out  fetch results
+//   glue_free(ctx)
+//
+// All scoring constants mirror host_align.py:34-50 (MIN_CHAIN_SCORE 20,
+// MAX_CHAIN_SCORE_DIFF 30, MIN_CHAIN_SCORE_LOOP 30, MIN_ALN_SCORE 40,
+// MAX_OUTPUT_NUMBER 6; reference read_realignment.cpp:396-398).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int32_t NEG_INF = -0x40000000;  // ksw2_ref.NEG_INF
+constexpr int MIN_CHAIN_SCORE = 20;
+constexpr int MAX_CHAIN_SCORE_DIFF = 30;
+constexpr int MIN_CHAIN_SCORE_LOOP = 30;
+constexpr int MIN_ALN_SCORE = 40;
+constexpr int N_HIT = 6;
+constexpr int TYPE_LEFT = 0, TYPE_RIGHT = 1, TYPE_END2END = 2;
+
+struct Params {
+  int match, mismatch, gap_open, gap_ex, gap_open2, gap_ex2;
+};
+
+struct Run {
+  uint8_t op;   // 0=M 1=I 2=D
+  int32_t n;    // may be negative (folded deletion marker)
+};
+
+struct DpReq {
+  int32_t read;      // read index (codes row)
+  uint8_t dir;       // 0 fwd, 1 rev
+  uint8_t type;      // TYPE_*
+  int32_t read_st;   // query start in read coords (pre-reversal)
+  int32_t qlen;      // nominal query length
+  int32_t qlen_act;  // clamped to read end
+  int64_t ref_st;    // target start (may be < 0; _ref clamps)
+  int32_t tlen;
+  // response
+  int32_t score = NEG_INF, mqe = NEG_INF;
+  uint8_t zdropped = 0;
+  std::vector<Run> cigar;
+};
+
+struct Chain {
+  int32_t read;
+  uint8_t dir;
+  int32_t chain_score;
+  int32_t node;      // hit end node (sort tie-break key)
+  int32_t read_bg;
+  int32_t chr_id;
+  int64_t ref_bg;    // ref_begin0 - chr_starts[chr_id]
+  // collect pass records the DP requests this chain creates, in walk
+  // order; the replay pass re-executes the identical control flow
+  // (segment boundaries and the simple/DP decision never depend on a DP
+  // outcome) and consumes them sequentially
+  std::vector<int32_t> req_ids;
+  // replay results
+  int32_t rba = 0;            // read_begin_alignment
+  int32_t align_score = 0;
+  std::vector<Run> cigar;
+  bool cigar_ok = false;
+};
+
+struct ReadOut {
+  int32_t read;
+  std::vector<int32_t> chain_ids;  // into ctx->chains, walk order
+  int32_t max_chain_score;
+};
+
+struct Ctx {
+  Params p;
+  int32_t n_pad, L, K;
+  const int16_t *s_rb, *s_re, *s_dfe;
+  const int32_t *s_fb;
+  const int8_t *pre;
+  const uint8_t *codes_f, *codes_r;
+  const int32_t *lens;
+  const uint8_t *packed_ref;
+  int64_t ref_len;
+  const int64_t *chr_starts;
+  int32_t n_chr;
+  const int32_t *sv_st_pos;
+
+  std::vector<DpReq> reqs;
+  std::vector<Chain> chains;
+  std::vector<ReadOut> reads;
+
+  // outputs (filled by glue_replay)
+  std::vector<int32_t> res_read;
+  std::vector<int32_t> res_fields;  // 8 per result
+  std::vector<uint8_t> out_cig_op;
+  std::vector<int32_t> out_cig_len;
+  std::vector<int32_t> res_cig_off, res_cig_n;
+};
+
+// ---- KswHandler state for one walk --------------------------------------
+
+struct Walk {
+  Ctx* ctx;
+  Chain* ch;
+  const uint8_t* read;  // codes row
+  int32_t read_l;
+  int32_t read_score = 0;
+  int32_t total_q_len = 0;
+  bool is_simple = false;
+  bool collect;  // true = pass 1 (create requests), false = pass 2
+  size_t req_cursor;  // pass 2: next token index consuming DP results
+
+  void push(uint8_t op, int32_t n) {
+    if (!collect) ch->cigar.push_back({op, n});
+  }
+
+  // _ref(st, ln): clamp start to 0, zero-pad past the end
+  inline uint8_t ref_at(int64_t st, int32_t i) const {
+    int64_t pos = (st < 0 ? 0 : st) + i;
+    return pos < ctx->ref_len ? ctx->packed_ref[pos] : 0;
+  }
+
+  int get_mismatch(int32_t read_st, int32_t read_ed, int64_t ref_st,
+                   int64_t ref_ed) {
+    int32_t qlen = read_ed - read_st;
+    int32_t tlen = (int32_t)(ref_ed - ref_st);
+    if (ref_ed < ref_st) {
+      qlen += (int32_t)(ref_st - ref_ed);
+      tlen = 0;
+    }
+    int32_t q_act = std::min(qlen, read_l - read_st);
+    if (q_act < 0) q_act = 0;
+    int32_t n = std::min(q_act, tlen);
+    int nm = 0;
+    for (int32_t i = 0; i < n; i++)
+      if (read[read_st + i] != ref_at(ref_st, i)) nm++;
+    nm += q_act - n;
+    return nm < 3 ? nm : 3;  // cap (cpp:921)
+  }
+
+  void alignment(int32_t read_st, int32_t read_ed, int64_t ref_st,
+                 int64_t ref_ed, uint8_t type) {
+    const Params& p = ctx->p;
+    int32_t qlen = read_ed - read_st;
+    int32_t tlen = (int32_t)(ref_ed - ref_st);
+    if (ref_ed < ref_st) {
+      qlen += (int32_t)(ref_st - ref_ed);
+      tlen = 0;
+    }
+    int32_t q_act = std::min(qlen, read_l - read_st);
+    if (q_act < 0) q_act = 0;
+    total_q_len += qlen;
+
+    // simple-compare fast path (cpp:945-955). LEFT reverses both
+    // sequences BEFORE the compare (KswHandler.alignment:151-153), so
+    // its element i is read[read_st + q_act-1-i] vs ref[tlen-1-i] — the
+    // compare runs from the tail ends, not the fronts.
+    is_simple = false;
+    int simple_nm = 0;
+    if (qlen == 0 || tlen == 0) {
+      is_simple = true;
+      simple_nm = qlen + tlen;
+    } else if (qlen == tlen || type != TYPE_END2END) {
+      int32_t n = std::min(qlen, tlen);
+      int32_t n2 = std::min(n, q_act);
+      int nm = 0;
+      if (type == TYPE_LEFT) {
+        for (int32_t i = 0; i < n2 && nm < 6; i++)
+          if (read[read_st + q_act - 1 - i] !=
+              ref_at(ref_st, tlen - 1 - i))
+            nm++;
+      } else {
+        for (int32_t i = 0; i < n2 && nm < 6; i++)
+          if (read[read_st + i] != ref_at(ref_st, i)) nm++;
+      }
+      simple_nm = nm < 6 ? nm : 6;
+      if (simple_nm == 1 || (simple_nm < 6 && (simple_nm << 3) < qlen))
+        is_simple = true;
+    }
+
+    if (is_simple) {
+      if (qlen == 0 || tlen == 0) {
+        if (simple_nm != 0) {
+          int s1 = p.gap_open + (simple_nm - 1) * p.gap_ex;
+          int s2 = p.gap_open2 + (simple_nm - 1) * p.gap_ex2;
+          read_score -= std::min(s1, s2);
+        }
+      } else {
+        read_score += qlen * p.match - simple_nm * (p.match + p.mismatch);
+      }
+      if (qlen == 0)
+        push(2, tlen);
+      else if (tlen == 0)
+        push(1, qlen);
+      else
+        push(0, qlen);
+      if (ref_ed < ref_st) push(2, (int32_t)(ref_ed - ref_st));
+      return;
+    }
+
+    if ((int64_t)qlen * tlen > 1000000) {
+      push(1, qlen);
+      push(2, tlen);  // dummy, score 0 (cpp:895-907)
+      return;
+    }
+
+    if (collect) {
+      DpReq r;
+      r.read = ch->read;
+      r.dir = ch->dir;
+      r.type = type;
+      r.read_st = read_st;
+      r.qlen = qlen;
+      r.qlen_act = q_act;
+      r.ref_st = ref_st;
+      r.tlen = tlen;
+      ctx->reqs.push_back(std::move(r));
+      ch->req_ids.push_back((int32_t)ctx->reqs.size() - 1);
+    } else {
+      // replay: consume the next DP response in walk order
+      const DpReq& r = ctx->reqs[ch->req_ids[req_cursor++]];
+      if (type == TYPE_END2END) {
+        read_score += (r.score != NEG_INF ? r.score : 0);
+        for (auto it = r.cigar.rbegin(); it != r.cigar.rend(); ++it)
+          ch->cigar.push_back(*it);
+      } else if (type == TYPE_LEFT) {
+        read_score += (r.mqe != NEG_INF ? r.mqe : 0);
+        for (const Run& rn : r.cigar) ch->cigar.push_back(rn);
+      } else {
+        read_score += (r.mqe != NEG_INF ? r.mqe : 0);
+        for (auto it = r.cigar.rbegin(); it != r.cigar.rend(); ++it)
+          ch->cigar.push_back(*it);
+      }
+    }
+  }
+};
+
+// the get_ksw_score walk (_score_chain); collect pass creates DP
+// requests + tokens, replay pass rebuilds cigar + score from responses
+static void score_chain(Ctx* ctx, Chain* ch, bool collect) {
+  const Params& p = ctx->p;
+  const int32_t K = ctx->K;
+  const int32_t row =
+      ch->dir == 0 ? ch->read : ch->read + ctx->n_pad;
+  const int16_t* rb = ctx->s_rb + (int64_t)row * K;
+  const int16_t* re = ctx->s_re + (int64_t)row * K;
+  const int32_t* fb = ctx->s_fb + (int64_t)row * K;
+  const int16_t* dfe = ctx->s_dfe + (int64_t)row * K;
+  const int8_t* pre = ctx->pre + (int64_t)row * K;
+
+  Walk w;
+  w.ctx = ctx;
+  w.ch = ch;
+  w.read = (ch->dir == 0 ? ctx->codes_f : ctx->codes_r) +
+           (int64_t)ch->read * ctx->L;
+  w.read_l = ctx->lens[ch->read];
+  w.collect = collect;
+  w.req_cursor = 0;
+  if (!collect) {
+    ch->cigar.clear();
+  }
+
+  const int32_t read_l = w.read_l;
+  const int64_t MAXI = 0x7FFFFFFF;
+  int32_t aln_read_begin = read_l;
+  int32_t aln_read_end = read_l;
+  int64_t aln_ref_begin = MAXI;
+  int64_t aln_ref_end = MAXI;
+  int32_t last_aln_begin = read_l;
+  int64_t last_ref_begin = MAXI;
+  int unitig_mis = 0;
+
+  int32_t node = ch->node;
+  while (true) {
+    int32_t mem_read_beg = rb[node];
+    int32_t mem_read_end = re[node];
+    int64_t mem_ref_beg = fb[node];
+    int64_t mem_ref_end = (int64_t)fb[node] + dfe[node];
+
+    aln_read_begin = std::min(aln_read_begin, mem_read_end);
+    aln_ref_begin = std::min(aln_ref_begin, mem_ref_end);
+    if (aln_read_begin <= aln_read_end) {
+      if (aln_read_end < last_aln_begin) {
+        int32_t mem_len = last_aln_begin - aln_read_end;
+        unitig_mis += w.get_mismatch(aln_read_end, aln_read_end + mem_len,
+                                     last_ref_begin,
+                                     last_ref_begin + mem_len);
+        w.push(0, mem_len);
+      }
+      last_aln_begin = aln_read_begin;
+      uint8_t ty;
+      int64_t use_ref_end = aln_ref_end;
+      if (aln_ref_end == MAXI) {
+        use_ref_end = aln_ref_begin + (aln_read_end - aln_read_begin) + 30;
+        ty = TYPE_RIGHT;
+      } else {
+        ty = TYPE_END2END;
+      }
+      w.alignment(aln_read_begin, aln_read_end, aln_ref_begin, use_ref_end,
+                  ty);
+    } else {
+      int32_t d_read = aln_read_end - aln_read_begin;
+      int64_t d_ref = aln_ref_end - aln_ref_begin;
+      if (d_read != d_ref) {
+        int64_t dl = d_ref - d_read;
+        if (dl < 0) dl = -dl;
+        int64_t s1 = p.gap_open + (dl - 1) * p.gap_ex;
+        int64_t s2 = p.gap_open2 + (dl - 1) * p.gap_ex2;
+        w.read_score -= (int32_t)std::min(s1, s2);
+      }
+    }
+    aln_read_end = mem_read_beg;
+    last_ref_begin = mem_ref_beg;
+    aln_ref_end = mem_ref_beg;
+    int32_t nxt = pre[node];
+    if (nxt == -1) break;
+    node = nxt;
+  }
+
+  if (aln_read_end < last_aln_begin) {
+    int32_t mem_len = last_aln_begin - aln_read_end;
+    unitig_mis += w.get_mismatch(aln_read_end, aln_read_end + mem_len,
+                                 last_ref_begin, last_ref_begin + mem_len);
+    w.push(0, mem_len);
+  }
+
+  int32_t read_begin_alignment = 0;
+  if (0 < aln_read_end) {
+    int64_t ref_begin = aln_ref_end - aln_read_end - 30;
+    if (ref_begin < 0) ref_begin = 0;
+    w.alignment(0, aln_read_end, ref_begin, aln_ref_end, TYPE_LEFT);
+    if (aln_ref_end > ref_begin) {
+      if (w.is_simple)
+        read_begin_alignment = (int32_t)(aln_ref_end - ref_begin - 30);
+      else
+        read_begin_alignment = (int32_t)(aln_ref_end - ref_begin);
+    }
+  }
+  w.read_score += (read_l - w.total_q_len) * p.match;
+  w.read_score -= unitig_mis * (p.match + p.mismatch);
+
+  if (!collect) {
+    ch->rba = read_begin_alignment;
+    ch->align_score = w.read_score;
+  }
+}
+
+// reverse_merge_cigar (host_align.py:223-252; reverseGIGAR hpp:277-301)
+static bool reverse_merge(const std::vector<Run>& tmp, int32_t read_len,
+                          std::vector<Run>* out) {
+  out->clear();
+  if (tmp.empty()) return false;
+  out->push_back(tmp.back());
+  for (size_t k = tmp.size() - 1; k-- > 0;) {
+    const Run& r = tmp[k];
+    Run& top = out->back();
+    if (r.n < 0) {
+      // negative deletion folds into previous (try_merge)
+      if (top.op == 0) {
+        top.n += r.n;
+        if (top.n <= 0) return false;
+      } else if (top.op == 2) {
+        top.n -= r.n;
+      } else {
+        return false;
+      }
+    } else if (top.op == r.op || r.n == 0) {
+      top.n += r.n;
+    } else {
+      out->push_back(r);
+    }
+  }
+  if (!out->empty() && (*out)[0].n == 0) out->erase(out->begin());
+  int64_t total = 0;
+  for (const Run& r : *out)
+    if (r.op == 0 || r.op == 1) total += r.n;  // M, I (no N/S here)
+  return total == read_len;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* glue_collect(
+    int32_t n_pad, int32_t L, int32_t K,
+    const int16_t* s_rb, const int16_t* s_re, const int32_t* s_fb,
+    const int16_t* s_dfe, const int8_t* pre, const int8_t* hit_idx,
+    const int16_t* hit_score, const int8_t* hit_final,
+    const uint8_t* codes_f, const uint8_t* codes_r, const int32_t* lens,
+    const uint8_t* active, const uint8_t* packed_ref, int64_t ref_len,
+    const int64_t* chr_starts, int32_t n_chr, const int32_t* sv_st_pos,
+    int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_ex,
+    int32_t gap_open2, int32_t gap_ex2, int32_t* n_req_out) {
+  Ctx* ctx = new Ctx();
+  ctx->p = {match, mismatch, gap_open, gap_ex, gap_open2, gap_ex2};
+  ctx->n_pad = n_pad;
+  ctx->L = L;
+  ctx->K = K;
+  ctx->s_rb = s_rb;
+  ctx->s_re = s_re;
+  ctx->s_fb = s_fb;
+  ctx->s_dfe = s_dfe;
+  ctx->pre = pre;
+  ctx->codes_f = codes_f;
+  ctx->codes_r = codes_r;
+  ctx->lens = lens;
+  ctx->packed_ref = packed_ref;
+  ctx->ref_len = ref_len;
+  ctx->chr_starts = chr_starts;
+  ctx->n_chr = n_chr;
+  ctx->sv_st_pos = sv_st_pos;
+
+  for (int32_t i = 0; i < n_pad; i++) {
+    if (!active[i]) continue;
+    // ---- per-read chain-hit extraction (engine._finish_batch loop) ----
+    std::vector<Chain> results;
+    int32_t max_chain_score = 0;
+    for (int d = 0; d < 2; d++) {
+      int32_t row = d == 0 ? i : i + n_pad;
+      const int8_t* hidx = hit_idx + (int64_t)row * N_HIT;
+      const int16_t* hsc = hit_score + (int64_t)row * N_HIT;
+      const int8_t* hfin = hit_final + (int64_t)row * N_HIT;
+      if (hidx[0] < 0) continue;
+      for (int s = 0; s < N_HIT; s++) {
+        int32_t hi = hidx[s];
+        if (hi < 0) break;
+        int32_t cs = hsc[s];
+        if (cs > max_chain_score) max_chain_score = cs;
+        if (cs + MAX_CHAIN_SCORE_DIFF < max_chain_score ||
+            cs < MIN_CHAIN_SCORE_LOOP)
+          break;
+        int32_t fin = hfin[s];
+        int64_t ref_begin0 = ctx->s_fb[(int64_t)row * K + fin];
+        // chr_of_pos: searchsorted(chr_starts, pos, 'right') - 1
+        int32_t cid =
+            (int32_t)(std::upper_bound(chr_starts, chr_starts + n_chr + 1,
+                                       ref_begin0) -
+                      chr_starts) -
+            1;
+        Chain c;
+        c.read = i;
+        c.dir = (uint8_t)d;
+        c.chain_score = cs;
+        c.node = hi;
+        c.read_bg = ctx->s_rb[(int64_t)row * K + fin];
+        c.chr_id = cid;
+        c.ref_bg = ref_begin0 - chr_starts[cid];
+        results.push_back(std::move(c));
+      }
+    }
+    if (results.empty() || max_chain_score < MIN_CHAIN_SCORE) continue;
+    // stable sort by (-chain_score, node)
+    std::stable_sort(results.begin(), results.end(),
+                     [](const Chain& a, const Chain& b) {
+                       if (a.chain_score != b.chain_score)
+                         return a.chain_score > b.chain_score;
+                       return a.node < b.node;
+                     });
+    ReadOut ro;
+    ro.read = i;
+    ro.max_chain_score = max_chain_score;
+    for (Chain& c : results) {
+      if (c.chain_score + MAX_CHAIN_SCORE_DIFF < max_chain_score) break;
+      ctx->chains.push_back(std::move(c));
+      int32_t cid = (int32_t)ctx->chains.size() - 1;
+      ro.chain_ids.push_back(cid);
+      score_chain(ctx, &ctx->chains[cid], /*collect=*/true);
+    }
+    if (!ro.chain_ids.empty()) ctx->reads.push_back(std::move(ro));
+  }
+  *n_req_out = (int32_t)ctx->reqs.size();
+  return ctx;
+}
+
+void glue_req_sizes(void* vctx, int32_t* qlen_out, int32_t* tlen_out) {
+  Ctx* ctx = (Ctx*)vctx;
+  for (size_t k = 0; k < ctx->reqs.size(); k++) {
+    qlen_out[k] = ctx->reqs[k].qlen_act;
+    tlen_out[k] = ctx->reqs[k].tlen;
+  }
+}
+
+void glue_fill_dp(void* vctx, const int32_t* members, int32_t n_members,
+                  int32_t* qc, int32_t* tc, int32_t* ql, int32_t* tl,
+                  int32_t cq, int32_t ct) {
+  Ctx* ctx = (Ctx*)vctx;
+  for (int32_t m = 0; m < n_members; m++) {
+    const DpReq& r = ctx->reqs[members[m]];
+    const uint8_t* read =
+        (r.dir == 0 ? ctx->codes_f : ctx->codes_r) +
+        (int64_t)r.read * ctx->L;
+    int32_t* qrow = qc + (int64_t)m * cq;
+    int32_t* trow = tc + (int64_t)m * ct;
+    int32_t qa = r.qlen_act;
+    if (r.type == TYPE_LEFT) {
+      for (int32_t j = 0; j < qa; j++)
+        qrow[j] = read[r.read_st + qa - 1 - j];
+      for (int32_t j = 0; j < r.tlen; j++) {
+        int64_t pos = (r.ref_st < 0 ? 0 : r.ref_st) + (r.tlen - 1 - j);
+        trow[j] = pos < ctx->ref_len ? ctx->packed_ref[pos] : 0;
+      }
+    } else {
+      for (int32_t j = 0; j < qa; j++) qrow[j] = read[r.read_st + j];
+      for (int32_t j = 0; j < r.tlen; j++) {
+        int64_t pos = (r.ref_st < 0 ? 0 : r.ref_st) + j;
+        trow[j] = pos < ctx->ref_len ? ctx->packed_ref[pos] : 0;
+      }
+    }
+    ql[m] = qa;
+    tl[m] = r.tlen;
+  }
+}
+
+// device results for one chunk. packed rows: score, mqe, max, max_q,
+// max_t, zdropped, i_f, j_f (engine._dp_*_body). ops rows are BACKWARD
+// op codes; skip_mode 1 = Pallas rows (3s interleaved), 0 = scan rows
+// (3 terminates).
+void glue_set_dp_chunk(void* vctx, const int32_t* members,
+                       int32_t n_members, const int8_t* ops,
+                       int32_t ops_len, const int32_t* packed,
+                       int32_t chunk_B, int32_t skip_mode) {
+  Ctx* ctx = (Ctx*)vctx;
+  const int32_t* score = packed;
+  const int32_t* mqe = packed + chunk_B;
+  const int32_t* zdr = packed + 5 * (int64_t)chunk_B;
+  const int32_t* i_f = packed + 6 * (int64_t)chunk_B;
+  const int32_t* j_f = packed + 7 * (int64_t)chunk_B;
+  for (int32_t m = 0; m < n_members; m++) {
+    DpReq& r = ctx->reqs[members[m]];
+    r.score = score[m];
+    r.mqe = mqe[m];
+    r.zdropped = (uint8_t)zdr[m];
+    r.cigar.clear();
+    const int8_t* row = ops + (int64_t)m * ops_len;
+    // backward ops -> forward runs (ops_to_cigar / ops_to_cigar_skip)
+    std::vector<Run> back;
+    for (int32_t k = 0; k < ops_len; k++) {
+      int8_t c = row[k];
+      if (c == 3) {
+        if (skip_mode) continue;
+        break;
+      }
+      if (!back.empty() && back.back().op == (uint8_t)c)
+        back.back().n++;
+      else
+        back.push_back({(uint8_t)c, 1});
+    }
+    if (i_f[m] >= 0) {
+      if (!back.empty() && back.back().op == 2)
+        back.back().n += i_f[m] + 1;
+      else
+        back.push_back({2, i_f[m] + 1});
+    }
+    if (j_f[m] >= 0) {
+      if (!back.empty() && back.back().op == 1)
+        back.back().n += j_f[m] + 1;
+      else
+        back.push_back({1, j_f[m] + 1});
+    }
+    r.cigar.assign(back.rbegin(), back.rend());
+  }
+}
+
+void glue_set_dp_scalar(void* vctx, int32_t req, int32_t score, int32_t mqe,
+                        int32_t zdropped, const uint8_t* run_op,
+                        const int32_t* run_len, int32_t n_runs) {
+  Ctx* ctx = (Ctx*)vctx;
+  DpReq& r = ctx->reqs[req];
+  r.score = score;
+  r.mqe = mqe;
+  r.zdropped = (uint8_t)zdropped;
+  r.cigar.clear();
+  for (int32_t k = 0; k < n_runs; k++) r.cigar.push_back({run_op[k], run_len[k]});
+}
+
+// second pass: rebuild cigars + scores, rank, emit result arrays
+void glue_replay(void* vctx) {
+  Ctx* ctx = (Ctx*)vctx;
+  std::vector<Run> merged;
+  for (ReadOut& ro : ctx->reads) {
+    // replay walks in collect order
+    std::vector<int32_t> kept;
+    for (int32_t cid : ro.chain_ids) {
+      Chain& ch = ctx->chains[cid];
+      score_chain(ctx, &ch, /*collect=*/false);
+      ch.ref_bg -= ch.rba;
+      if (ch.align_score < 0) ch.align_score = 0;
+      ch.cigar_ok = reverse_merge(ch.cigar, ctx->lens[ch.read], &merged);
+      if (ch.cigar_ok)
+        ch.cigar = merged;
+      else
+        ch.cigar.clear();
+      kept.push_back(cid);
+    }
+    std::stable_sort(kept.begin(), kept.end(), [&](int32_t a, int32_t b) {
+      return ctx->chains[a].align_score > ctx->chains[b].align_score;
+    });
+    if (kept.empty() ||
+        ctx->chains[kept[0]].align_score < MIN_ALN_SCORE)
+      continue;
+    int32_t second =
+        kept.size() > 1 ? ctx->chains[kept[1]].align_score : 0;
+    for (size_t j = 0; j < kept.size(); j++) {
+      Chain& ch = ctx->chains[kept[j]];
+      int32_t sv_id = ch.chr_id;
+      int64_t ref_bg = ch.ref_bg + ctx->sv_st_pos[sv_id] - 1;
+      int32_t mapq = 0;
+      if (j == 0) {
+        mapq = ch.align_score - second;
+        if (mapq > 40) mapq = 40;
+      }
+      ctx->res_read.push_back(ch.read);
+      ctx->res_fields.push_back(ch.dir);
+      ctx->res_fields.push_back(ch.chain_score);
+      ctx->res_fields.push_back(ch.align_score);
+      ctx->res_fields.push_back(ch.read_bg);
+      ctx->res_fields.push_back((int32_t)ref_bg);
+      ctx->res_fields.push_back(sv_id);
+      ctx->res_fields.push_back(mapq);
+      ctx->res_fields.push_back((int32_t)j);
+      ctx->res_cig_off.push_back((int32_t)ctx->out_cig_op.size());
+      ctx->res_cig_n.push_back((int32_t)ch.cigar.size());
+      for (const Run& r : ch.cigar) {
+        ctx->out_cig_op.push_back(r.op);
+        ctx->out_cig_len.push_back(r.n);
+      }
+    }
+  }
+}
+
+void glue_out_sizes(void* vctx, int64_t* n_results, int64_t* n_cig) {
+  Ctx* ctx = (Ctx*)vctx;
+  *n_results = (int64_t)ctx->res_read.size();
+  *n_cig = (int64_t)ctx->out_cig_op.size();
+}
+
+void glue_copy_out(void* vctx, int32_t* res_read, int32_t* res_fields,
+                   uint8_t* cig_op, int32_t* cig_len, int32_t* res_cig_off,
+                   int32_t* res_cig_n) {
+  Ctx* ctx = (Ctx*)vctx;
+  std::memcpy(res_read, ctx->res_read.data(),
+              ctx->res_read.size() * sizeof(int32_t));
+  std::memcpy(res_fields, ctx->res_fields.data(),
+              ctx->res_fields.size() * sizeof(int32_t));
+  std::memcpy(cig_op, ctx->out_cig_op.data(), ctx->out_cig_op.size());
+  std::memcpy(cig_len, ctx->out_cig_len.data(),
+              ctx->out_cig_len.size() * sizeof(int32_t));
+  std::memcpy(res_cig_off, ctx->res_cig_off.data(),
+              ctx->res_cig_off.size() * sizeof(int32_t));
+  std::memcpy(res_cig_n, ctx->res_cig_n.data(),
+              ctx->res_cig_n.size() * sizeof(int32_t));
+}
+
+void glue_free(void* vctx) { delete (Ctx*)vctx; }
+
+}  // extern "C"

@@ -54,6 +54,7 @@ from ..ops.seeding import (
     seed_reads2,
 )
 from ..utils import dna
+from . import native_glue
 from .host_align import (
     FORWARD,
     LEN_KMER,
@@ -79,9 +80,13 @@ from .host_align import (
 # over a remote-chip link otherwise dominates the batch time) -------------
 
 def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext):
-    if front == "v2":
+    if front in ("v2", "v4"):
+        # v2 = open-addressing hash probe + slab extension;
+        # v4 = hash probe + single-gather entry attributes + the v1
+        #      rolled stepped extension (slabs measured slower on TPU)
         sb = seed_reads2(didx, words, lens, mask, S0=S0, M=M,
-                         n_ext_steps=n_ext)
+                         n_ext_steps=n_ext,
+                         ext_mode="slab" if front == "v2" else "steps")
     else:
         # v1 = bisect seeding + stepped extension; v3 = bisect seeding +
         # the v2 slab extension (one contiguous word-slab fetch per lane)
@@ -163,12 +168,22 @@ def _chain_body(rb, re_, fb, fe, cov, sid, valid, is_str):
     hit_idx, hit_score, hit_final = chain_extract_batch(
         cr.dist, cr.pre, cr.valid
     )
-    packed = jnp.stack([
-        cr.dist, cr.pre, cr.read_begin, cr.read_end,
-        cr.ref_begin, cr.ref_end, cr.cov,
-    ])
-    hits = jnp.stack([hit_idx, hit_score, hit_final])   # (3, B, 6)
-    return packed, hits
+    # minimal-dtype transfer: the host walk (_score_chain) reads only
+    # rb/re/fb/fe/pre, and the break rules read the extracted hits — so
+    # dist/cov/sid never cross the link. fe rides as a delta off fb
+    # (merged MEM span <= read length), halving the dominant (B, K)
+    # payload vs a uniform int32 stack.
+    p32 = cr.ref_begin                                   # (B, K) int32
+    p16 = jnp.stack([
+        cr.read_begin.astype(jnp.int16),
+        cr.read_end.astype(jnp.int16),
+        (cr.ref_end - cr.ref_begin).astype(jnp.int16),
+    ])                                                   # (3, B, K)
+    p8 = cr.pre.astype(jnp.int8)                         # (B, K)
+    hits8 = jnp.stack([hit_idx.astype(jnp.int8),
+                       hit_final.astype(jnp.int8)])      # (2, B, 6)
+    hscore = hit_score.astype(jnp.int16)                 # (B, 6)
+    return p32, p16, p8, hits8, hscore
 
 
 _device_chain_pack = jax.jit(_chain_body)
@@ -181,7 +196,8 @@ def _sharded_chain(mesh):
     return jax.jit(_shard_map(
         _chain_body, mesh,
         in_specs=tuple([P("data")] * 8),
-        out_specs=(P(None, "data"), P(None, "data")),
+        out_specs=(P("data"), P(None, "data"), P("data"),
+                   P(None, "data"), P("data")),
     ))
 
 
@@ -294,6 +310,8 @@ class EngineConfig:
     front: str = "v1"            # seeding front: "v1" bisect, "v2" hash+slab
                                  # (A/B on-chip at M=32: v1 0.58 s/call vs
                                  # v2 0.80 — the bisect front wins on TPU)
+    native_glue: bool = True     # use native/engine_glue.cpp for the
+                                 # collect/replay walks when built
     pipe_order: str = "late"     # align_stream next-front dispatch point:
                                  # "late" = after this batch's DP,
                                  # "early" = right after its chain program.
@@ -352,6 +370,15 @@ class AlignEngine:
             w=self.p.band, zdrop=self.p.zdrop,
         )
         self._scalar_dp = KswHandler(idx, self.p)._run_dp
+        # native host glue (collect/replay walks in C++); None falls back
+        # to the pure-Python loops below
+        self._glue_lib = native_glue.get_lib() if self.cfg.native_glue \
+            else None
+        self._packed_ref = np.ascontiguousarray(self.host.ksw.packed_ref)
+        self._chr_starts64 = np.ascontiguousarray(
+            self.idx.chr_starts, np.int64)
+        self._sv_st_pos = np.array(
+            [info.st_pos for info in self.sv_info], np.int32)
         # wall-clock per engine phase, accumulated across batches; device
         # waits show up in the sync_* rows (dispatches are async)
         self.prof: dict[str, float] = defaultdict(float)
@@ -542,7 +569,8 @@ class AlignEngine:
             )
         return dict(states=states, active=active, n=n, n_pad=n_pad,
                     seqs=seqs, oris=oris, front=(es, stats3_dev),
-                    is_str=is_str, read_class=L)
+                    is_str=is_str, read_class=L,
+                    codes_f=codes_f, codes_r=codes_r, lens=lens)
 
     def _finish_batch(self, pend, on_dp_dispatched=None) -> list[SingleEndState]:
         cfg = self.cfg
@@ -580,7 +608,7 @@ class AlignEngine:
         t = time.perf_counter()
         chain_fn = _sharded_chain(self.mesh) if self.mesh is not None \
             else _device_chain_pack
-        packed_dev, hits_dev = chain_fn(
+        p32_dev, p16_dev, p8_dev, hits8_dev, hscore_dev = chain_fn(
             es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
             es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
             es.valid[:, :K], is_str2,
@@ -597,11 +625,19 @@ class AlignEngine:
             on_dp_dispatched()
             on_dp_dispatched = None
         t = time.perf_counter()
-        packed = np.asarray(packed_dev)
-        hits = np.asarray(hits_dev)
+        s_fb = np.asarray(p32_dev)
+        p16 = np.asarray(p16_dev)
+        pre = np.asarray(p8_dev)
+        hits8 = np.asarray(hits8_dev)
+        hit_score = np.asarray(hscore_dev)
         self.prof["sync_chain"] += time.perf_counter() - t
-        dist, pre, s_rb, s_re, s_fb, s_fe, s_cov = packed
-        hit_idx, hit_score, hit_final = hits
+        if self._glue_lib is not None:
+            return self._finish_native(
+                pend, states, active, n_pad, s_fb, p16, pre, hits8,
+                hit_score, on_dp_dispatched)
+        s_rb, s_re, s_dfe = p16
+        s_fe = s_fb + s_dfe
+        hit_idx, hit_final = hits8
         nv = seed_count
 
         # ---- per-read chain extraction + walk (collect pass) ----------
@@ -617,11 +653,13 @@ class AlignEngine:
                 if hit_idx[row, 0] < 0:
                     continue
                 k = int(nv[row])
+                # dist/cov are not read by the scoring walk (only the
+                # hit list and pre-pointers are) — zero placeholders
                 g = chain_ref.ChainGraph(
                     read_begin=s_rb[row][:k], read_end=s_re[row][:k],
                     ref_begin=s_fb[row][:k], ref_end=s_fe[row][:k],
-                    cov=s_cov[row][:k], seed_id=np.zeros(k, np.int64),
-                    dist=dist[row][:k].astype(np.float64),
+                    cov=np.zeros(k, np.int64), seed_id=np.zeros(k, np.int64),
+                    dist=np.zeros(k, np.float64),
                     pre=pre[row][:k].astype(np.int64),
                 )
                 # hits come pre-extracted from the device (sort_output
@@ -713,6 +751,109 @@ class AlignEngine:
         return states
 
     # ------------------------------------------------------------------
+    def _finish_native(self, pend, states, active, n_pad, s_fb, p16, pre,
+                       hits8, hit_score, on_dp_dispatched):
+        """Native-glue tail of _finish_batch: the C++ module runs the
+        collect walk, we run its DP requests through the device size
+        classes, then C++ replays and ranks; results come back as flat
+        arrays. Bit-identical to the Python path (tested)."""
+        cfg = self.cfg
+        seqs = pend["seqs"]
+        read_class = pend.get("read_class", 160)
+        L = pend["codes_f"].shape[1]
+        K = s_fb.shape[1]
+        active_mask = np.zeros(n_pad, np.uint8)
+        if active:
+            active_mask[np.array(sorted(active), np.int64)] = 1
+
+        t = time.perf_counter()
+        gb = native_glue.GlueBatch(
+            self._glue_lib, n_pad=n_pad, L=L, K=K,
+            s_rb=p16[0], s_re=p16[1], s_fb=np.ascontiguousarray(s_fb),
+            s_dfe=p16[2], pre=np.ascontiguousarray(pre),
+            hit_idx=hits8[0], hit_score=np.ascontiguousarray(hit_score),
+            hit_final=hits8[1],
+            codes_f=pend["codes_f"], codes_r=pend["codes_r"],
+            lens=pend["lens"], active_mask=active_mask,
+            packed_ref=self._packed_ref, chr_starts=self._chr_starts64,
+            sv_st_pos=self._sv_st_pos, params=self.p,
+        )
+        self.prof["host_collect"] += time.perf_counter() - t
+
+        # ---- DP dispatch over size classes -----------------------------
+        t = time.perf_counter()
+        dp_q, dp_t = cfg.dp_class(read_class)
+        classes = [(96, 128, 128, 2048), (dp_q, dp_t, 256, 512)]
+        if dp_q <= 96 or dp_t <= 128:
+            classes = classes[1:]
+        ql_all, tl_all = gb.req_sizes()
+        assigned = np.full(gb.n_req, -1, np.int32)
+        for ci, (cq, ct, _, _) in enumerate(classes):
+            m = (assigned < 0) & (ql_all <= cq) & (tl_all <= ct)
+            assigned[m] = ci
+        chunks = []
+        for ci, (cq, ct, W, CHUNK) in enumerate(classes):
+            members = np.nonzero(assigned == ci)[0].astype(np.int32)
+            for c0 in range(0, len(members), CHUNK):
+                mem = members[c0 : c0 + CHUNK]
+                qc, ql, tc, tl = gb.fill_dp(mem, cq, ct, CHUNK)
+                if self.mesh is not None:
+                    dp_fn = _sharded_dp(
+                        self.mesh, self.dp_params, cfg.use_pallas(), W,
+                        cq + ct, cfg.dp_interpret,
+                    )
+                    ops_dev, packed_dev = dp_fn(qc, ql, tc, tl)
+                elif cfg.use_pallas():
+                    ops_dev, packed_dev = _device_dp_pallas(
+                        qc, ql, tc, tl, params=self.dp_params,
+                        W=W, interpret=cfg.dp_interpret,
+                    )
+                else:
+                    ops_dev, packed_dev = _device_dp(
+                        qc, ql, tc, tl, params=self.dp_params, K=cq + ct,
+                    )
+                chunks.append((mem, ops_dev, packed_dev))
+        big = np.nonzero(assigned < 0)[0]
+        self.prof["dp_dispatch"] += time.perf_counter() - t
+        if on_dp_dispatched is not None:
+            on_dp_dispatched()
+
+        t = time.perf_counter()
+        for k in big:
+            qc, ql, tc, tl = gb.fill_dp(
+                np.array([k], np.int32), int(ql_all[k]), int(tl_all[k]), 1)
+            ez = self._scalar_dp(qc[0, : ql[0]], tc[0, : tl[0]])
+            gb.set_dp_scalar(int(k), ez)
+        skip = self.cfg.use_pallas()
+        for mem, ops_dev, packed_dev in chunks:
+            ops = np.asarray(ops_dev)
+            packed = np.asarray(packed_dev)
+            gb.set_dp_chunk(mem, ops[: len(mem)], packed[:, : len(mem)],
+                            skip)
+        self.prof["sync_dp"] += time.perf_counter() - t
+
+        # ---- replay + result objects -----------------------------------
+        t = time.perf_counter()
+        res_read, rf, cig_op, cig_len, cig_off, cig_n = gb.replay()
+        gb.free()
+        OPS = "MID"
+        for x in range(len(res_read)):
+            i = int(res_read[x])
+            o = int(cig_off[x])
+            c = int(cig_n[x])
+            r = AlnResult(
+                align_score=int(rf[x, 2]), chain_score=int(rf[x, 1]),
+                read_bg=int(rf[x, 3]), mapq=int(rf[x, 6]), chr_id=-1,
+                ref_bg=int(rf[x, 4]), direction=int(rf[x, 0]),
+                is_ori=False, sv_id=int(rf[x, 5]), rst_idx=int(rf[x, 7]),
+                cigar=[(OPS[cig_op[o + j]], int(cig_len[o + j]))
+                       for j in range(c)],
+            )
+            states[i].results.append(r)
+        self.prof["host_replay"] += time.perf_counter() - t
+        return states
+
+    # ------------------------------------------------------------------
     def _walk(self, ksw: _CollectDP, g: chain_ref.ChainGraph, max_index: int,
               read_codes: np.ndarray):
         """The get_ksw_score walk, shared with HostAligner._score_chain
@@ -730,7 +871,15 @@ class AlignEngine:
                            read_class: int = 160):
         """Dispatch all collected DP requests (fixed-size chunks) without
         synchronizing; returns handles for _sync_dp_batch. Oversize
-        segments fall back to the scalar reference kernel at sync time."""
+        segments fall back to the scalar reference kernel at sync time.
+
+        Requests are bucketed into DP size classes: most inter-MEM gaps
+        are small (measured mean (55, 85) on the bench world), so a
+        (96, 128, W=128) class with a one-dispatch 2048-lane chunk covers
+        ~everything at ~4x less wavefront work per lane than the full
+        (dp_q, dp_t, W=256) class, which stays as the overflow tier. The
+        kernel's band window only needs W >= min(Qmax, Tmax, 2w+1), so
+        both classes reproduce the scalar kernel bit-for-bit."""
         cfg = self.cfg
         dp_q, dp_t = cfg.dp_class(read_class)
         reqs = []
@@ -746,43 +895,54 @@ class AlignEngine:
                        chunks=[], big=[])
         if not reqs:
             return handles
-        small = [k for k, (q, t) in enumerate(reqs)
-                 if len(q) <= dp_q and len(t) <= dp_t]
-        handles["big"] = [k for k in range(len(reqs)) if k not in set(small)]
-
-        # fixed-size DP chunks: ONE compiled shape for the DP+traceback
-        # programs regardless of how many segments a batch produced
-        CHUNK = 512
-        for c0 in range(0, len(small), CHUNK):
-            chunk = small[c0 : c0 + CHUNK]
-            B = CHUNK
-            qc = np.zeros((B, dp_q), np.int32)
-            tc = np.zeros((B, dp_t), np.int32)
-            ql = np.ones(B, np.int32)
-            tl = np.ones(B, np.int32)
-            for bi, k in enumerate(chunk):
-                q, t = reqs[k]
-                qc[bi, : len(q)] = q
-                tc[bi, : len(t)] = t
-                ql[bi] = len(q)
-                tl[bi] = len(t)
-            if self.mesh is not None:
-                dp_fn = _sharded_dp(
-                    self.mesh, self.dp_params, cfg.use_pallas(), 256,
-                    dp_q + dp_t, cfg.dp_interpret,
-                )
-                ops_dev, packed_dev = dp_fn(qc, ql, tc, tl)
-            elif cfg.use_pallas():
-                ops_dev, packed_dev = _device_dp_pallas(
-                    qc, ql, tc, tl, params=self.dp_params,
-                    W=256, interpret=cfg.dp_interpret,
-                )
+        classes = [(96, 128, 128, 2048), (dp_q, dp_t, 256, 512)]
+        if dp_q <= 96 or dp_t <= 128:
+            classes = classes[1:]
+        by_class: list[list[int]] = [[] for _ in classes]
+        big = []
+        for k, (q, t) in enumerate(reqs):
+            for ci, (cq, ct, _, _) in enumerate(classes):
+                if len(q) <= cq and len(t) <= ct:
+                    by_class[ci].append(k)
+                    break
             else:
-                ops_dev, packed_dev = _device_dp(
-                    qc, ql, tc, tl, params=self.dp_params,
-                    K=dp_q + dp_t,
-                )
-            handles["chunks"].append((chunk, ops_dev, packed_dev))
+                big.append(k)
+        handles["big"] = big
+
+        # fixed-size DP chunks: ONE compiled shape per class for the
+        # DP+traceback programs regardless of how many segments a batch
+        # produced
+        for (cq, ct, W, CHUNK), members in zip(classes, by_class):
+            for c0 in range(0, len(members), CHUNK):
+                chunk = members[c0 : c0 + CHUNK]
+                B = CHUNK
+                qc = np.zeros((B, cq), np.int32)
+                tc = np.zeros((B, ct), np.int32)
+                ql = np.ones(B, np.int32)
+                tl = np.ones(B, np.int32)
+                for bi, k in enumerate(chunk):
+                    q, t = reqs[k]
+                    qc[bi, : len(q)] = q
+                    tc[bi, : len(t)] = t
+                    ql[bi] = len(q)
+                    tl[bi] = len(t)
+                if self.mesh is not None:
+                    dp_fn = _sharded_dp(
+                        self.mesh, self.dp_params, cfg.use_pallas(), W,
+                        cq + ct, cfg.dp_interpret,
+                    )
+                    ops_dev, packed_dev = dp_fn(qc, ql, tc, tl)
+                elif cfg.use_pallas():
+                    ops_dev, packed_dev = _device_dp_pallas(
+                        qc, ql, tc, tl, params=self.dp_params,
+                        W=W, interpret=cfg.dp_interpret,
+                    )
+                else:
+                    ops_dev, packed_dev = _device_dp(
+                        qc, ql, tc, tl, params=self.dp_params,
+                        K=cq + ct,
+                    )
+                handles["chunks"].append((chunk, ops_dev, packed_dev))
         return handles
 
     def _sync_dp_batch(self, handles):

@@ -1,0 +1,185 @@
+"""ctypes binding for the native engine host glue
+(native/engine_glue.cpp): chain-hit extraction + the get_ksw_score
+collect/replay walks + CIGAR merge + result ranking in C++.
+
+The engine uses this when the library is built (tools/build_native.sh);
+align/engine.py falls back to the pure-Python loops otherwise, and
+tests assert both paths produce identical SingleEndState results.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "build", "libpansvr_glue.so",
+)
+
+_lib = None
+_i8 = ctypes.POINTER(ctypes.c_int8)
+_u8 = ctypes.POINTER(ctypes.c_uint8)
+_i16 = ctypes.POINTER(ctypes.c_int16)
+_i32 = ctypes.POINTER(ctypes.c_int32)
+_i64 = ctypes.POINTER(ctypes.c_int64)
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        if not os.path.exists(_LIB_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.glue_collect.restype = ctypes.c_void_p
+        lib.glue_collect.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _i16, _i16, _i32, _i16, _i8, _i8, _i16, _i8,
+            _u8, _u8, _i32, _u8, _u8, ctypes.c_int64,
+            _i64, ctypes.c_int32, _i32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, _i32,
+        ]
+        lib.glue_req_sizes.argtypes = [ctypes.c_void_p, _i32, _i32]
+        lib.glue_fill_dp.argtypes = [
+            ctypes.c_void_p, _i32, ctypes.c_int32,
+            _i32, _i32, _i32, _i32, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.glue_set_dp_chunk.argtypes = [
+            ctypes.c_void_p, _i32, ctypes.c_int32,
+            _i8, ctypes.c_int32, _i32, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.glue_set_dp_scalar.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, _u8, _i32, ctypes.c_int32,
+        ]
+        lib.glue_replay.argtypes = [ctypes.c_void_p]
+        lib.glue_out_sizes.argtypes = [ctypes.c_void_p, _i64, _i64]
+        lib.glue_copy_out.argtypes = [
+            ctypes.c_void_p, _i32, _i32, _u8, _i32, _i32, _i32,
+        ]
+        lib.glue_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+def _p(a: np.ndarray, ty):
+    return a.ctypes.data_as(ty)
+
+
+class GlueBatch:
+    """One batch's native collect/replay lifecycle."""
+
+    def __init__(self, lib, *, n_pad, L, K, s_rb, s_re, s_fb, s_dfe, pre,
+                 hit_idx, hit_score, hit_final, codes_f, codes_r, lens,
+                 active_mask, packed_ref, chr_starts, sv_st_pos, params):
+        self.lib = lib
+        # coerce to C-contiguous of the expected dtype (no-op copies on
+        # the common path) and keep references alive for the ctx lifetime
+        arrays = [s_rb, s_re, s_fb, s_dfe, pre, hit_idx, hit_score,
+                  hit_final, codes_f, codes_r, lens, active_mask,
+                  packed_ref, chr_starts, sv_st_pos]
+        dts = [np.int16, np.int16, np.int32, np.int16, np.int8, np.int8,
+               np.int16, np.int8, np.uint8, np.uint8, np.int32, np.uint8,
+               np.uint8, np.int64, np.int32]
+        self._keep = [np.ascontiguousarray(a, dt)
+                      for a, dt in zip(arrays, dts)]
+        (s_rb, s_re, s_fb, s_dfe, pre, hit_idx, hit_score, hit_final,
+         codes_f, codes_r, lens, active_mask, packed_ref, chr_starts,
+         sv_st_pos) = self._keep
+        n_req = np.zeros(1, np.int32)
+        self.ctx = lib.glue_collect(
+            n_pad, L, K,
+            _p(s_rb, _i16), _p(s_re, _i16), _p(s_fb, _i32), _p(s_dfe, _i16),
+            _p(pre, _i8), _p(hit_idx, _i8), _p(hit_score, _i16),
+            _p(hit_final, _i8),
+            _p(codes_f, _u8), _p(codes_r, _u8), _p(lens, _i32),
+            _p(active_mask, _u8),
+            _p(packed_ref, _u8), len(packed_ref),
+            _p(chr_starts, _i64), len(chr_starts) - 1, _p(sv_st_pos, _i32),
+            params.match, params.mismatch, params.gap_open, params.gap_ex,
+            params.gap_open2, params.gap_ex2, _p(n_req, _i32),
+        )
+        self.n_req = int(n_req[0])
+
+    def req_sizes(self):
+        ql = np.zeros(self.n_req, np.int32)
+        tl = np.zeros(self.n_req, np.int32)
+        if self.n_req:
+            self.lib.glue_req_sizes(self.ctx, _p(ql, _i32), _p(tl, _i32))
+        return ql, tl
+
+    def fill_dp(self, members: np.ndarray, cq: int, ct: int, B: int):
+        """Padded (B, cq)/(B, ct) int32 code matrices for one chunk."""
+        qc = np.zeros((B, cq), np.int32)
+        tc = np.zeros((B, ct), np.int32)
+        ql = np.ones(B, np.int32)
+        tl = np.ones(B, np.int32)
+        members = np.ascontiguousarray(members, np.int32)
+        self.lib.glue_fill_dp(self.ctx, _p(members, _i32), len(members),
+                              _p(qc, _i32), _p(tc, _i32), _p(ql, _i32),
+                              _p(tl, _i32), cq, ct)
+        return qc, ql, tc, tl
+
+    def set_dp_chunk(self, members: np.ndarray, ops: np.ndarray,
+                     packed: np.ndarray, skip_mode: bool):
+        members = np.ascontiguousarray(members, np.int32)
+        ops = np.ascontiguousarray(ops, np.int8)
+        packed = np.ascontiguousarray(packed, np.int32)
+        self.lib.glue_set_dp_chunk(
+            self.ctx, _p(members, _i32), len(members),
+            _p(ops, _i8), ops.shape[1], _p(packed, _i32), packed.shape[1],
+            1 if skip_mode else 0,
+        )
+
+    def set_dp_scalar(self, req: int, ez):
+        ops = np.array(
+            [{"M": 0, "I": 1, "D": 2}[op] for op, _ in ez.cigar], np.uint8)
+        lens = np.array([n for _, n in ez.cigar], np.int32)
+        self.lib.glue_set_dp_scalar(
+            self.ctx, req, int(ez.score), int(ez.mqe),
+            1 if ez.zdropped else 0,
+            _p(ops, _u8), _p(lens, _i32), len(ops),
+        )
+
+    def replay(self):
+        """Returns (res_read, res_fields (N,8), cig_op, cig_len,
+        res_cig_off, res_cig_n)."""
+        self.lib.glue_replay(self.ctx)
+        n_res = np.zeros(1, np.int64)
+        n_cig = np.zeros(1, np.int64)
+        self.lib.glue_out_sizes(self.ctx, _p(n_res, _i64), _p(n_cig, _i64))
+        N, C = int(n_res[0]), int(n_cig[0])
+        res_read = np.zeros(N, np.int32)
+        res_fields = np.zeros((N, 8), np.int32)
+        cig_op = np.zeros(C, np.uint8)
+        cig_len = np.zeros(C, np.int32)
+        res_cig_off = np.zeros(N, np.int32)
+        res_cig_n = np.zeros(N, np.int32)
+        if N:
+            self.lib.glue_copy_out(
+                self.ctx, _p(res_read, _i32), _p(res_fields, _i32),
+                _p(cig_op, _u8), _p(cig_len, _i32), _p(res_cig_off, _i32),
+                _p(res_cig_n, _i32),
+            )
+        return res_read, res_fields, cig_op, cig_len, res_cig_off, res_cig_n
+
+    def free(self):
+        if self.ctx:
+            self.lib.glue_free(self.ctx)
+            self.ctx = None
+
+    def __del__(self):
+        try:
+            self.free()
+        except Exception:
+            pass

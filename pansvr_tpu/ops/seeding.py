@@ -136,6 +136,73 @@ def _read_win_lanes(rw_u, hit_seed, S0, sk, NE, Wr):
     )                                                 # (B, M, 2*NE)
 
 
+def _ext_steps(didx, rw_u, off, hit_seed, max_left, max_right,
+               sk, NE, S0, Wr):
+    """Stepped MEM extension with rolled unitig-word gathers (the v1
+    extension; measured faster on TPU than the slab fetch): consecutive
+    steps share a packed word, so each step past the first needs ONE new
+    global gather instead of two."""
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    uni_u = bc(didx.uni_words)
+    rlanes = _read_win_lanes(rw_u, hit_seed, S0, sk, NE, Wr)
+
+    nW = uni_u.shape[0]
+    uw = lambda j: uni_u[jnp.clip(j, 0, nW - 1)]
+    woff = off >> 4
+
+    sh_l = (off & 15).astype(jnp.uint32) * 2
+    lo_w = uw(woff)
+    left_m = jnp.zeros_like(off)
+    still = jnp.ones_like(off, dtype=bool)
+    for step in range(NE):
+        wr = rlanes[:, :, step]
+        hi_w = uw(woff - (step + 1))
+        wu = (hi_w << sh_l) | jnp.where(
+            sh_l == 0, jnp.uint32(0), lo_w >> (jnp.uint32(32) - sh_l))
+        x = wr ^ wu
+        m = jnp.where(x == 0, 16, _ctz32(x) >> 1)
+        take = jnp.where(still, jnp.minimum(m, max_left - left_m), 0)
+        left_m = left_m + jnp.maximum(take, 0)
+        still = still & (m >= 16) & (left_m < max_left)
+        lo_w = hi_w
+    left_m = jnp.minimum(left_m, max_left)
+
+    p0 = off + sk
+    sh_r = (p0 & 15).astype(jnp.uint32) * 2
+    w0r = p0 >> 4
+    hi_w = uw(w0r)
+    right_m = jnp.zeros_like(off)
+    still = jnp.ones_like(off, dtype=bool)
+    for step in range(NE):
+        wr = rlanes[:, :, NE + step]
+        lo_w = uw(w0r + step + 1)
+        wu = (hi_w << sh_r) | jnp.where(
+            sh_r == 0, jnp.uint32(0), lo_w >> (jnp.uint32(32) - sh_r))
+        x = wr ^ wu
+        m = jnp.where(x == 0, 16, _clz32(x) >> 1)
+        take = jnp.where(still, jnp.minimum(m, max_right - right_m), 0)
+        right_m = right_m + jnp.maximum(take, 0)
+        still = still & (m >= 16) & (right_m < max_right)
+        hi_w = lo_w
+    right_m = jnp.minimum(right_m, max_right)
+    return left_m, right_m
+
+
+def _coverage_skip(found, per_seed_max_right, offs, sk, S0, B):
+    """Sequential coverage skip (read_realignment.cpp:617) — unrolled
+    static loop (a 29-step lax.scan with a (B,)-sized body schedules as
+    29 tiny sequential kernels on TPU)."""
+    msr = jnp.zeros((B,), jnp.int32)
+    used_cols = []
+    for s in range(S0):
+        o_s = offs[s]
+        used = (o_s + sk - 1 > msr) & found[:, s]
+        max_right_i = jnp.maximum(per_seed_max_right[:, s] + 1, 1)
+        msr = jnp.where(used, o_s + sk + max_right_i - 1, msr)
+        used_cols.append(used)
+    return jnp.stack(used_cols, axis=1)            # (B, S0)
+
+
 def _ext_slab(didx, rw_u, off, o, o2, hit_seed, max_left, max_right,
               sk, NE, S0, Wr):
     """MEM extension over ONE contiguous unitig-word slab per lane plus
@@ -307,60 +374,9 @@ def seed_reads(
             didx, rw_u, off, o, o2, hit_seed, max_left, max_right,
             sk, n_ext_steps, S0, read_words.shape[1])
     else:
-        # Read-side windows depend only on the STATIC (seed column, step)
-        # pair: build them with pure column slicing (no dynamic gathers)
-        # and map seed columns to hit lanes with one in-row 3D take.
-        rlanes = _read_win_lanes(
-            rw_u, hit_seed, S0, sk, n_ext_steps, read_words.shape[1])
-
-        # Unitig-side windows at consecutive steps share a packed word
-        # (step k's hi word is step k+1's lo word), so each step past the
-        # first needs ONE new global gather instead of two — the rolled
-        # word carries the identical clipped value _window32 would fetch.
-        nW = uni_u.shape[0]
-        uw = lambda j: uni_u[jnp.clip(j, 0, nW - 1)]
-        woff = off >> 4
-
-        # left: compare 16-base blocks ending just before the k-mer
-        sh_l = (off & 15).astype(jnp.uint32) * 2
-        lo_w = uw(woff)
-        left_m = jnp.zeros_like(off)
-        still = jnp.ones_like(off, dtype=bool)
-        for step in range(n_ext_steps):
-            base = (step + 1) * 16
-            # negative rp/up read garbage in the high window bits, but the
-            # max_left clip below caps the counted match before base 0
-            wr = rlanes[:, :, step]
-            hi_w = uw(woff - (step + 1))
-            wu = (hi_w << sh_l) | jnp.where(
-                sh_l == 0, jnp.uint32(0), lo_w >> (jnp.uint32(32) - sh_l))
-            x = wr ^ wu
-            m = jnp.where(x == 0, 16, _ctz32(x) >> 1)     # matching suffix
-            take = jnp.where(still, jnp.minimum(m, max_left - left_m), 0)
-            left_m = left_m + jnp.maximum(take, 0)
-            still = still & (m >= 16) & (left_m < max_left)
-            lo_w = hi_w
-        left_m = jnp.minimum(left_m, max_left)
-
-        # right: compare 16-base blocks after the k-mer
-        p0 = off + sk
-        sh_r = (p0 & 15).astype(jnp.uint32) * 2
-        w0r = p0 >> 4
-        hi_w = uw(w0r)
-        right_m = jnp.zeros_like(off)
-        still = jnp.ones_like(off, dtype=bool)
-        for step in range(n_ext_steps):
-            wr = rlanes[:, :, n_ext_steps + step]
-            lo_w = uw(w0r + step + 1)
-            wu = (hi_w << sh_r) | jnp.where(
-                sh_r == 0, jnp.uint32(0), lo_w >> (jnp.uint32(32) - sh_r))
-            x = wr ^ wu
-            m = jnp.where(x == 0, 16, _clz32(x) >> 1)     # matching prefix
-            take = jnp.where(still, jnp.minimum(m, max_right - right_m), 0)
-            right_m = right_m + jnp.maximum(take, 0)
-            still = still & (m >= 16) & (right_m < max_right)
-            hi_w = lo_w
-        right_m = jnp.minimum(right_m, max_right)
+        left_m, right_m = _ext_steps(
+            didx, rw_u, off, hit_seed, max_left, max_right,
+            sk, n_ext_steps, S0, read_words.shape[1])
 
     read_pos = o3 - left_m
     uni_pos_off = off_l - left_m
@@ -375,16 +391,7 @@ def seed_reads(
         .at[rows + jnp.zeros_like(hit_seed), hit_seed]
         .max(jnp.where(hit_ok, right_m, -1))
     )
-
-    def skip_step(msr, s):
-        o_s = offs[s]
-        used = (o_s + sk - 1 > msr) & found[:, s]
-        max_right_i = jnp.maximum(per_seed_max_right[:, s] + 1, 1)
-        msr_new = jnp.where(used, o_s + sk + max_right_i - 1, msr)
-        return msr_new, used
-    _, used_list = jax.lax.scan(skip_step, jnp.zeros((B,), jnp.int32),
-                                jnp.arange(S0))
-    seed_used = jnp.transpose(used_list)                   # (B, S0)
+    seed_used = _coverage_skip(found, per_seed_max_right, offs, sk, S0, B)
 
     valid = hit_ok & jnp.take_along_axis(seed_used, hit_seed, axis=1)
     return SeedBatch(
@@ -748,7 +755,8 @@ def _mix40(bucket_u32, residue_u32, lb: int, ht_bits: int):
     return slot, check
 
 
-@functools.partial(jax.jit, static_argnames=("S0", "n_ext_steps", "M"))
+@functools.partial(
+    jax.jit, static_argnames=("S0", "n_ext_steps", "M", "ext_mode"))
 def seed_reads2(
     didx: DeviceIndex,
     read_words: jnp.ndarray,   # (B, Wr) int32 packed
@@ -757,6 +765,7 @@ def seed_reads2(
     S0: int,
     n_ext_steps: int = 10,
     M: int = 64,
+    ext_mode: str = "slab",
 ) -> SeedBatch:
     B, Wr = read_words.shape
     fl = didx.first_level_bases
@@ -827,87 +836,14 @@ def seed_reads2(
     max_left = jnp.minimum(off_l, o2)
     max_right = jnp.minimum(off_r, read_lens[:, None] - o2 - sk)
 
-    # --- unitig slab: ONE contiguous gather per lane ----------------------
-    from ..index.device import PAD_WORDS
-    SLAB = 2 * NE + 3
-    woff = off >> 4
-    slab_start = (woff - NE + PAD_WORDS).reshape(-1)
-    uni_pad_u = bc(didx.uni_words_pad)
-    slab = jax.vmap(
-        lambda s_: jax.lax.dynamic_slice(uni_pad_u, (s_,), (SLAB,))
-    )(slab_start).reshape(B, M, SLAB)
-    sh_l = (off & 15).astype(jnp.uint32) * 2
-    p_r = off + sk
-    sh_r = (p_r & 15).astype(jnp.uint32) * 2
-    delta_r = (p_r >> 4) - woff                      # 1 or 2
-
-    def uwin_left(b_):
-        hi = slab[:, :, NE - b_]
-        lo = slab[:, :, NE - b_ + 1]
-        lo_part = jnp.where(sh_l == 0, jnp.uint32(0),
-                            lo >> (jnp.uint32(32) - sh_l))
-        return (hi << sh_l) | lo_part
-
-    def uwin_right(b_):
-        hi = jnp.where(delta_r == 1, slab[:, :, NE + 1 + b_],
-                       slab[:, :, NE + 2 + b_])
-        lo = jnp.where(delta_r == 1, slab[:, :, NE + 2 + b_],
-                       slab[:, :, NE + 3 + b_] if NE + 3 + b_ < SLAB
-                       else slab[:, :, SLAB - 1])
-        lo_part = jnp.where(sh_r == 0, jnp.uint32(0),
-                            lo >> (jnp.uint32(32) - sh_r))
-        return (hi << sh_r) | lo_part
-
-    # --- read windows: static per (seed column, step), one lane gather ---
-    offs_np = np.arange(S0, dtype=np.int32) * SEED_STEP
-    w0 = offs_np // 16                               # static per column
-    shs = np.asarray((offs_np % 16) * 2, np.int32)
-    pr = offs_np + sk
-    wr0 = np.asarray(pr // 16, np.int32)
-    shr = np.asarray((pr % 16) * 2, np.int32)
-
-    def rwin_table(widx, shv):
-        """(B, S0) windows from static word indices + shifts."""
-        hi = rw_u[:, np.clip(widx, 0, Wr - 1)]
-        lo = rw_u[:, np.clip(widx + 1, 0, Wr - 1)]
-        shv_j = jnp.asarray(shv.astype(np.uint32))[None, :]
-        lo_part = jnp.where(shv_j == 0, jnp.uint32(0),
-                            lo >> (jnp.uint32(32) - shv_j))
-        return (hi << shv_j) | lo_part
-
-    rl_cols = [rwin_table(np.asarray(w0) - b_, shs) for b_ in range(1, NE + 1)]
-    rr_cols = [rwin_table(wr0 + b_, shr) for b_ in range(NE)]
-    rtab = jnp.stack(rl_cols + rr_cols, axis=2)       # (B, S0, 2*NE)
-    rlanes = jnp.take_along_axis(
-        rtab, hit_seed[:, :, None] + jnp.zeros((1, 1, 2 * NE), jnp.int32),
-        axis=1,
-    )                                                # (B, M, 2*NE)
-
-    # --- left extension ---------------------------------------------------
-    left_m = jnp.zeros_like(off)
-    still = jnp.ones_like(off, dtype=bool)
-    for step in range(NE):
-        wr = rlanes[:, :, step]
-        wu = uwin_left(step + 1)
-        x = wr ^ wu
-        mm = jnp.where(x == 0, 16, _ctz32(x) >> 1)
-        take = jnp.where(still, jnp.minimum(mm, max_left - left_m), 0)
-        left_m = left_m + jnp.maximum(take, 0)
-        still = still & (mm >= 16) & (left_m < max_left)
-    left_m = jnp.minimum(left_m, max_left)
-
-    # --- right extension --------------------------------------------------
-    right_m = jnp.zeros_like(off)
-    still = jnp.ones_like(off, dtype=bool)
-    for step in range(NE):
-        wr = rlanes[:, :, NE + step]
-        wu = uwin_right(step)
-        x = wr ^ wu
-        mm = jnp.where(x == 0, 16, _clz32(x) >> 1)
-        take = jnp.where(still, jnp.minimum(mm, max_right - right_m), 0)
-        right_m = right_m + jnp.maximum(take, 0)
-        still = still & (mm >= 16) & (right_m < max_right)
-    right_m = jnp.minimum(right_m, max_right)
+    if ext_mode == "slab":
+        left_m, right_m = _ext_slab(
+            didx, rw_u, off, o, o2, hit_seed, max_left, max_right,
+            sk, NE, S0, Wr)
+    else:
+        left_m, right_m = _ext_steps(
+            didx, rw_u, off, hit_seed, max_left, max_right,
+            sk, NE, S0, Wr)
 
     read_pos = o2 - left_m
     uni_pos_off = off_l - left_m
@@ -920,16 +856,7 @@ def seed_reads2(
         .at[rows + jnp.zeros_like(hit_seed), hit_seed]
         .max(jnp.where(hit_ok, right_m, -1))
     )
-
-    def skip_step(msr, s):
-        o_s = offs[s]
-        used = (o_s + sk - 1 > msr) & found[:, s]
-        max_right_i = jnp.maximum(per_seed_max_right[:, s] + 1, 1)
-        msr_new = jnp.where(used, o_s + sk + max_right_i - 1, msr)
-        return msr_new, used
-    _, used_list = jax.lax.scan(skip_step, jnp.zeros((B,), jnp.int32),
-                                jnp.arange(S0))
-    seed_used = jnp.transpose(used_list)
+    seed_used = _coverage_skip(found, per_seed_max_right, offs, sk, S0, B)
 
     valid = hit_ok & jnp.take_along_axis(seed_used, hit_seed, axis=1)
     return SeedBatch(

@@ -156,3 +156,30 @@ def test_pallas_long_targets_sliding_window():
                 del q[i : i - g]
         pairs.append((np.array(q, np.uint8), t))
     _run_and_compare(pairs, params, Q=960, T=912, W=192)
+
+
+def test_pallas_small_class_96_128():
+    """The engine's small DP size class (96, 128, W=128): every fuzz
+    problem that fits it must match the scalar oracle exactly (same
+    criterion the (176, 256, W=256) class is held to)."""
+    rng = np.random.default_rng(13)
+    pairs = []
+    for _ in range(24):
+        n = int(rng.integers(8, 128))
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        q = list(t[: min(n, 96)])
+        for _ in range(int(rng.integers(0, 5))):
+            i = int(rng.integers(0, len(q)))
+            q[i] = (q[i] + int(rng.integers(1, 4))) % 4
+        for _ in range(int(rng.integers(0, 3))):
+            g = int(rng.integers(-15, 16))
+            i = int(rng.integers(1, max(2, len(q) - abs(g) - 1)))
+            if g > 0:
+                q[i:i] = [int(rng.integers(0, 4)) for _ in range(g)]
+            elif g < 0:
+                del q[i : i - g]
+        q = q[:96]
+        if not q:
+            continue
+        pairs.append((np.array(q, np.uint8), t))
+    _run_and_compare(pairs, ALN, Q=96, T=128, W=128)

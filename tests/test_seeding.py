@@ -142,12 +142,16 @@ def test_seed_reads2_matches_v1(world):
     v1 = seed_reads(didx, words, lens, mask, S0=S0, M=64)
     v2 = seed_reads2(didx, words, lens, mask, S0=S0, M=64)
     v3 = seed_reads(didx, words, lens, mask, S0=S0, M=64, ext_mode="slab")
+    v4 = seed_reads2(didx, words, lens, mask, S0=S0, M=64,
+                     ext_mode="steps")
     for f in ("uid", "read_pos", "uni_pos_off", "length", "pos_n",
               "valid", "n_overflow"):
         a, b = np.asarray(getattr(v1, f)), np.asarray(getattr(v2, f))
         c = np.asarray(getattr(v3, f))
+        d = np.asarray(getattr(v4, f))
         assert np.array_equal(a, b), f"field {f} differs (v2)"
         assert np.array_equal(a, c), f"field {f} differs (v3 slab ext)"
+        assert np.array_equal(a, d), f"field {f} differs (v4 hash+steps)"
 
 
 def test_seed_reads2_matches_oracle(world):
