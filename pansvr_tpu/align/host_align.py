@@ -60,7 +60,7 @@ class AlignParams:
     band: int = 200           # KSW_ALN_handler hardcodes 200 (cpp:817)
 
 
-@dataclass
+@dataclass(slots=True)
 class OriResult:
     """Parsed original-alignment info from the signal comment
     (parse_ori_mapping_rst, hpp:392-429)."""
@@ -73,7 +73,7 @@ class OriResult:
     unmapped: bool = True
 
 
-@dataclass
+@dataclass(slots=True)
 class AlnResult:
     """MAX_IDX_OUTPUT equivalent."""
     align_score: int = 0
@@ -252,7 +252,7 @@ def reverse_merge_cigar(cigar_tmp: list, read_len: int) -> list | None:
     return [(op, n) for op, n in out]
 
 
-@dataclass
+@dataclass(slots=True)
 class SingleEndState:
     results: list
     ori: OriResult
@@ -522,7 +522,7 @@ class HostAligner:
 
 # ---- PE pairing (PE_score, hpp:434-628) ---------------------------------
 
-@dataclass
+@dataclass(slots=True)
 class PEPairing:
     max_score: int = 0
     max_1: AlnResult | None = None
