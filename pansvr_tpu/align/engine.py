@@ -52,6 +52,7 @@ from ..ops.seeding import (
     pack_reads,
     seed_reads,
     seed_reads2,
+    seed_reads_flat,
 )
 from ..utils import dna
 from . import native_glue
@@ -80,7 +81,13 @@ from .host_align import (
 # over a remote-chip link otherwise dominates the batch time) -------------
 
 def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext):
-    if front in ("v2", "v4"):
+    if front == "v5":
+        # flat front: hits of the whole batch compacted onto one global
+        # lane axis (~4x fewer extension lanes than (B, M) padding);
+        # bit-identical SeedBatch, NF-cap rows flagged for host fallback
+        sb = seed_reads_flat(didx, words, lens, mask, S0=S0, M=M,
+                             n_ext_steps=n_ext)
+    elif front in ("v2", "v4"):
         # v2 = open-addressing hash probe + slab extension;
         # v4 = hash probe + single-gather entry attributes + the v1
         #      rolled stepped extension (slabs measured slower on TPU)
@@ -307,9 +314,11 @@ class EngineConfig:
     dp_t: int = 256
     dp_backend: str = "auto"     # "pallas" | "scan" | "auto" (pallas on TPU)
     dp_interpret: bool = False   # Pallas interpret mode (CPU testing)
-    front: str = "v1"            # seeding front: "v1" bisect, "v2" hash+slab
-                                 # (A/B on-chip at M=32: v1 0.58 s/call vs
-                                 # v2 0.80 — the bisect front wins on TPU)
+    front: str = "v5"            # seeding front: "v5" flat globally-
+                                 # compacted lanes (on-chip A/B at M=32:
+                                 # 0.34 s/call vs v1 bisect 0.59, v2
+                                 # hash+slab 0.80); "v1"/"v2"/"v3"/"v4"
+                                 # kept for A/B and CPU deployments
     native_glue: bool = True     # use native/engine_glue.cpp for the
                                  # collect/replay walks when built
     pipe_order: str = "late"     # align_stream next-front dispatch point:

@@ -106,12 +106,12 @@ def _ctz32(x):
     return jax.lax.population_count((blsi - jnp.uint32(1)).astype(jnp.int32)).astype(jnp.int32)
 
 
-def _read_win_lanes(rw_u, hit_seed, S0, sk, NE, Wr):
-    """(B, M, 2*NE) read-side extension windows: column word indices and
+def _read_win_table(rw_u, S0, sk, NE, Wr):
+    """(B, S0, 2*NE) read-side extension windows: column word indices and
     shifts are STATIC per (seed column, step) — pure slicing, no dynamic
-    gathers — then one in-row take maps seed columns to hit lanes.
-    Layout: [:, :, 0:NE] = left windows for steps 1..NE (16 bases ending
-    before the k-mer), [:, :, NE:2*NE] = right windows for steps 0..NE-1."""
+    gathers. Layout: [:, :, 0:NE] = left windows for steps 1..NE (16
+    bases ending before the k-mer), [:, :, NE:2*NE] = right windows for
+    steps 0..NE-1."""
     offs_np = np.arange(S0, dtype=np.int32) * SEED_STEP
     w0 = offs_np // 16
     shs = np.asarray((offs_np % 16) * 2, np.int32)
@@ -129,7 +129,13 @@ def _read_win_lanes(rw_u, hit_seed, S0, sk, NE, Wr):
 
     rl_cols = [rwin_table(np.asarray(w0) - b_, shs) for b_ in range(1, NE + 1)]
     rr_cols = [rwin_table(wr0 + b_, shr) for b_ in range(NE)]
-    rtab = jnp.stack(rl_cols + rr_cols, axis=2)       # (B, S0, 2*NE)
+    return jnp.stack(rl_cols + rr_cols, axis=2)       # (B, S0, 2*NE)
+
+
+def _read_win_lanes(rw_u, hit_seed, S0, sk, NE, Wr):
+    """(B, M, 2*NE): the static window table mapped to hit lanes with one
+    in-row take."""
+    rtab = _read_win_table(rw_u, S0, sk, NE, Wr)
     return jnp.take_along_axis(
         rtab, hit_seed[:, :, None] + jnp.zeros((1, 1, 2 * NE), jnp.int32),
         axis=1,
@@ -406,6 +412,210 @@ def seed_reads(
 
 
 # -------------------------------------------------------------------------
+# v5 "flat" front: globally-compacted hit lanes
+# -------------------------------------------------------------------------
+#
+# seed_reads pads every row to M MEM lanes, but real hit counts are
+# bimodal (wrong-direction rows find ~0 seeds, matching rows ~S0): the
+# batch-mean is ~7 hits/row vs M=32 lanes, so ~4.4x of the gather-bound
+# extension work is spent on padding. This front compacts all hits of
+# the batch into ONE flat lane axis sized NF = nf_mult * B, runs the
+# per-hit attribute lookups and MEM extension there, and scatters the
+# results back into the (B, M) SeedBatch layout. Results are
+# bit-identical to seed_reads for every row it doesn't flag in
+# n_overflow (flagged rows take the exact host path, same as v1's M
+# overflow rule).
+
+FLAT_OVERFLOW = 1 << 20   # n_overflow marker for rows cut by the NF cap
+
+
+@functools.partial(
+    jax.jit, static_argnames=("S0", "n_ext_steps", "M", "nf_mult"))
+def seed_reads_flat(
+    didx: DeviceIndex,
+    read_words: jnp.ndarray,   # (B, Wr) int32 packed
+    read_lens: jnp.ndarray,    # (B,) int32
+    seed_mask: jnp.ndarray,    # (B, S0) bool
+    S0: int,
+    n_ext_steps: int = 10,
+    M: int = 32,
+    nf_mult: int = 10,
+) -> SeedBatch:
+    B, Wr = read_words.shape
+    NF = nf_mult * B
+    NE = n_ext_steps
+    fl = didx.first_level_bases
+    sk = didx.search_k
+    resid_bases = sk - fl
+    entry_shift = jnp.uint32(2 * (didx.k - sk))
+
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    rw_u = bc(read_words)
+    hash_g = didx.hash_g
+    kmer_g_u = bc(didx.kmer_g)
+
+    offs = jnp.arange(S0, dtype=jnp.int32) * SEED_STEP
+    o = jnp.broadcast_to(offs[None, :], (B, S0))
+    n_kmer = read_lens[:, None] - sk + 1
+    seed_ok = (o < n_kmer) & seed_mask
+
+    # --- k-mer probe (identical to seed_reads) -----------------------------
+    win_a = _window32_rows(rw_u, o)
+    win_b = _window32_rows(rw_u, o + fl)
+    bucket = (win_a >> jnp.uint32(32 - 2 * fl)).astype(jnp.int32)
+    residue = (win_b >> jnp.uint32(32 - 2 * resid_bases)).astype(jnp.int32)
+    lo0 = hash_g[jnp.clip(bucket, 0, hash_g.shape[0] - 2)]
+    hi0 = hash_g[jnp.clip(bucket + 1, 0, hash_g.shape[0] - 1)]
+
+    def bisect(pred):
+        lo, hi = lo0, hi0
+        for _ in range(didx.max_bucket_bits):
+            mid = (lo + hi) >> 1
+            key = (kmer_g_u[jnp.clip(mid, 0, max(didx.n_kmer - 1, 0))]
+                   >> entry_shift).astype(jnp.int32)
+            go_right = pred(key)
+            active = lo < hi
+            lo = jnp.where(active & go_right, mid + 1, lo)
+            hi = jnp.where(active & ~go_right, mid, hi)
+        return lo
+
+    left = bisect(lambda key: key < residue)
+    right = bisect(lambda key: key <= residue)
+    count = right - left
+    found = seed_ok & (count > 0) & (count <= UNI_POS_N_MAX)
+
+    # --- per-row hit layout (same packing order as seed_reads) -------------
+    eff = jnp.where(found, count, 0)                    # (B, S0)
+    cum = jnp.cumsum(eff, axis=1)                       # inclusive
+    start = cum - eff
+    row_hits = cum[:, -1]                               # (B,)
+    overflow0 = jnp.maximum(row_hits - M, 0).astype(jnp.int32)
+    # rows over the M cap take the host path regardless — give them zero
+    # flat lanes instead of M wasted ones
+    row_take = jnp.where(row_hits <= M, row_hits, 0)
+
+    # --- flat lane layout ---------------------------------------------------
+    row_start = jnp.cumsum(row_take) - row_take         # exclusive (B,)
+    total = row_start[-1] + row_take[-1]
+    row_fits = row_start + row_take <= NF
+    # map flat slot -> row: scatter row ids at run starts, carry forward
+    rows = jnp.arange(B, dtype=jnp.int32)
+    has = row_take > 0
+    ind = jnp.zeros((NF,), jnp.int32).at[
+        jnp.where(has, jnp.clip(row_start, 0, NF - 1), NF - 1)
+    ].max(jnp.where(has & (row_start < NF), rows + 1, 0))
+    row_of = jax.lax.cummax(ind) - 1                    # (NF,) row id or -1
+    row_c = jnp.clip(row_of, 0, B - 1)
+    f_idx = jnp.arange(NF, dtype=jnp.int32)
+    p = f_idx - row_start[row_c]                        # per-row hit ordinal
+    lane_ok = (row_of >= 0) & (f_idx < total) & (p < row_take[row_c])
+
+    # --- seed-of-lane: in-row upper bound over cum[row, :] ------------------
+    cum_flat = cum.reshape(-1)
+    lo = jnp.zeros((NF,), jnp.int32)
+    hi = jnp.full((NF,), S0, jnp.int32)
+    for _ in range(max(1, (S0 - 1).bit_length())):
+        mid = (lo + hi) >> 1
+        c = cum_flat[row_c * S0 + jnp.clip(mid, 0, S0 - 1)]
+        go_right = c <= p
+        active = lo < hi
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    seed_of = jnp.clip(lo, 0, S0 - 1)                   # (NF,)
+    bs = row_c * S0 + seed_of
+    h = p - (cum_flat[bs] - eff.reshape(-1)[bs])
+    o2 = seed_of * SEED_STEP
+
+    # --- per-entry attributes (precomputed tables; no searchsorted) --------
+    entry = jnp.where(lane_ok, left.reshape(-1)[bs] + h, 0)
+    entry_c = jnp.clip(entry, 0, max(didx.n_kmer - 1, 0))
+    off = jnp.where(lane_ok, didx.off_g[entry_c], 0)
+    uid = jnp.where(lane_ok, didx.ent_uid[entry_c], 0)
+    off_l = jnp.where(lane_ok, didx.ent_off_l[entry_c], 0)
+    off_r = jnp.where(lane_ok, didx.ent_off_r[entry_c], 0)
+    pos_n = jnp.where(lane_ok, didx.ent_pos_n[entry_c], 0)
+
+    rl_f = read_lens[row_c]
+    max_left = jnp.minimum(off_l, o2)
+    max_right = jnp.minimum(off_r, rl_f - o2 - sk)
+
+    # --- MEM extension on flat lanes (v1 stepped semantics) -----------------
+    uni_u = bc(didx.uni_words)
+    nW = uni_u.shape[0]
+    uw = lambda j: uni_u[jnp.clip(j, 0, nW - 1)]
+    rtab = _read_win_table(rw_u, S0, sk, NE, Wr)        # (B, S0, 2NE)
+    rtab_flat = rtab.reshape(-1)
+    rbase = bs * (2 * NE)
+
+    woff = off >> 4
+    sh_l = (off & 15).astype(jnp.uint32) * 2
+    lo_w = uw(woff)
+    left_m = jnp.zeros_like(off)
+    still = jnp.ones_like(off, dtype=bool)
+    for step in range(NE):
+        wr = rtab_flat[rbase + step]
+        hi_w = uw(woff - (step + 1))
+        wu = (hi_w << sh_l) | jnp.where(
+            sh_l == 0, jnp.uint32(0), lo_w >> (jnp.uint32(32) - sh_l))
+        x = wr ^ wu
+        m = jnp.where(x == 0, 16, _ctz32(x) >> 1)
+        take = jnp.where(still, jnp.minimum(m, max_left - left_m), 0)
+        left_m = left_m + jnp.maximum(take, 0)
+        still = still & (m >= 16) & (left_m < max_left)
+        lo_w = hi_w
+    left_m = jnp.minimum(left_m, max_left)
+
+    p0 = off + sk
+    sh_r = (p0 & 15).astype(jnp.uint32) * 2
+    w0r = p0 >> 4
+    hi_w = uw(w0r)
+    right_m = jnp.zeros_like(off)
+    still = jnp.ones_like(off, dtype=bool)
+    for step in range(NE):
+        wr = rtab_flat[rbase + NE + step]
+        lo_w2 = uw(w0r + step + 1)
+        wu = (hi_w << sh_r) | jnp.where(
+            sh_r == 0, jnp.uint32(0), lo_w2 >> (jnp.uint32(32) - sh_r))
+        x = wr ^ wu
+        m = jnp.where(x == 0, 16, _clz32(x) >> 1)
+        take = jnp.where(still, jnp.minimum(m, max_right - right_m), 0)
+        right_m = right_m + jnp.maximum(take, 0)
+        still = still & (m >= 16) & (right_m < max_right)
+        hi_w = lo_w2
+    right_m = jnp.minimum(right_m, max_right)
+
+    read_pos = o2 - left_m
+    uni_pos_off = off_l - left_m
+    length = sk + left_m + right_m
+
+    # --- coverage skip (B, S0) ----------------------------------------------
+    per_seed_max_right = (
+        jnp.full((B, S0), -1, jnp.int32)
+        .at[jnp.where(lane_ok, row_c, B), seed_of]
+        .max(jnp.where(lane_ok, right_m, -1), mode="drop")
+    )
+    seed_used = _coverage_skip(found, per_seed_max_right, offs, sk, S0, B)
+    valid_f = lane_ok & seed_used.reshape(-1)[bs]
+
+    # --- scatter back to the (B, M) SeedBatch layout ------------------------
+    srow = jnp.where(valid_f, row_c, B)   # out-of-range rows are dropped
+    scol = jnp.clip(p, 0, M - 1)
+
+    def back(vals):
+        return jnp.zeros((B, M), jnp.int32).at[srow, scol].set(
+            vals, mode="drop")
+
+    valid_bm = jnp.zeros((B, M), bool).at[srow, scol].set(
+        valid_f, mode="drop")
+    n_overflow = overflow0 + jnp.where(row_fits, 0, FLAT_OVERFLOW)
+    return SeedBatch(
+        uid=back(uid), read_pos=back(read_pos), uni_pos_off=back(uni_pos_off),
+        length=back(length), pos_n=back(pos_n), valid=valid_bm,
+        n_overflow=n_overflow.astype(jnp.int32),
+    )
+
+
+# -------------------------------------------------------------------------
 # host-side (vectorized NumPy) merge + expand
 # -------------------------------------------------------------------------
 
@@ -663,10 +873,12 @@ def merge_expand_device(sb: SeedBatch, didx: DeviceIndex, S: int,
     total = cum[:, -1]
 
     slot = jnp.arange(S, dtype=jnp.int32)[None, :]
-    slot_b = slot + jnp.zeros((B, 1), jnp.int32)
-    src_run = jax.vmap(
-        lambda c, s: jnp.searchsorted(c, s, side="right")
-    )(cum, slot_b).astype(jnp.int32)
+    # upper_bound(cum, slot) as a compare-reduce: a (B, S, M) compare
+    # costs a few ms on the VPU where the vmapped searchsorted lowers to
+    # a ~26 ms while loop (measured in the front trace)
+    src_run = jnp.sum(
+        (cum[:, None, :] <= slot[:, :, None]).astype(jnp.int32), axis=2
+    )
     src_run = jnp.clip(src_run, 0, M - 1)
     within = slot - jnp.take_along_axis(start, src_run, axis=1)
     slot_ok = slot < jnp.minimum(total[:, None], S)

@@ -154,6 +154,47 @@ def test_seed_reads2_matches_v1(world):
         assert np.array_equal(a, d), f"field {f} differs (v4 hash+steps)"
 
 
+def test_seed_reads_flat_matches_v1(world):
+    """The flat globally-compacted front (seed_reads_flat) must produce
+    the exact same SeedBatch as v1, and flag (not corrupt) rows cut by
+    the NF cap."""
+    from pansvr_tpu.ops.seeding import FLAT_OVERFLOW, seed_reads_flat
+
+    idx, didx, contigs = world
+    rng = np.random.default_rng(35)
+    reads = _reads_from(contigs, rng, 24, err=0.03)
+    L = 150
+    B = len(reads)
+    codes = np.stack(reads)
+    words = pack_reads(codes)
+    lens = np.full(B, L, np.int32)
+    lens[::5] = 120
+    S0 = (L - idx.search_k) // SEED_STEP + 1
+    mask = np.ones((B, S0), bool)
+    mask[3, ::3] = False
+
+    v1 = seed_reads(didx, words, lens, mask, S0=S0, M=32)
+    v5 = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32, nf_mult=32)
+    assert not (np.asarray(v5.n_overflow) >= FLAT_OVERFLOW).any()
+    assert np.array_equal(np.asarray(v1.n_overflow),
+                          np.asarray(v5.n_overflow))
+    # M-overflow rows are host-fallback in both fronts; v5 gives them no
+    # lanes, so field equality is asserted on the non-overflow rows
+    ok0 = np.asarray(v1.n_overflow) == 0
+    for f in ("uid", "read_pos", "uni_pos_off", "length", "pos_n", "valid"):
+        a, b = np.asarray(getattr(v1, f)), np.asarray(getattr(v5, f))
+        assert np.array_equal(a[ok0], b[ok0]), f"field {f} differs (v5 flat)"
+
+    # NF pressure: every row either matches v1 exactly or carries the
+    # FLAT_OVERFLOW marker (-> host fallback in the engine)
+    v5p = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32, nf_mult=4)
+    ovp = np.asarray(v5p.n_overflow)
+    ok = (ovp < FLAT_OVERFLOW) & (np.asarray(v1.n_overflow) == 0)
+    for f in ("uid", "read_pos", "uni_pos_off", "length", "pos_n", "valid"):
+        a, b = np.asarray(getattr(v1, f)), np.asarray(getattr(v5p, f))
+        assert np.array_equal(a[ok], b[ok]), f"unflagged rows differ in {f}"
+
+
 def test_seed_reads2_matches_oracle(world):
     from pansvr_tpu.ops.seeding import seed_reads2
 
