@@ -677,4 +677,38 @@ void glue_copy_out(void* vctx, int32_t* res_read, int32_t* res_fields,
 
 void glue_free(void* vctx) { delete (Ctx*)vctx; }
 
+// STR pre-screen: per row, the number of duplicate k-mers (n_kmer minus
+// distinct count) — the same quantity the engine's NumPy screen derives
+// from a row sort (engine._submit_batch_inner), computed here for every
+// row in one pass. The screen is a strict superset of the reference's
+// STR rule distinct < n_kmer - 15 (read_realignment.cpp:552-597); rows
+// passing it get the exact per-read _detect_str.
+void glue_str_dup(const uint8_t* codes, const int32_t* lens,
+                  int32_t n_rows, int32_t L, int32_t kmer_len,
+                  int32_t* n_dup_out) {
+  std::vector<uint64_t> buf;
+  const uint64_t mask =
+      (2 * kmer_len >= 64) ? ~0ull : ((1ull << (2 * kmer_len)) - 1);
+  for (int32_t i = 0; i < n_rows; i++) {
+    int32_t rl = lens[i];
+    int32_t nk = rl - kmer_len + 1;
+    if (nk <= 0) {
+      n_dup_out[i] = 0;
+      continue;
+    }
+    buf.clear();
+    buf.reserve(nk);
+    const uint8_t* c = codes + (int64_t)i * L;
+    uint64_t v = 0;
+    for (int32_t j = 0; j < rl; j++) {
+      v = ((v << 2) | (uint64_t)(c[j] & 3)) & mask;
+      if (j >= kmer_len - 1) buf.push_back(v);
+    }
+    std::sort(buf.begin(), buf.end());
+    int32_t d = 0;
+    for (size_t j = 1; j < buf.size(); j++) d += (buf[j] == buf[j - 1]);
+    n_dup_out[i] = d;
+  }
+}
+
 }  // extern "C"

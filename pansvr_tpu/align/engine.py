@@ -515,30 +515,42 @@ class AlignEngine:
                 maybe_str.append(i)
             active.append(i)
 
-        # STR detection: cheap vectorized pre-screen (duplicate-20-mer
-        # count per length group via one batched row sort) narrows the
-        # reads that need the full per-read seed-list construction
+        # STR detection: cheap pre-screen (duplicate-20-mer count) narrows
+        # the reads that need the full per-read seed-list construction.
+        # The native glue computes the counts in one C++ pass; the NumPy
+        # per-length-group row sort is the fallback.
         if maybe_str:
-            by_len: dict[int, list] = {}
-            for i in maybe_str:
-                by_len.setdefault(int(lens[i]), []).append(i)
             candidates: set[int] = set()
-            for rl, rows_l in by_len.items():
-                n_kmer = rl - LEN_KMER + 1
-                if n_kmer <= MIN_STR_DETECT_LEN or len(rows_l) < 8:
-                    candidates.update(rows_l)
-                    continue
-                sub = codes_f[np.array(rows_l)][:, :rl].astype(np.uint64)
-                vals = np.zeros((len(rows_l), n_kmer), dtype=np.uint64)
-                for k in range(LEN_KMER):
-                    vals |= sub[:, k : k + n_kmer] << np.uint64(2 * (LEN_KMER - 1 - k))
-                sv = np.sort(vals, axis=1)
-                n_dup = (sv[:, 1:] == sv[:, :-1]).sum(axis=1)
-                # reference rule: distinct < n_kmer - 15  <=>  dup > 15;
-                # the exact distinct count is n_kmer - adjacent-dup count
-                for k, i in enumerate(rows_l):
-                    if n_dup[k] > MIN_STR_DETECT_LEN - 1:
-                        candidates.add(int(i))
+            dup_all = None
+            if self._glue_lib is not None:
+                dup_all = native_glue.str_dup_counts(
+                    self._glue_lib, codes_f, lens, LEN_KMER)
+            if dup_all is not None:
+                for i in maybe_str:
+                    n_kmer = int(lens[i]) - LEN_KMER + 1
+                    if n_kmer <= MIN_STR_DETECT_LEN \
+                            or dup_all[i] > MIN_STR_DETECT_LEN - 1:
+                        candidates.add(i)
+            else:
+                by_len: dict[int, list] = {}
+                for i in maybe_str:
+                    by_len.setdefault(int(lens[i]), []).append(i)
+                for rl, rows_l in by_len.items():
+                    n_kmer = rl - LEN_KMER + 1
+                    if n_kmer <= MIN_STR_DETECT_LEN or len(rows_l) < 8:
+                        candidates.update(rows_l)
+                        continue
+                    sub = codes_f[np.array(rows_l)][:, :rl].astype(np.uint64)
+                    vals = np.zeros((len(rows_l), n_kmer), dtype=np.uint64)
+                    for k in range(LEN_KMER):
+                        vals |= sub[:, k : k + n_kmer] << np.uint64(2 * (LEN_KMER - 1 - k))
+                    sv = np.sort(vals, axis=1)
+                    n_dup = (sv[:, 1:] == sv[:, :-1]).sum(axis=1)
+                    # reference rule: distinct < n_kmer - 15 <=> dup > 15;
+                    # the exact distinct count is n_kmer - adjacent-dups
+                    for k, i in enumerate(rows_l):
+                        if n_dup[k] > MIN_STR_DETECT_LEN - 1:
+                            candidates.add(int(i))
             for i in candidates:
                 rl = int(lens[i])
                 n_kmer = rl - LEN_KMER + 1

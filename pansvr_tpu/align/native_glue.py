@@ -68,8 +68,30 @@ def get_lib():
             ctypes.c_void_p, _i32, _i32, _u8, _i32, _i32, _i32,
         ]
         lib.glue_free.argtypes = [ctypes.c_void_p]
+        try:
+            lib.glue_str_dup.argtypes = [
+                _u8, _i32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                _i32,
+            ]
+        except AttributeError:
+            pass  # older built library without the STR screen
         _lib = lib
     return _lib
+
+
+def str_dup_counts(lib, codes: np.ndarray, lens: np.ndarray,
+                   kmer_len: int) -> np.ndarray | None:
+    """Per-row duplicate-k-mer counts (the STR pre-screen quantity), or
+    None when the built library predates glue_str_dup."""
+    if not hasattr(lib, "glue_str_dup"):
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int32)
+    n, L = codes.shape
+    out = np.zeros(n, np.int32)
+    lib.glue_str_dup(_p(codes, _u8), _p(lens, _i32), n, L, kmer_len,
+                     _p(out, _i32))
+    return out
 
 
 def _p(a: np.ndarray, ty):

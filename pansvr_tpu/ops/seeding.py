@@ -459,9 +459,22 @@ def seed_reads_flat(
     n_kmer = read_lens[:, None] - sk + 1
     seed_ok = (o < n_kmer) & seed_mask
 
-    # --- k-mer probe (identical to seed_reads) -----------------------------
-    win_a = _window32_rows(rw_u, o)
-    win_b = _window32_rows(rw_u, o + fl)
+    # --- k-mer probe (identical results to seed_reads; the probe windows
+    # are at STATIC positions per seed column, so they're built by column
+    # slicing instead of the (B, S0) dynamic gathers _window32_rows does)
+    def _static_windows(pos_np):
+        w = pos_np // 16
+        sh = ((pos_np % 16) * 2).astype(np.int32)
+        hi = rw_u[:, np.clip(w, 0, Wr - 1)]
+        lo = rw_u[:, np.clip(w + 1, 0, Wr - 1)]
+        shj = jnp.asarray(sh.astype(np.uint32))[None, :]
+        lo_part = jnp.where(shj == 0, jnp.uint32(0),
+                            lo >> (jnp.uint32(32) - shj))
+        return (hi << shj) | lo_part
+
+    offs_np = np.arange(S0, dtype=np.int32) * SEED_STEP
+    win_a = _static_windows(offs_np)
+    win_b = _static_windows(offs_np + fl)
     bucket = (win_a >> jnp.uint32(32 - 2 * fl)).astype(jnp.int32)
     residue = (win_b >> jnp.uint32(32 - 2 * resid_bases)).astype(jnp.int32)
     lo0 = hash_g[jnp.clip(bucket, 0, hash_g.shape[0] - 2)]
@@ -794,22 +807,25 @@ def merge_expand_device(sb: SeedBatch, didx: DeviceIndex, S: int,
     B, M = uid.shape
 
     # ---- sort MEMs by (uid, read_pos), invalid last ---------------------
-    if (didx.n_uni + 2) * 4096 < (1 << 31):
-        # fused int32 key (read_pos < 4096 in the compiled read classes)
-        key = jnp.where(valid, uid * 4096 + jnp.minimum(rp, 4095),
-                        jnp.int32(0x7FFFFFF0))
-        order = jnp.argsort(key, axis=1, stable=True)
-    else:
-        # two-pass lexsort for huge unitig counts
-        ord1 = jnp.argsort(rp, axis=1, stable=True)
-        take1 = lambda a: jnp.take_along_axis(a, ord1, axis=1)
-        uid1 = take1(uid)
-        val1 = take1(valid)
-        key = jnp.where(val1, uid1, jnp.int32(0x7FFFFFFF))
-        ord2 = jnp.argsort(key, axis=1, stable=True)
-        order = jnp.take_along_axis(ord1, ord2, axis=1)
-    g = lambda a: jnp.take_along_axis(a, order, axis=1)
-    uid, rp, uo, ln, pn, valid = g(uid), g(rp), g(uo), g(ln), g(pn), g(valid)
+    # ONE stable two-key sort carrying packed payloads: each extra
+    # (B, M) in-row gather costs ~5 ms on TPU (XLA lowers take_along_axis
+    # to a general HBM gather), so fields ride the sort network instead.
+    # read_pos/length fit 12 bits (read classes <= 512); pos_n is
+    # clamped to 14 bits, lossless for every downstream use (the >500
+    # sampling and >8000 abort thresholds, and the sampled modulo which
+    # only applies at pos_n <= 8000).
+    key1 = jnp.where(valid, uid, jnp.int32(0x7FFFFFFF))
+    pk = (
+        jnp.clip(rp, 0, 4095)
+        | (jnp.clip(ln, 0, 4095) << 12)
+        | (valid.astype(jnp.int32) << 24)
+    )
+    pn_c = jnp.minimum(pn, 16383)
+    key1, rp, uo, pk, pn = jax.lax.sort(
+        (key1, rp, uo, pk, pn_c), dimension=1, num_keys=2, is_stable=True)
+    valid = (pk >> 24) != 0
+    uid = jnp.where(valid, key1, 0)
+    ln = (pk >> 12) & 4095
 
     # ---- adjacent-linked runs ------------------------------------------
     linked = jnp.zeros((B, M), dtype=bool)
@@ -848,18 +864,21 @@ def merge_expand_device(sb: SeedBatch, didx: DeviceIndex, S: int,
     lcol = jnp.clip(next_f - 1, 0, M - 1)
 
     at = lambda a, c: jnp.take_along_axis(a, c, axis=1)
+    pk_f = at(pk, fcol)                 # rp + ln of the run's first MEM
+    pk_l = at(pk, lcol)                 # rp + ln of the run's last MEM
     m_uid = at(uid, fcol)
-    m_rp = at(rp, fcol)
+    m_rp = pk_f & 4095
+    ln_f = (pk_f >> 12) & 4095
     m_uo = at(uo, fcol)
     m_pn = at(pn, fcol)
     csum_last = at(csum, lcol)
     csum_before = jnp.where(fcol > 0, at(csum, jnp.maximum(fcol - 1, 0)), 0)
     m_cov = csum_last - csum_before
     single = fcol == lcol
-    m_len1 = jnp.where(single, at(ln, fcol),
-                       at(rp, lcol) + at(ln, lcol) - m_rp)
-    m_len2 = jnp.where(single, at(ln, fcol),
-                       at(uo, lcol) + at(ln, lcol) - m_uo)
+    rp_l = pk_l & 4095
+    ln_l = (pk_l >> 12) & 4095
+    m_len1 = jnp.where(single, ln_f, rp_l + ln_l - m_rp)
+    m_len2 = jnp.where(single, ln_f, at(uo, lcol) + ln_l - m_uo)
 
     # ---- expand ---------------------------------------------------------
     over2 = run_ok & (m_pn > POS_N_MAX_LEVEL2)
@@ -883,8 +902,15 @@ def merge_expand_device(sb: SeedBatch, didx: DeviceIndex, S: int,
     within = slot - jnp.take_along_axis(start, src_run, axis=1)
     slot_ok = slot < jnp.minimum(total[:, None], S)
 
+    # packed per-run attributes: 3 src_run gathers instead of 6 (values
+    # fit 12 bits for read classes <= 512; garbage in never-selected runs
+    # is masked by slot_ok)
+    mp_a = (m_rp & 4095) | ((m_len1 & 4095) << 12)
+    mp_b = (m_len2 & 4095) | (jnp.clip(m_pn, 0, 16383) << 12)
     r_uid = jnp.take_along_axis(m_uid, src_run, axis=1)
-    r_pn = jnp.take_along_axis(m_pn, src_run, axis=1)
+    r_a = jnp.take_along_axis(mp_a, src_run, axis=1)
+    r_b = jnp.take_along_axis(mp_b, src_run, axis=1)
+    r_pn = r_b >> 12
     sampled = r_pn > POS_N_MAX
     h = (
         (slot.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
@@ -901,9 +927,9 @@ def merge_expand_device(sb: SeedBatch, didx: DeviceIndex, S: int,
     occ_idx = jnp.clip(base + pick_within, 0, didx.uni_pos.shape[0] - 1)
     r_uo = jnp.take_along_axis(m_uo, src_run, axis=1)
     ref_begin = didx.uni_pos[occ_idx] + r_uo
-    read_begin = jnp.take_along_axis(m_rp, src_run, axis=1)
-    len1 = jnp.take_along_axis(m_len1, src_run, axis=1)
-    len2 = jnp.take_along_axis(m_len2, src_run, axis=1)
+    read_begin = r_a & 4095
+    len1 = (r_a >> 12) & 4095
+    len2 = r_b & 4095
     covv = jnp.take_along_axis(m_cov, src_run, axis=1)
 
     z = jnp.int32(0)
