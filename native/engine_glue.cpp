@@ -677,6 +677,253 @@ void glue_copy_out(void* vctx, int32_t* res_read, int32_t* res_fields,
 
 void glue_free(void* vctx) { delete (Ctx*)vctx; }
 
+// ---------------------------------------------------------------------
+// Banded dual-affine-gap DP with CIGAR ("extd2" semantics) — a scalar
+// C++ port of pansvr_tpu/ops/ksw2_ref.py (the repo's fuzz-verified
+// behavioral oracle for src/kswlib/ksw2_extd2_sse.c). Bit-identical to
+// the oracle (tests/test_native_glue.py fuzz); used for the CPU
+// deployments and oversize-segment fallbacks where the Python oracle's
+// ~0.1 s/problem is three orders of magnitude too slow.
+// ---------------------------------------------------------------------
+
+static const int32_t KNEG_INF = -0x40000000;
+
+int32_t glue_extd2(const uint8_t* query, int32_t qlen, const uint8_t* target,
+                   int32_t tlen, int32_t match, int32_t mismatch, int32_t q,
+                   int32_t e, int32_t q2, int32_t e2, int32_t w,
+                   int32_t zdrop, int32_t with_cigar,
+                   int32_t* out_scores,  // [score,mqe,mqe_t,mte,mte_q,max,max_q,max_t,zdropped]
+                   uint8_t* cig_op, int32_t* cig_len) {
+  for (int k = 0; k < 9; k++) out_scores[k] = 0;
+  out_scores[0] = out_scores[1] = out_scores[3] = out_scores[5] = KNEG_INF;
+  out_scores[2] = out_scores[4] = out_scores[6] = out_scores[7] = -1;
+  out_scores[5] = 0;  // ez.max starts at 0
+  if (qlen <= 0 || tlen <= 0) return 0;
+  if (q2 + e2 < q + e) {
+    std::swap(q, q2);
+    std::swap(e, e2);
+  }
+  if (w < 0) w = std::max(tlen, qlen);
+  const int32_t wl = w, wr = w;
+  const int32_t tlen_pad = ((tlen + 15) / 16) * 16;
+  int32_t n_col = std::min(qlen, tlen);
+  n_col = ((std::min(n_col, w + 1) + 15) / 16 + 1) * 16;
+  if (-mismatch > 2 * (q + e)) return 0;
+
+  int32_t long_thres = (e != e2) ? (q2 - q) / (e - e2) - 1 : 0;
+  if (q2 + e2 + long_thres * e2 > q + e + long_thres * e) long_thres++;
+  const int32_t long_diff = long_thres * (e - e2) - (q2 - q) - e2;
+
+  std::vector<int32_t> u(tlen_pad, -q - e), v(tlen_pad, -q - e);
+  std::vector<int32_t> x(tlen_pad, -q - e), y(tlen_pad, -q - e);
+  std::vector<int32_t> x2(tlen_pad, -q2 - e2), y2(tlen_pad, -q2 - e2);
+  std::vector<int32_t> s(tlen_pad, 0);
+  std::vector<int64_t> H(tlen_pad, (int64_t)KNEG_INF);
+  const int32_t n_diag = qlen + tlen - 1;
+  std::vector<int32_t> off(n_diag, 0), off_end(n_diag, 0);
+  std::vector<uint8_t> p;
+  // row stride: one extra 16-lane vector of slack, mirroring the
+  // reference allocation (ksw2_extd2_sse.c:115) — the padded [st,en]
+  // span can exceed n_col by up to one vector
+  const int32_t p_stride = n_col + 16;
+  if (with_cigar) p.assign((size_t)n_diag * p_stride, 0);
+
+  int32_t mqe = KNEG_INF, mqe_t = -1, mte = KNEG_INF, mte_q = -1;
+  int32_t ezmax = 0, max_q = -1, max_t_g = -1, score = KNEG_INF;
+  bool zdropped = false;
+  int32_t last_st = -1, last_en = -1;
+  int32_t r;
+  for (r = 0; r < n_diag; r++) {
+    int32_t st0 = std::max(0, std::max(r - qlen + 1, (r - wr + 1) >> 1));
+    int32_t en0 = std::min(tlen - 1, std::min(r, (r + wl) >> 1));
+    if (st0 > en0) {
+      zdropped = true;
+      break;
+    }
+    const int32_t st = st0 / 16 * 16;
+    int32_t en = (en0 + 16) / 16 * 16 - 1;
+    if (en > tlen_pad - 1) en = tlen_pad - 1;
+    off[r] = st;
+    off_end[r] = en;
+
+    int32_t x1, x21, v1;
+    if (st > 0) {
+      if (last_st <= st - 1 && st - 1 <= last_en) {
+        x1 = x[st - 1];
+        x21 = x2[st - 1];
+        v1 = v[st - 1];
+      } else {
+        x1 = -q - e;
+        x21 = -q2 - e2;
+        v1 = -q - e;
+      }
+    } else {
+      x1 = -q - e;
+      x21 = -q2 - e2;
+      v1 = (r == 0) ? -q - e
+                    : (r < long_thres ? -e
+                                      : (r == long_thres ? long_diff : -e2));
+    }
+    if (en >= r) {
+      y[r] = -q - e;
+      y2[r] = -q2 - e2;
+      u[r] = (r == 0) ? -q - e
+                      : (r < long_thres ? -e
+                                        : (r == long_thres ? long_diff : -e2));
+    }
+    for (int32_t t = st0; t <= en0; t++)
+      s[t] = (query[r - t] == target[t]) ? match : mismatch;
+
+    uint8_t* prow = with_cigar ? &p[(size_t)r * p_stride] : nullptr;
+    int32_t xp = x1, vp = v1, x2p = x21;
+    for (int32_t t = st; t <= en; t++) {
+      int32_t a = xp + vp;
+      int32_t b = y[t] + u[t];
+      int32_t a2 = x2p + vp;
+      int32_t b2 = y2[t] + u[t];
+      int32_t z = s[t];
+      uint8_t dc = 0;
+      if (a > z) { z = a; dc = 1; }
+      if (b > z) { z = b; dc = 2; }
+      if (a2 > z) { z = a2; dc = 3; }
+      if (b2 > z) { z = b2; dc = 4; }
+      if (z > match) z = match;
+      const int32_t u_new = z - vp;
+      const int32_t v_new = z - u[t];
+      a -= (z - q);
+      b -= (z - q);
+      a2 -= (z - q2);
+      b2 -= (z - q2);
+      xp = x[t];
+      vp = v[t];
+      x2p = x2[t];
+      x[t] = std::max(a, 0) - q - e;
+      if (a > 0) dc |= 0x08;
+      y[t] = std::max(b, 0) - q - e;
+      if (b > 0) dc |= 0x10;
+      x2[t] = std::max(a2, 0) - q2 - e2;
+      if (a2 > 0) dc |= 0x20;
+      y2[t] = std::max(b2, 0) - q2 - e2;
+      if (b2 > 0) dc |= 0x40;
+      u[t] = u_new;
+      v[t] = v_new;
+      if (prow) prow[t - st] = dc;
+    }
+
+    int32_t max_t;
+    int64_t max_H;
+    if (r > 0) {
+      const int64_t H_en0 =
+          (en0 > 0) ? H[en0 - 1] + u[en0] : H[en0] + v[en0];
+      for (int32_t t = st0; t < en0; t++) H[t] += v[t];
+      H[en0] = H_en0;
+      max_t = en0;
+      max_H = H[en0];
+      for (int32_t t = st0; t < en0; t++)
+        if (H[t] > max_H) {
+          max_H = H[t];
+          max_t = t;
+        }
+    } else {
+      H[0] = (int64_t)v[0] - (q + e);
+      max_H = H[0];
+      max_t = 0;
+    }
+
+    if (en0 == tlen - 1 && H[en0] > mte) {
+      mte = (int32_t)H[en0];
+      mte_q = r - en;
+    }
+    if (r - st0 == qlen - 1 && H[st0] > mqe) {
+      mqe = (int32_t)H[st0];
+      mqe_t = st0;
+    }
+    // ksw_apply_zdrop (is_rot=1)
+    if (max_H > ezmax) {
+      ezmax = (int32_t)max_H;
+      max_t_g = max_t;
+      max_q = r - max_t;
+    } else if (max_t >= max_t_g && r - max_t >= max_q) {
+      const int32_t tl = max_t - max_t_g;
+      const int32_t ql = (r - max_t) - max_q;
+      const int32_t l = tl > ql ? tl - ql : ql - tl;
+      if (zdrop >= 0 && ezmax - max_H > zdrop + (int64_t)l * e2) {
+        zdropped = true;
+        break;
+      }
+    }
+    if (r == qlen + tlen - 2 && en0 == tlen - 1) score = (int32_t)H[tlen - 1];
+    last_st = st;
+    last_en = en;
+  }
+
+  out_scores[0] = score;
+  out_scores[1] = mqe;
+  out_scores[2] = mqe_t;
+  out_scores[3] = mte;
+  out_scores[4] = mte_q;
+  out_scores[5] = ezmax;
+  out_scores[6] = max_q;
+  out_scores[7] = max_t_g;
+  out_scores[8] = zdropped ? 1 : 0;
+
+  int32_t n_cig = 0;
+  if (with_cigar) {
+    int32_t i0 = -1, j0 = -1;
+    if (!zdropped) {
+      i0 = tlen - 1;
+      j0 = qlen - 1;
+    } else if (max_t_g >= 0 && max_q >= 0) {
+      i0 = max_t_g;
+      j0 = max_q;
+    }
+    if (i0 >= 0 && j0 >= 0) {
+      // ksw_backtrack_D, is_rot=1 (ops emitted backward, reversed below)
+      std::vector<std::pair<uint8_t, int32_t>> ops;
+      auto push = [&](uint8_t op, int32_t n) {
+        if (!ops.empty() && ops.back().first == op)
+          ops.back().second += n;
+        else
+          ops.push_back({op, n});
+      };
+      int32_t i = i0, j = j0, state = 0;
+      while (i >= 0 && j >= 0) {
+        const int32_t rr = i + j;
+        int32_t force_state = -1;
+        if (i < off[rr]) force_state = 2;
+        if (i > off_end[rr]) force_state = 1;
+        const int32_t tmp =
+            (force_state < 0) ? p[(size_t)rr * p_stride + (i - off[rr])] : 0;
+        if (state == 0)
+          state = tmp & 7;
+        else if (!((tmp >> (state + 2)) & 1))
+          state = 0;
+        if (state == 0) state = tmp & 7;
+        if (force_state >= 0) state = force_state;
+        if (state == 0) {
+          push(0, 1);  // M
+          i--;
+          j--;
+        } else if (state == 1 || state == 3) {
+          push(2, 1);  // D consumes target
+          i--;
+        } else {
+          push(1, 1);  // I consumes query
+          j--;
+        }
+      }
+      if (i >= 0) push(2, i + 1);
+      if (j >= 0) push(1, j + 1);
+      n_cig = (int32_t)ops.size();
+      for (int32_t k = 0; k < n_cig; k++) {
+        cig_op[k] = ops[n_cig - 1 - k].first;
+        cig_len[k] = ops[n_cig - 1 - k].second;
+      }
+    }
+  }
+  return n_cig;
+}
+
 // STR pre-screen: per row, the number of duplicate k-mers (n_kmer minus
 // distinct count) — the same quantity the engine's NumPy screen derives
 // from a row sort (engine._submit_batch_inner), computed here for every

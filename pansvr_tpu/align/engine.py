@@ -81,12 +81,14 @@ from .host_align import (
 # over a remote-chip link otherwise dominates the batch time) -------------
 
 def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext):
-    if front == "v5":
+    if front in ("v5", "v5h"):
         # flat front: hits of the whole batch compacted onto one global
         # lane axis (~4x fewer extension lanes than (B, M) padding);
-        # bit-identical SeedBatch, NF-cap rows flagged for host fallback
+        # bit-identical SeedBatch, NF-cap rows flagged for host fallback.
+        # v5h probes the open-addressing hash instead of the bisect.
         sb = seed_reads_flat(didx, words, lens, mask, S0=S0, M=M,
-                             n_ext_steps=n_ext)
+                             n_ext_steps=n_ext,
+                             probe="hash" if front == "v5h" else "bisect")
     elif front in ("v2", "v4"):
         # v2 = open-addressing hash probe + slab extension;
         # v4 = hash probe + single-gather entry attributes + the v1
@@ -196,6 +198,50 @@ def _chain_body(rb, re_, fb, fe, cov, sid, valid, is_str):
 _device_chain_pack = jax.jit(_chain_body)
 
 
+def _b8(a):
+    """Flatten any int array to little-endian bytes (int8 1-D)."""
+    if a.dtype == jnp.int8:
+        return a.reshape(-1)
+    return jax.lax.bitcast_convert_type(a, jnp.int8).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _chain_body_fused(stats3, es, is_str, K):
+    """Chain program whose outputs (plus the front's stats) come back as
+    ONE flat int8 buffer: each result transfer over the remote link pays
+    a round trip, so six fetches become one. The [:, :K] seed slicing
+    happens INSIDE the jit (eager slices on remote arrays each dispatch
+    a mini program over the link). Layout (B rows, K seeds):
+    [stats3 (3,B) i32][p32 (B,K) i32][p16 (3,B,K) i16][p8 (B,K) i8]
+    [hits8 (2,B,6) i8][hscore (B,6) i16]."""
+    p32, p16, p8, hits8, hscore = _chain_body(
+        es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
+        es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
+        es.valid[:, :K], is_str)
+    return jnp.concatenate([
+        _b8(stats3), _b8(p32), _b8(p16), _b8(p8), _b8(hits8), _b8(hscore)
+    ])
+
+
+def _chain_unpack(buf: np.ndarray, B: int, K: int):
+    """Host-side views into the fused chain buffer."""
+    o = 0
+
+    def take(n, dt, shape):
+        nonlocal o
+        v = buf[o : o + n].view(dt).reshape(shape)
+        o += n
+        return v
+
+    stats3 = take(12 * B, np.int32, (3, B))
+    p32 = take(4 * B * K, np.int32, (B, K))
+    p16 = take(6 * B * K, np.int16, (3, B, K))
+    p8 = take(B * K, np.int8, (B, K))
+    hits8 = take(2 * B * 6, np.int8, (2, B, 6))
+    hscore = take(2 * B * 6, np.int16, (B, 6))
+    return stats3, p32, p16, p8, hits8, hscore
+
+
 @functools.lru_cache(maxsize=16)
 def _sharded_chain(mesh):
     from jax.sharding import PartitionSpec as P
@@ -230,9 +276,24 @@ def _dp_pallas_body(qc, ql, tc, tl, params, W, interpret):
     return ops, packed
 
 
+def _dp_pack(ops, packed):
+    """Fuse a DP chunk's (ops, packed) into one int8 buffer: one result
+    transfer round trip instead of two."""
+    B = ops.shape[0]
+    return jnp.concatenate([
+        _b8(packed.astype(jnp.int32)), ops.reshape(B, -1).reshape(-1)
+    ])
+
+
+def _dp_unpack(buf: np.ndarray, B: int):
+    packed = buf[: 32 * B].view(np.int32).reshape(8, B)
+    ops = buf[32 * B :].reshape(B, -1)
+    return ops, packed
+
+
 @functools.partial(jax.jit, static_argnames=("params", "W", "interpret"))
 def _device_dp_pallas(qc, ql, tc, tl, params, W, interpret):
-    return _dp_pallas_body(qc, ql, tc, tl, params, W, interpret)
+    return _dp_pack(*_dp_pallas_body(qc, ql, tc, tl, params, W, interpret))
 
 
 def _dp_scan_body(qc, ql, tc, tl, params, K):
@@ -252,7 +313,7 @@ def _dp_scan_body(qc, ql, tc, tl, params, K):
 
 @functools.partial(jax.jit, static_argnames=("params", "K"))
 def _device_dp(qc, ql, tc, tl, params, K):
-    return _dp_scan_body(qc, ql, tc, tl, params, K)
+    return _dp_pack(*_dp_scan_body(qc, ql, tc, tl, params, K))
 
 
 @functools.lru_cache(maxsize=32)
@@ -383,6 +444,11 @@ class AlignEngine:
         # to the pure-Python loops below
         self._glue_lib = native_glue.get_lib() if self.cfg.native_glue \
             else None
+        # speculative chain width: previous batch's max seed count,
+        # rounded to the bucket (re-chained at full width on a miss);
+        # starts at the smallest bucket — the common steady state — so
+        # the warmup batch compiles the shape the stream will reuse
+        self._k_spec = 8
         self._packed_ref = np.ascontiguousarray(self.host.ksw.packed_ref)
         self._chr_starts64 = np.ascontiguousarray(
             self.idx.chr_starts, np.int64)
@@ -583,13 +649,21 @@ class AlignEngine:
             fr = _sharded_front(self.mesh, S0, cfg.max_seeds, M,
                                 cfg.front, n_ext)
             es, stats3_dev = fr(self.didx, words, lens2, mask2)
+            chain_spec = None
+            is_str2 = None
         else:
             es, stats3_dev = _device_front(
                 self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds,
                 M=M, front=cfg.front, n_ext=n_ext,
             )
+            # the chain is dispatched speculatively in _finish_batch
+            # (dispatching here would stall: the tunnel blocks a dispatch
+            # until its device-array args are materialized)
+            is_str2 = np.concatenate([is_str, is_str])
+            chain_spec = "pending"
         return dict(states=states, active=active, n=n, n_pad=n_pad,
                     seqs=seqs, oris=oris, front=(es, stats3_dev),
+                    chain_spec=chain_spec, is_str2=is_str2,
                     is_str=is_str, read_class=L,
                     codes_f=codes_f, codes_r=codes_r, lens=lens)
 
@@ -607,10 +681,59 @@ class AlignEngine:
             return states
         es, stats3_dev = pend["front"]
         is_str = pend["is_str"]
-        t = time.perf_counter()
-        stats3 = np.asarray(stats3_dev)
-        self.prof["sync_front"] += time.perf_counter() - t
-        overflow, dropped, seed_count = stats3
+        cs = pend.get("chain_spec")
+        if cs is not None:
+            # single-device path: chain dispatched speculatively at the
+            # previous batch's K; its results (+ the front stats) arrive
+            # in ONE fused buffer — one transfer round trip per batch
+            K = self._k_spec
+            t = time.perf_counter()
+            buf_dev = _chain_body_fused(stats3_dev, es, pend["is_str2"],
+                                        K=K)
+            buf = np.asarray(buf_dev)
+            self.prof["sync_chain"] += time.perf_counter() - t
+            B2 = 2 * n_pad
+            stats3, s_fb, p16, pre, hits8, hit_score = _chain_unpack(
+                buf, B2, K)
+            overflow, dropped, seed_count = stats3
+            kmax = int(seed_count.max()) if len(seed_count) else 0
+            self._k_spec = min(
+                cfg.max_seeds, max(8, 1 << max(kmax - 1, 0).bit_length()))
+            if kmax > K:
+                # speculation missed (a row has more seeds than the
+                # chained width): re-chain at full width
+                K = cfg.max_seeds
+                t = time.perf_counter()
+                buf_dev = _chain_body_fused(
+                    stats3_dev, es, pend["is_str2"], K=K)
+                buf = np.asarray(buf_dev)
+                self.prof["sync_chain"] += time.perf_counter() - t
+                _, s_fb, p16, pre, hits8, hit_score = _chain_unpack(
+                    buf, B2, K)
+        else:
+            t = time.perf_counter()
+            stats3 = np.asarray(stats3_dev)
+            self.prof["sync_front"] += time.perf_counter() - t
+            overflow, dropped, seed_count = stats3
+            kmax = int(seed_count.max()) if len(seed_count) else 0
+            K = min(cfg.max_seeds, max(8, 1 << max(kmax - 1, 0).bit_length()))
+            is_str2 = np.concatenate([is_str, is_str])
+            # seeds are compacted to the front of the S axis, so [:, :K]
+            # keeps every valid seed
+            t = time.perf_counter()
+            chain_fn = _sharded_chain(self.mesh)
+            p32_dev, p16_dev, p8_dev, hits8_dev, hscore_dev = chain_fn(
+                es.read_begin[:, :K], es.read_end[:, :K],
+                es.ref_begin[:, :K], es.ref_end[:, :K], es.cov[:, :K],
+                es.seed_id[:, :K], es.valid[:, :K], is_str2,
+            )
+            s_fb = np.asarray(p32_dev)
+            p16 = np.asarray(p16_dev)
+            pre = np.asarray(p8_dev)
+            hits8 = np.asarray(hits8_dev)
+            hit_score = np.asarray(hscore_dev)
+            self.prof["sync_chain"] += time.perf_counter() - t
+
         fallback = set(int(r) % n_pad for r in np.nonzero(overflow > 0)[0])
         fallback |= set(int(r) % n_pad for r in np.nonzero(dropped > 0)[0])
         t = time.perf_counter()
@@ -621,20 +744,6 @@ class AlignEngine:
         self.prof["host_fallback"] += time.perf_counter() - t
         self.prof["n_fallback"] += len(fallback)
 
-        kmax = int(seed_count.max()) if len(seed_count) else 0
-        K = min(cfg.max_seeds, max(8, 1 << max(kmax - 1, 0).bit_length()))
-        is_str2 = np.concatenate([is_str, is_str])
-        # seeds are compacted to the front of the S axis, so [:, :K] keeps
-        # every valid seed
-        t = time.perf_counter()
-        chain_fn = _sharded_chain(self.mesh) if self.mesh is not None \
-            else _device_chain_pack
-        p32_dev, p16_dev, p8_dev, hits8_dev, hscore_dev = chain_fn(
-            es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
-            es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
-            es.valid[:, :K], is_str2,
-        )
-        self.prof["sync_chain"] += time.perf_counter() - t
         if on_dp_dispatched is not None and cfg.pipe_order == "early":
             # "early" pipelining: queue the NEXT batch's device front
             # right behind this batch's (small) chain program, so the
@@ -645,13 +754,6 @@ class AlignEngine:
             # batch's DP instead.
             on_dp_dispatched()
             on_dp_dispatched = None
-        t = time.perf_counter()
-        s_fb = np.asarray(p32_dev)
-        p16 = np.asarray(p16_dev)
-        pre = np.asarray(p8_dev)
-        hits8 = np.asarray(hits8_dev)
-        hit_score = np.asarray(hscore_dev)
-        self.prof["sync_chain"] += time.perf_counter() - t
         if self._glue_lib is not None:
             return self._finish_native(
                 pend, states, active, n_pad, s_fb, p16, pre, hits8,
@@ -824,16 +926,18 @@ class AlignEngine:
                         cq + ct, cfg.dp_interpret,
                     )
                     ops_dev, packed_dev = dp_fn(qc, ql, tc, tl)
+                    chunks.append((mem, ("pair", ops_dev, packed_dev)))
                 elif cfg.use_pallas():
-                    ops_dev, packed_dev = _device_dp_pallas(
+                    buf_dev = _device_dp_pallas(
                         qc, ql, tc, tl, params=self.dp_params,
                         W=W, interpret=cfg.dp_interpret,
                     )
+                    chunks.append((mem, ("fused", buf_dev, CHUNK)))
                 else:
-                    ops_dev, packed_dev = _device_dp(
+                    buf_dev = _device_dp(
                         qc, ql, tc, tl, params=self.dp_params, K=cq + ct,
                     )
-                chunks.append((mem, ops_dev, packed_dev))
+                    chunks.append((mem, ("fused", buf_dev, CHUNK)))
         big = np.nonzero(assigned < 0)[0]
         self.prof["dp_dispatch"] += time.perf_counter() - t
         if on_dp_dispatched is not None:
@@ -846,9 +950,12 @@ class AlignEngine:
             ez = self._scalar_dp(qc[0, : ql[0]], tc[0, : tl[0]])
             gb.set_dp_scalar(int(k), ez)
         skip = self.cfg.use_pallas()
-        for mem, ops_dev, packed_dev in chunks:
-            ops = np.asarray(ops_dev)
-            packed = np.asarray(packed_dev)
+        for mem, payload in chunks:
+            if payload[0] == "fused":
+                ops, packed = _dp_unpack(np.asarray(payload[1]), payload[2])
+            else:
+                ops = np.asarray(payload[1])
+                packed = np.asarray(payload[2])
             gb.set_dp_chunk(mem, ops[: len(mem)], packed[:, : len(mem)],
                             skip)
         self.prof["sync_dp"] += time.perf_counter() - t
@@ -953,17 +1060,20 @@ class AlignEngine:
                         cq + ct, cfg.dp_interpret,
                     )
                     ops_dev, packed_dev = dp_fn(qc, ql, tc, tl)
+                    handles["chunks"].append(
+                        (chunk, ("pair", ops_dev, packed_dev)))
                 elif cfg.use_pallas():
-                    ops_dev, packed_dev = _device_dp_pallas(
+                    buf_dev = _device_dp_pallas(
                         qc, ql, tc, tl, params=self.dp_params,
                         W=W, interpret=cfg.dp_interpret,
                     )
+                    handles["chunks"].append((chunk, ("fused", buf_dev, B)))
                 else:
-                    ops_dev, packed_dev = _device_dp(
+                    buf_dev = _device_dp(
                         qc, ql, tc, tl, params=self.dp_params,
                         K=cq + ct,
                     )
-                handles["chunks"].append((chunk, ops_dev, packed_dev))
+                    handles["chunks"].append((chunk, ("fused", buf_dev, B)))
         return handles
 
     def _sync_dp_batch(self, handles):
@@ -973,10 +1083,13 @@ class AlignEngine:
         owners = handles["owners"]
         to_cigar = epl.ops_to_cigar_skip if self.cfg.use_pallas() \
             else ops_to_cigar
-        for chunk, ops_dev, packed_dev in handles["chunks"]:
-            packed = np.asarray(packed_dev)
+        for chunk, payload in handles["chunks"]:
+            if payload[0] == "fused":
+                ops, packed = _dp_unpack(np.asarray(payload[1]), payload[2])
+            else:
+                ops = np.asarray(payload[1])
+                packed = np.asarray(payload[2])
             score, mqe, mx, mxq, mxt, zdr, i_f, j_f = packed
-            ops = np.asarray(ops_dev)
             for bi, k in enumerate(chunk):
                 cig = to_cigar(ops[bi], int(i_f[bi]), int(j_f[bi]))
                 ez = Ez(

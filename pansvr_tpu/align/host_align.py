@@ -108,6 +108,7 @@ class KswHandler:
                 idx.ref_codes >= 4, np.uint8(2), idx.ref_codes
             )
         self.packed_ref = idx._packed_ref_cache
+        self._dp_lib = None   # lazy native-DP handle (False = unavailable)
         self.reset(None)
 
     def reset(self, read_codes):
@@ -208,8 +209,24 @@ class KswHandler:
 
     def _run_dp(self, qseq, tseq):
         """Banded dual-affine DP for one segment. Overridden by the batched
-        engine to collect/replay requests against the device kernel."""
+        engine to collect/replay requests against the device kernel.
+        Uses the native C++ kernel when built (bit-identical to the
+        ksw2_ref oracle, fuzz-tested in tests/test_native_glue.py)."""
         p = self.p
+        if self._dp_lib is None:
+            from . import native_glue
+
+            self._dp_lib = native_glue.get_lib() or False
+        if self._dp_lib:
+            from . import native_glue
+
+            ez = native_glue.extd2_native(
+                self._dp_lib, qseq, tseq, match=p.match,
+                mismatch=-p.mismatch, q=p.gap_open, e=p.gap_ex,
+                q2=p.gap_open2, e2=p.gap_ex2, w=p.band, zdrop=p.zdrop,
+            )
+            if ez is not None:
+                return ez
         return ksw2_ref.extd2(
             qseq, tseq, match=p.match, mismatch=-p.mismatch,
             q=p.gap_open, e=p.gap_ex, q2=p.gap_open2, e2=p.gap_ex2,

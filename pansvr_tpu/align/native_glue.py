@@ -75,8 +75,52 @@ def get_lib():
             ]
         except AttributeError:
             pass  # older built library without the STR screen
+        try:
+            lib.glue_extd2.restype = ctypes.c_int32
+            lib.glue_extd2.argtypes = [
+                _u8, ctypes.c_int32, _u8, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                _i32, _u8, _i32,
+            ]
+        except AttributeError:
+            pass  # older built library without the DP kernel
         _lib = lib
     return _lib
+
+
+_EXTD2_OPS = "MID"
+
+
+def extd2_native(lib, query: np.ndarray, target: np.ndarray, *,
+                 match: int, mismatch: int, q: int, e: int, q2: int,
+                 e2: int, w: int, zdrop: int, with_cigar: bool = True):
+    """C++ extd2 (banded dual-affine DP + CIGAR), bit-identical to
+    ops/ksw2_ref.extd2 (fuzz-tested). Returns an ops/ksw2_ref.Ez, or
+    None when the built library predates glue_extd2."""
+    if not hasattr(lib, "glue_extd2"):
+        return None
+    from ..ops.ksw2_ref import Ez
+
+    qc = np.ascontiguousarray(query, np.uint8)
+    tc = np.ascontiguousarray(target, np.uint8)
+    scores = np.zeros(9, np.int32)
+    cap = len(qc) + len(tc) + 2
+    cig_op = np.zeros(cap, np.uint8)
+    cig_len = np.zeros(cap, np.int32)
+    n = lib.glue_extd2(
+        _p(qc, _u8), len(qc), _p(tc, _u8), len(tc),
+        match, mismatch, q, e, q2, e2, w, zdrop, int(with_cigar),
+        _p(scores, _i32), _p(cig_op, _u8), _p(cig_len, _i32),
+    )
+    return Ez(
+        score=int(scores[0]), mqe=int(scores[1]), mqe_t=int(scores[2]),
+        mte=int(scores[3]), mte_q=int(scores[4]), max=int(scores[5]),
+        max_q=int(scores[6]), max_t=int(scores[7]),
+        zdropped=bool(scores[8]),
+        cigar=[(_EXTD2_OPS[cig_op[k]], int(cig_len[k])) for k in range(n)],
+    )
 
 
 def str_dup_counts(lib, codes: np.ndarray, lens: np.ndarray,

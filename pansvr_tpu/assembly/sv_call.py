@@ -265,6 +265,19 @@ CONTIG_DP = dict(match=2, mismatch=-10, q=24, e=2, q2=32, e2=1,
                  w=132, zdrop=132)   # SignalAssembly.hpp:411-420 profile
 
 
+def _scalar_contig_dp(qseq, tseq):
+    """One contig<->anchor DP with the native C++ kernel when built
+    (bit-identical to ksw2_ref, fuzz-tested), else the Python oracle."""
+    from ..align import native_glue
+
+    lib = native_glue.get_lib()
+    if lib is not None:
+        ez = native_glue.extd2_native(lib, qseq, tseq, **CONTIG_DP)
+        if ez is not None:
+            return ez
+    return ksw2_ref.extd2(qseq, tseq, **CONTIG_DP)
+
+
 class ContigDpBatcher:
     """Collect/replay batcher for contig<->anchor DP problems.
 
@@ -287,7 +300,7 @@ class ContigDpBatcher:
         idx = len(self.requests)
         self.requests.append((qseq, tseq))
         if not self.device:
-            self.results.append(ksw2_ref.extd2(qseq, tseq, **CONTIG_DP))
+            self.results.append(_scalar_contig_dp(qseq, tseq))
         return idx
 
     def result(self, idx: int):
@@ -312,7 +325,7 @@ class ContigDpBatcher:
         for k in range(len(self.requests)):
             if k not in set(small):
                 q, t = self.requests[k]
-                self.results[k] = ksw2_ref.extd2(q, t, **CONTIG_DP)
+                self.results[k] = _scalar_contig_dp(q, t)
         BLK = epl.BLK
         _, n_diag_pad, _, _ = epl._plan(self.Q, self.T, self.W)
         for c0 in range(0, len(small), 4 * BLK):
@@ -980,6 +993,10 @@ def run_sv_calling(bam_path: str, sf: SVRefSequence,
     batched device program, then verdicts are finished — the fc_sv analog
     of the realigner's collect/replay."""
     o = opts or SvCallOptions()
+    # default DP = inline native C++ kernel (ContigDpBatcher device=False
+    # -> _scalar_contig_dp): measured FASTER than the batched device path
+    # at fc_sv scale (dispatch round trips dominate ~2k small problems);
+    # callers can still pass ContigDpBatcher(device=True) explicitly
     caller = SvCaller(sf, o, dp=dp)
     index = SvReadIndex(bam_path, sf.sv_info, min_score=o.min_score)
     # chromosome-range sharding (the reference's -S/-E resumability

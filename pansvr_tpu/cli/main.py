@@ -84,12 +84,33 @@ def _cmd_fc_aln(args):
     writer = BamWriter(args.output, header)
     ori_writer = BamWriter(args.output_ori, header) if args.output_ori else None
     filt = min_filter_score(stats.read_len or 150)
-    pairs = list(read_signal_fastq(args.signal_fq))
     B = args.batch
-    for i in range(0, len(pairs) - 1, B):
-        chunk = pairs[i : i + B]
-        oris = [parse_signal_comment(p[3])[0] for p in chunk]
-        states = eng.align_batch([p[1] for p in chunk], oris)
+    step = 2 * (B // 2)
+
+    def chunk_stream():
+        """Stream the signal FASTQ in engine-batch chunks (the 2M-pair
+        pipeline-block analog, read_realignment.cpp:22-24,109): memory
+        stays O(batch). A trailing unpaired record is dropped exactly
+        like the reference's paired kseq loop."""
+        buf = []
+        for rec in read_signal_fastq(args.signal_fq):
+            buf.append(rec)
+            if len(buf) == step:
+                yield buf
+                buf = []
+        if len(buf) >= 2:
+            yield buf[: len(buf) // 2 * 2]
+
+    import itertools
+
+    chunks_a, chunks_b = itertools.tee(chunk_stream())
+
+    def batch_stream():
+        for chunk in chunks_b:
+            yield ([p[1] for p in chunk],
+                   [parse_signal_comment(p[3])[0] for p in chunk])
+
+    for chunk, states in zip(chunks_a, eng.align_stream(batch_stream())):
         for k in range(0, len(chunk) - 1, 2):
             pr = pe.pair(states[k], states[k + 1])
             if ori_writer is not None:

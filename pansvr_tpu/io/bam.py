@@ -17,6 +17,8 @@ import numpy as np
 from .bgzf import BGZFReader, BGZFWriter
 
 SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+# 256-byte translate table mapping 4-bit codes to their bases
+_SEQ16_TRANS = (SEQ_NT16.encode() + bytes(240))
 SEQ_NT16_CODE = {c: i for i, c in enumerate(SEQ_NT16)}
 CIGAR_OPS = "MIDNSHP=X"
 CIGAR_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
@@ -332,18 +334,21 @@ def _decode_record(body: bytes) -> BamRecord:
         cigar.append((CIGAR_OPS[v & 0xF], v >> 4))
     off += 4 * n_cigar
     n_seq_b = (l_seq + 1) // 2
-    seq_chars = []
-    for i in range(l_seq):
-        b = body[off + i // 2]
-        code = (b >> 4) if i % 2 == 0 else (b & 0xF)
-        seq_chars.append(SEQ_NT16[code])
-    seq = "".join(seq_chars)
+    if l_seq:
+        packed = np.frombuffer(body, np.uint8, count=n_seq_b, offset=off)
+        codes = np.empty(2 * n_seq_b, np.uint8)
+        codes[0::2] = packed >> 4
+        codes[1::2] = packed & 0xF
+        seq = codes[:l_seq].tobytes().translate(_SEQ16_TRANS).decode()
+    else:
+        seq = ""
     off += n_seq_b
     qual_raw = body[off : off + l_seq]
-    qual = (
-        "" if (l_seq == 0 or (qual_raw and qual_raw[0] == 0xFF))
-        else "".join(chr(min(q, 93) + 33) for q in qual_raw)
-    )
+    if l_seq == 0 or (qual_raw and qual_raw[0] == 0xFF):
+        qual = ""
+    else:
+        qarr = np.frombuffer(qual_raw, np.uint8)
+        qual = (np.minimum(qarr, 93) + 33).astype(np.uint8).tobytes().decode()
     off += l_seq
     tags = _parse_tags(body[off:])
     return BamRecord(

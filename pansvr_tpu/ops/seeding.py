@@ -430,7 +430,7 @@ FLAT_OVERFLOW = 1 << 20   # n_overflow marker for rows cut by the NF cap
 
 
 @functools.partial(
-    jax.jit, static_argnames=("S0", "n_ext_steps", "M", "nf_mult"))
+    jax.jit, static_argnames=("S0", "n_ext_steps", "M", "nf_mult", "probe"))
 def seed_reads_flat(
     didx: DeviceIndex,
     read_words: jnp.ndarray,   # (B, Wr) int32 packed
@@ -440,6 +440,7 @@ def seed_reads_flat(
     n_ext_steps: int = 10,
     M: int = 32,
     nf_mult: int = 10,
+    probe: str = "bisect",
 ) -> SeedBatch:
     B, Wr = read_words.shape
     NF = nf_mult * B
@@ -475,27 +476,52 @@ def seed_reads_flat(
     offs_np = np.arange(S0, dtype=np.int32) * SEED_STEP
     win_a = _static_windows(offs_np)
     win_b = _static_windows(offs_np + fl)
-    bucket = (win_a >> jnp.uint32(32 - 2 * fl)).astype(jnp.int32)
-    residue = (win_b >> jnp.uint32(32 - 2 * resid_bases)).astype(jnp.int32)
-    lo0 = hash_g[jnp.clip(bucket, 0, hash_g.shape[0] - 2)]
-    hi0 = hash_g[jnp.clip(bucket + 1, 0, hash_g.shape[0] - 1)]
 
-    def bisect(pred):
-        lo, hi = lo0, hi0
-        for _ in range(didx.max_bucket_bits):
-            mid = (lo + hi) >> 1
-            key = (kmer_g_u[jnp.clip(mid, 0, max(didx.n_kmer - 1, 0))]
-                   >> entry_shift).astype(jnp.int32)
-            go_right = pred(key)
-            active = lo < hi
-            lo = jnp.where(active & go_right, mid + 1, lo)
-            hi = jnp.where(active & ~go_right, mid, hi)
-        return lo
+    if probe == "hash":
+        # exact open-addressing probe over the (check, payload) tables
+        # (same tables as seed_reads2): ~ht_probe+1 gathers per seed vs
+        # 2 * max_bucket_bits dependent gathers for the bisect
+        lb = 2 * resid_bases
+        bucket_u = win_a >> jnp.uint32(32 - 2 * fl)
+        residue_u = win_b >> jnp.uint32(32 - lb)
+        slot0, check = _mix40(bucket_u, residue_u, lb, didx.ht_bits)
+        size_mask = (1 << didx.ht_bits) - 1
+        found_h = jnp.zeros((B, S0), bool)
+        done = jnp.zeros((B, S0), bool)
+        fslot = jnp.zeros((B, S0), jnp.int32)
+        for pstep in range(didx.ht_probe):
+            sl = (slot0 + pstep) & size_mask
+            c = didx.ht_check[sl]
+            hit = (c == check) & ~done
+            fslot = jnp.where(hit, sl, fslot)
+            found_h = found_h | hit
+            done = done | hit | (c == -1)
+        payload = jnp.where(found_h, didx.ht_payload[fslot], 0)
+        left = payload & ((1 << 27) - 1)
+        count = jnp.where(found_h, (payload >> 27) + 1, 0)
+        found = seed_ok & found_h & (count <= UNI_POS_N_MAX)
+    else:
+        bucket = (win_a >> jnp.uint32(32 - 2 * fl)).astype(jnp.int32)
+        residue = (win_b >> jnp.uint32(32 - 2 * resid_bases)).astype(jnp.int32)
+        lo0 = hash_g[jnp.clip(bucket, 0, hash_g.shape[0] - 2)]
+        hi0 = hash_g[jnp.clip(bucket + 1, 0, hash_g.shape[0] - 1)]
 
-    left = bisect(lambda key: key < residue)
-    right = bisect(lambda key: key <= residue)
-    count = right - left
-    found = seed_ok & (count > 0) & (count <= UNI_POS_N_MAX)
+        def bisect(pred):
+            lo, hi = lo0, hi0
+            for _ in range(didx.max_bucket_bits):
+                mid = (lo + hi) >> 1
+                key = (kmer_g_u[jnp.clip(mid, 0, max(didx.n_kmer - 1, 0))]
+                       >> entry_shift).astype(jnp.int32)
+                go_right = pred(key)
+                active = lo < hi
+                lo = jnp.where(active & go_right, mid + 1, lo)
+                hi = jnp.where(active & ~go_right, mid, hi)
+            return lo
+
+        left = bisect(lambda key: key < residue)
+        right = bisect(lambda key: key <= residue)
+        count = right - left
+        found = seed_ok & (count > 0) & (count <= UNI_POS_N_MAX)
 
     # --- per-row hit layout (same packing order as seed_reads) -------------
     eff = jnp.where(found, count, 0)                    # (B, S0)
@@ -854,12 +880,12 @@ def merge_expand_device(sb: SeedBatch, didx: DeviceIndex, S: int,
     run_slot = jnp.arange(M)[None, :]
     run_ok = run_slot < n_runs[:, None]
     fcol = jnp.where(run_ok, firsts, M - 1)
-    # last element of run j = first of run j+1 minus 1 (or last valid)
+    # last element of run j = first of run j+1 minus 1 (or last valid);
+    # firsts[j+1] is just the next column — a slice, not a gather
     nvalid = jnp.sum(valid, axis=1)
+    firsts_next = jnp.concatenate([firsts[:, 1:], firsts[:, -1:]], axis=1)
     next_f = jnp.where(
-        run_slot + 1 < n_runs[:, None],
-        jnp.take_along_axis(firsts, jnp.minimum(run_slot + 1, M - 1), axis=1),
-        nvalid[:, None],
+        run_slot + 1 < n_runs[:, None], firsts_next, nvalid[:, None],
     )
     lcol = jnp.clip(next_f - 1, 0, M - 1)
 

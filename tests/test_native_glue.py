@@ -52,3 +52,42 @@ def test_native_glue_matches_python_path():
         assert _key(a.results) == _key(b.results)
         n_with += bool(b.results)
     assert n_with > B // 4  # the batch actually aligned things
+
+
+def test_native_extd2_matches_oracle():
+    """The C++ extd2 kernel must be bit-identical to the ksw2_ref oracle
+    (scores, aux maxima, zdrop, CIGAR) across both scoring profiles."""
+    import numpy as np
+
+    from pansvr_tpu.align import native_glue
+    from pansvr_tpu.ops import ksw2_ref
+
+    lib = native_glue.get_lib()
+    if lib is None or not hasattr(lib, "glue_extd2"):
+        import pytest
+
+        pytest.skip("native glue not built")
+    rng = np.random.default_rng(11)
+    profiles = [
+        dict(match=2, mismatch=-12, q=16, e=1, q2=32, e2=0, w=200, zdrop=400),
+        dict(match=2, mismatch=-10, q=24, e=2, q2=32, e2=1, w=132, zdrop=132),
+    ]
+    for it in range(120):
+        prof = profiles[it % 2]
+        ql = int(rng.integers(1, 260))
+        qc = rng.integers(0, 4, ql).astype(np.uint8)
+        if rng.random() < 0.7:
+            tl = max(1, min(300, ql + int(rng.integers(-20, 21))))
+            tc = (qc[:tl].copy() if tl <= ql else np.concatenate(
+                [qc, rng.integers(0, 4, tl - ql).astype(np.uint8)]))
+            mut = rng.random(tl) < 0.05
+            tc[mut] = (tc[mut] + 1) % 4
+        else:
+            tl = int(rng.integers(1, 300))
+            tc = rng.integers(0, 4, tl).astype(np.uint8)
+        a = ksw2_ref.extd2(qc, tc, **prof)
+        b = native_glue.extd2_native(lib, qc, tc, **prof)
+        for f in ("score", "mqe", "mqe_t", "mte", "mte_q", "max", "max_q",
+                  "max_t", "zdropped", "cigar"):
+            assert getattr(a, f) == getattr(b, f), \
+                f"iter {it} ql={ql} tl={tl} field {f}"

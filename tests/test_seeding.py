@@ -175,6 +175,13 @@ def test_seed_reads_flat_matches_v1(world):
 
     v1 = seed_reads(didx, words, lens, mask, S0=S0, M=32)
     v5 = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32, nf_mult=32)
+    v5h = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32, nf_mult=32,
+                          probe="hash")
+    for f in ("uid", "read_pos", "uni_pos_off", "length", "pos_n",
+              "valid", "n_overflow"):
+        assert np.array_equal(np.asarray(getattr(v5, f)),
+                              np.asarray(getattr(v5h, f))), \
+            f"hash probe differs in {f}"
     assert not (np.asarray(v5.n_overflow) >= FLAT_OVERFLOW).any()
     assert np.array_equal(np.asarray(v1.n_overflow),
                           np.asarray(v5.n_overflow))
