@@ -468,34 +468,50 @@ class AlignEngine:
         through this batch's host replay without stalling this batch's own
         programs). `batches` yields (seqs, oris); yields state lists in
         order."""
+        from concurrent.futures import ThreadPoolExecutor
+
         it = iter(batches)
         try:
             pend = self._submit_batch(*next(it))
         except StopIteration:
             return
         nxt_holder = {}
-        while True:
-            try:
-                seqs, oris = next(it)
-            except StopIteration:
-                yield self._finish_batch(pend)
-                return
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            prep_fut = None
+            while True:
+                try:
+                    nxt = next(it)
+                except StopIteration:
+                    yield self._finish_batch(pend)
+                    return
+                # host prep of the NEXT batch runs in a worker thread
+                # while this batch's finish waits on device transfers
+                # (the kt_pipeline input-stage analog); the device
+                # dispatch itself stays on this thread, at the same
+                # "late" point as before
+                prep_fut = pool.submit(self._prep_batch, *nxt)
 
-            def dispatch_next(seqs=seqs, oris=oris):
-                nxt_holder["p"] = self._submit_batch(seqs, oris)
+                def dispatch_next(fut=prep_fut):
+                    t = time.perf_counter()
+                    nxt_holder["p"] = self._dispatch_front(fut.result())
+                    self.prof["host_submit"] += time.perf_counter() - t
 
-            yield self._finish_batch(pend, on_dp_dispatched=dispatch_next)
-            pend = nxt_holder.get("p") or self._submit_batch(seqs, oris)
-            nxt_holder.clear()
+                yield self._finish_batch(pend, on_dp_dispatched=dispatch_next)
+                pend = nxt_holder.get("p") or \
+                    self._dispatch_front(prep_fut.result())
+                nxt_holder.clear()
 
     def _submit_batch(self, seqs: list[str], oris: list[OriResult]):
         t = time.perf_counter()
-        out = self._submit_batch_inner(seqs, oris)
+        out = self._dispatch_front(self._prep_batch(seqs, oris))
         self.prof["host_submit"] += time.perf_counter() - t
         return out
 
-    def _submit_batch_inner(self, seqs: list[str], oris: list[OriResult]):
-        """Host prep + async device-front dispatch (no sync)."""
+    def _prep_batch(self, seqs: list[str], oris: list[OriResult]):
+        """Host-only batch preparation (encode, STR screen, packing).
+        Thread-safe: touches no engine/device state besides read-only
+        tables, so align_stream runs it one batch ahead in a worker
+        thread while the main thread waits on device transfers."""
         cfg = self.cfg
         n = len(seqs)
         # pad the batch row count to a power-of-two bucket so the jitted
@@ -506,6 +522,7 @@ class AlignEngine:
             else min(cfg.read_classes)
         states: list[SingleEndState] = []
         active: list[int] = []
+        oversize: list[int] = []
 
         codes_f = np.zeros((n_pad, L), np.uint8)
         codes_r = np.zeros((n_pad, L), np.uint8)
@@ -571,8 +588,10 @@ class AlignEngine:
             )
             states.append(st)
             if not fit[i]:
-                # out-of-class read: host fallback
-                states[i] = self.host.align_read(seq, ori)
+                # out-of-class read: exact host path, deferred to
+                # _finish_batch (prep may run in a worker thread and
+                # HostAligner state is not thread-safe)
+                oversize.append(i)
                 continue
             if not st.ori_unmapped and ori.align_score == rl * self.p.match:
                 continue  # refuse full-score reads
@@ -629,13 +648,32 @@ class AlignEngine:
 
         if not active:
             return dict(states=states, active=active, n=n, n_pad=n_pad,
-                        seqs=seqs, oris=oris, front=None)
+                        seqs=seqs, oris=oris, front=None,
+                        oversize=oversize)
 
-        # ---- device seeding: stack fwd rows then rev rows -------------
+        # ---- pack rows for the device front: fwd rows then rev rows ---
         codes2 = np.concatenate([codes_f, codes_r], axis=0)
         words = pack_reads(codes2)
         lens2 = np.concatenate([lens, lens])
         mask2 = np.concatenate([seed_mask_f, seed_mask_r], axis=0)
+        return dict(states=states, active=active, n=n, n_pad=n_pad,
+                    seqs=seqs, oris=oris, oversize=oversize,
+                    words=words, lens2=lens2, mask2=mask2, S0=S0, L=L,
+                    is_str=is_str, codes_f=codes_f, codes_r=codes_r,
+                    lens=lens)
+
+    def _dispatch_front(self, prep):
+        """Async device-front dispatch for a prepared batch (main thread
+        only — dispatches device programs)."""
+        cfg = self.cfg
+        if "front" in prep:
+            return prep  # no active reads (prep already finalized)
+        words = prep["words"]
+        lens2 = prep["lens2"]
+        mask2 = prep["mask2"]
+        S0 = prep["S0"]
+        L = prep["L"]
+        is_str = prep["is_str"]
         # device front (seed+merge+stats) in one dispatch, then device
         # chaining bucketed to the real max seed count (measured fastest:
         # host-NumPy chaining and fixed-K fused chaining both lose to this
@@ -661,11 +699,12 @@ class AlignEngine:
             # until its device-array args are materialized)
             is_str2 = np.concatenate([is_str, is_str])
             chain_spec = "pending"
-        return dict(states=states, active=active, n=n, n_pad=n_pad,
-                    seqs=seqs, oris=oris, front=(es, stats3_dev),
-                    chain_spec=chain_spec, is_str2=is_str2,
-                    is_str=is_str, read_class=L,
-                    codes_f=codes_f, codes_r=codes_r, lens=lens)
+        prep = dict(prep)
+        prep.update(front=(es, stats3_dev), chain_spec=chain_spec,
+                    is_str2=is_str2, read_class=L)
+        for k in ("words", "lens2", "mask2"):
+            prep.pop(k, None)
+        return prep
 
     def _finish_batch(self, pend, on_dp_dispatched=None) -> list[SingleEndState]:
         cfg = self.cfg
@@ -675,6 +714,12 @@ class AlignEngine:
         n_pad = pend["n_pad"]
         seqs = pend["seqs"]
         oris = pend["oris"]
+        # out-of-class reads deferred by _prep_batch (exact host path)
+        t = time.perf_counter()
+        for i in pend.get("oversize", ()):
+            states[i] = self.host.align_read(seqs[i], oris[i])
+        if pend.get("oversize"):
+            self.prof["host_fallback"] += time.perf_counter() - t
         if pend["front"] is None:
             if on_dp_dispatched is not None:
                 on_dp_dispatched()
