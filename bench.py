@@ -21,6 +21,18 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pansvr_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
+# the axon sitecustomize imports jax before this module runs, so the env
+# vars above are too late on that runtime — enable the cache via config
+try:
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pansvr_tpu.utils.jaxcache import enable_cache as _ec
+
+    _ec()
+except Exception:
+    pass
+
 BASELINE_FILE = "/tmp/pansvr_cpu_baseline.json"
 
 

@@ -423,6 +423,9 @@ class AlignEngine:
                  config: EngineConfig | None = None,
                  ori_chrom_names: list[str] | None = None,
                  mesh=None):
+        from ..utils.jaxcache import enable_cache
+
+        enable_cache()  # axon sitecustomize pre-imports jax; env vars miss
         self.idx = idx
         self.p = params or AlignParams()
         self.cfg = config or EngineConfig()

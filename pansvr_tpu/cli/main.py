@@ -216,6 +216,12 @@ def _cmd_tools(args):
 
 
 def main(argv=None):
+    # persistent jit cache: repeated runs skip recompilation (set before
+    # any jax import; harmless on CPU-only commands)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/pansvr_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     p = argparse.ArgumentParser(prog="pansvr_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -37,7 +37,7 @@ _ARRAY_FIELDS = (
     "hash_g", "kmer_g", "off_g", "uni_seqf", "uni_posp", "uni_pos",
     "uni_words", "ref_words",
     "ht_check", "ht_payload", "ent_uid", "ent_off_l", "ent_off_r",
-    "ent_pos_n", "uni_words_pad",
+    "ent_pos_n", "uni_words_pad", "ent_run",
 )
 _STATIC_FIELDS = (
     "k", "search_k", "first_level_bases", "uni_len", "ref_len",
@@ -79,6 +79,8 @@ class DeviceIndex:
     ent_off_l: jnp.ndarray   # off - uni_seqf[uid]
     ent_off_r: jnp.ndarray   # uni_seqf[uid+1] - off - search_k
     ent_pos_n: jnp.ndarray   # occurrence count of the entry's unitig
+    ent_run: jnp.ndarray     # equal-key run length starting at the entry
+                             # (valid at run starts, i.e. at lower bounds)
     uni_words_pad: jnp.ndarray  # uni_words with PAD_WORDS zero words both ends
     ht_bits: int
     ht_probe: int            # static linear-probe bound
@@ -157,47 +159,94 @@ def build_kmer_hash(idx: RdBGIndex):
         m += 1  # unlucky clustering: grow the table and rebuild
 
 
+def _pad_pow2(a: np.ndarray, fill, min_size: int = 256) -> np.ndarray:
+    """Pad a 1-D array to the next power-of-two size bucket. Quantized
+    shapes let every anchor reference of similar size share the same
+    compiled device programs — otherwise each world recompiles the
+    whole front (minutes over the remote-compile link)."""
+    n = len(a)
+    target = max(min_size, 1 << max(n - 1, 0).bit_length())
+    if target == n:
+        return a
+    out = np.full(target, fill, a.dtype)
+    out[:n] = a
+    return out
+
+
 def to_device(idx: RdBGIndex) -> DeviceIndex:
     packed_ref = np.where(idx.ref_codes >= 4, np.uint8(2), idx.ref_codes)
     packed_uni = np.where(idx.uni_codes >= 4, np.uint8(2), idx.uni_codes)
     bucket_sizes = np.diff(idx.hash_g)
     max_bucket = int(bucket_sizes.max()) if len(bucket_sizes) else 1
     mbb = max(int(np.ceil(np.log2(max(max_bucket, 2)))) + 1, 4)
+    mbb = (mbb + 3) // 4 * 4      # quantize (part of the jit cache key)
     ht_check, ht_pay, ht_bits, ht_probe = build_kmer_hash(idx)
+    ht_probe = max(4, 1 << max(ht_probe - 1, 0).bit_length())
     ent_uid = (np.searchsorted(idx.uni_seqf, idx.off_g, side="right") - 1)
     ent_uid = np.clip(ent_uid, 0, max(idx.n_unitigs - 1, 0))
     ent_off_l = idx.off_g - idx.uni_seqf[ent_uid]
     ent_off_r = idx.uni_seqf[ent_uid + 1] - idx.off_g - idx.search_k
     ent_pos_n = idx.uni_posp[ent_uid + 1] - idx.uni_posp[ent_uid]
-    uni_words32 = pack_u32(packed_uni)
+    # equal-key run lengths within each first-level bucket: the flat
+    # front reads count = ent_run[lower_bound] instead of running a
+    # second (upper-bound) bisect
+    n_k = len(idx.kmer_g)
+    if n_k:
+        keys = idx.kmer_g.view(np.int32) >> np.int32(
+            2 * (idx.k - idx.search_k))
+        bucket_of = np.repeat(
+            np.arange(len(idx.hash_g) - 1, dtype=np.int64),
+            np.diff(idx.hash_g).astype(np.int64))
+        new_run = np.ones(n_k, bool)
+        new_run[1:] = (keys[1:] != keys[:-1]) | \
+            (bucket_of[1:] != bucket_of[:-1])
+        run_id = np.cumsum(new_run) - 1
+        starts = np.nonzero(new_run)[0]
+        run_len = np.diff(np.append(starts, n_k))
+        ent_run = run_len[run_id].astype(np.int32)
+    else:
+        ent_run = np.zeros(0, np.int32)
+    uni_words32 = _pad_pow2(pack_u32(packed_uni), 0)
     uni_words_pad = np.concatenate([
         np.zeros(PAD_WORDS, np.int32), uni_words32,
         np.zeros(PAD_WORDS, np.int32),
     ])
+    # entry-table pads: kmer_g/uni_seqf pad with INT32_MAX (sorts after
+    # every real key/offset), uni_posp repeats its last value (pad
+    # unitigs get occurrence count 0), the rest pad with 0 — padded
+    # slots are only ever read through clipped indices of masked lanes
+    i32max = np.int32(0x7FFFFFFF)
+    posp = idx.uni_posp.astype(np.int32)
+    posp_last = posp[-1] if len(posp) else np.int32(0)
     return DeviceIndex(
         ht_check=jnp.asarray(ht_check),
         ht_payload=jnp.asarray(ht_pay),
         ht_bits=ht_bits,
         ht_probe=ht_probe,
-        ent_uid=jnp.asarray(ent_uid.astype(np.int32)),
-        ent_off_l=jnp.asarray(ent_off_l.astype(np.int32)),
-        ent_off_r=jnp.asarray(ent_off_r.astype(np.int32)),
-        ent_pos_n=jnp.asarray(ent_pos_n.astype(np.int32)),
+        ent_uid=jnp.asarray(_pad_pow2(ent_uid.astype(np.int32), 0)),
+        ent_off_l=jnp.asarray(_pad_pow2(ent_off_l.astype(np.int32), 0)),
+        ent_off_r=jnp.asarray(_pad_pow2(ent_off_r.astype(np.int32), 0)),
+        ent_pos_n=jnp.asarray(_pad_pow2(ent_pos_n.astype(np.int32), 0)),
+        ent_run=jnp.asarray(_pad_pow2(ent_run, 0)),
         uni_words_pad=jnp.asarray(uni_words_pad),
         max_bucket_bits=mbb,
         k=idx.k,
         search_k=idx.search_k,
         first_level_bases=idx.first_level_bases,
         hash_g=jnp.asarray(idx.hash_g.astype(np.int32)),
-        kmer_g=jnp.asarray(idx.kmer_g.view(np.int32)),
-        off_g=jnp.asarray(idx.off_g.astype(np.int32)),
-        uni_seqf=jnp.asarray(idx.uni_seqf.astype(np.int32)),
-        uni_posp=jnp.asarray(idx.uni_posp.astype(np.int32)),
-        uni_pos=jnp.asarray(idx.uni_pos.astype(np.int32)),
+        kmer_g=jnp.asarray(_pad_pow2(idx.kmer_g.view(np.int32), i32max)),
+        off_g=jnp.asarray(_pad_pow2(idx.off_g.astype(np.int32), 0)),
+        uni_seqf=jnp.asarray(_pad_pow2(idx.uni_seqf.astype(np.int32),
+                                       i32max)),
+        uni_posp=jnp.asarray(_pad_pow2(posp, posp_last)),
+        uni_pos=jnp.asarray(_pad_pow2(idx.uni_pos.astype(np.int32), 0)),
         uni_words=jnp.asarray(uni_words32),
-        uni_len=int(len(idx.uni_codes)),
-        ref_words=jnp.asarray(pack_u32(packed_ref)),
-        ref_len=int(len(idx.ref_codes)),
-        n_kmer=int(idx.n_kmers),
-        n_uni=int(idx.n_unitigs),
+        uni_len=int(len(uni_words32)) * 16,
+        ref_words=jnp.asarray(_pad_pow2(pack_u32(packed_ref), 0)),
+        # the scalar metadata is static aux data (part of the jit cache
+        # key), so it is quantized to the padded sizes; every device use
+        # is a clip bound, for which the padded size is equivalent
+        ref_len=int(len(_pad_pow2(pack_u32(packed_ref), 0))) * 16,
+        n_kmer=int(len(_pad_pow2(idx.kmer_g.view(np.int32), i32max))),
+        n_uni=int(len(_pad_pow2(posp, posp_last))) - 1,
     )

@@ -322,33 +322,137 @@ def _encode_tag_value(ty: str, v) -> bytes:
     raise ValueError(f"unsupported tag type {ty!r}")
 
 
+def _parse_cigar(body: bytes, off: int, n_cigar: int) -> list:
+    cigar = []
+    for k in range(n_cigar):
+        v = struct.unpack_from("<I", body, off + 4 * k)[0]
+        cigar.append((CIGAR_OPS[v & 0xF], v >> 4))
+    return cigar
+
+
+def _parse_seq(body: bytes, off: int, l_seq: int) -> str:
+    if not l_seq:
+        return ""
+    n_seq_b = (l_seq + 1) // 2
+    packed = np.frombuffer(body, np.uint8, count=n_seq_b, offset=off)
+    codes = np.empty(2 * n_seq_b, np.uint8)
+    codes[0::2] = packed >> 4
+    codes[1::2] = packed & 0xF
+    return codes[:l_seq].tobytes().translate(_SEQ16_TRANS).decode()
+
+
+def _parse_qual(body: bytes, off: int, l_seq: int) -> str:
+    qual_raw = body[off : off + l_seq]
+    if l_seq == 0 or (qual_raw and qual_raw[0] == 0xFF):
+        return ""
+    qarr = np.frombuffer(qual_raw, np.uint8)
+    return (np.minimum(qarr, 93) + 33).astype(np.uint8).tobytes().decode()
+
+
+class LazyBamRecord:
+    """BamRecord-compatible read view that parses the expensive fields
+    (name, cigar, seq, qual, tags) only on first access. The fixed
+    32-byte header decodes in one struct call, so streaming scans that
+    filter on flag/pos/isize (fc_signal's stats and pairing passes) skip
+    ~90% of the per-record decode cost. Yielded by BamReader.iter_lazy().
+    Read-only by convention — use materialize() before mutating."""
+
+    __slots__ = ("_body", "flag", "tid", "pos", "mapq", "mtid", "mpos",
+                 "isize", "l_seq", "_l_name", "_n_cigar",
+                 "_name", "_cigar", "_seq", "_qual", "_tags")
+
+    def __init__(self, body: bytes):
+        (self.tid, self.pos, l_name, self.mapq, _bin, n_cigar, self.flag,
+         self.l_seq, self.mtid, self.mpos,
+         self.isize) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+        self._body = body
+        self._l_name = l_name
+        self._n_cigar = n_cigar
+        self._name = None
+        self._cigar = None
+        self._seq = None
+        self._qual = None
+        self._tags = None
+
+    # ---- lazy fields ------------------------------------------------
+    @property
+    def name(self) -> str:
+        if self._name is None:
+            self._name = self._body[32 : 32 + self._l_name - 1].decode()
+        return self._name
+
+    @property
+    def cigar(self) -> list:
+        if self._cigar is None:
+            self._cigar = _parse_cigar(
+                self._body, 32 + self._l_name, self._n_cigar)
+        return self._cigar
+
+    @property
+    def seq(self) -> str:
+        if self._seq is None:
+            off = 32 + self._l_name + 4 * self._n_cigar
+            self._seq = _parse_seq(self._body, off, self.l_seq)
+        return self._seq
+
+    @property
+    def qual(self) -> str:
+        if self._qual is None:
+            off = (32 + self._l_name + 4 * self._n_cigar
+                   + (self.l_seq + 1) // 2)
+            self._qual = _parse_qual(self._body, off, self.l_seq)
+        return self._qual
+
+    @property
+    def tags(self) -> list:
+        if self._tags is None:
+            off = (32 + self._l_name + 4 * self._n_cigar
+                   + (self.l_seq + 1) // 2 + self.l_seq)
+            self._tags = _parse_tags(self._body[off:])
+        return self._tags
+
+    def materialize(self) -> "BamRecord":
+        return BamRecord(
+            name=self.name, flag=self.flag, tid=self.tid, pos=self.pos,
+            mapq=self.mapq, cigar=list(self.cigar), mtid=self.mtid,
+            mpos=self.mpos, isize=self.isize, seq=self.seq,
+            qual=self.qual, tags=list(self.tags),
+        )
+
+    # ---- BamRecord API ----------------------------------------------
+    is_unmapped = BamRecord.is_unmapped
+    is_reverse = BamRecord.is_reverse
+    is_read1 = BamRecord.is_read1
+    is_secondary = BamRecord.is_secondary
+    is_supplementary = BamRecord.is_supplementary
+    mate_unmapped = BamRecord.mate_unmapped
+    mate_reverse = BamRecord.mate_reverse
+    get_tag = BamRecord.get_tag
+    ref_len = BamRecord.ref_len
+    end_pos = BamRecord.end_pos
+    soft_left = BamRecord.soft_left
+    soft_right = BamRecord.soft_right
+    cigar_string = BamRecord.cigar_string
+
+    @property
+    def query_len(self) -> int:
+        return self.l_seq
+
+    def to_sam(self, header) -> str:
+        return self.materialize().to_sam(header)
+
+
 def _decode_record(body: bytes) -> BamRecord:
     (tid, pos, l_name, mapq, _bin, n_cigar, flag, l_seq, mtid, mpos,
      isize) = struct.unpack_from("<iiBBHHHiiii", body, 0)
     off = 32
     name = body[off : off + l_name - 1].decode()
     off += l_name
-    cigar = []
-    for k in range(n_cigar):
-        v = struct.unpack_from("<I", body, off + 4 * k)[0]
-        cigar.append((CIGAR_OPS[v & 0xF], v >> 4))
+    cigar = _parse_cigar(body, off, n_cigar)
     off += 4 * n_cigar
-    n_seq_b = (l_seq + 1) // 2
-    if l_seq:
-        packed = np.frombuffer(body, np.uint8, count=n_seq_b, offset=off)
-        codes = np.empty(2 * n_seq_b, np.uint8)
-        codes[0::2] = packed >> 4
-        codes[1::2] = packed & 0xF
-        seq = codes[:l_seq].tobytes().translate(_SEQ16_TRANS).decode()
-    else:
-        seq = ""
-    off += n_seq_b
-    qual_raw = body[off : off + l_seq]
-    if l_seq == 0 or (qual_raw and qual_raw[0] == 0xFF):
-        qual = ""
-    else:
-        qarr = np.frombuffer(qual_raw, np.uint8)
-        qual = (np.minimum(qarr, 93) + 33).astype(np.uint8).tobytes().decode()
+    seq = _parse_seq(body, off, l_seq)
+    off += (l_seq + 1) // 2
+    qual = _parse_qual(body, off, l_seq)
     off += l_seq
     tags = _parse_tags(body[off:])
     return BamRecord(
@@ -408,6 +512,19 @@ class BamReader:
             if len(body) < sz:
                 return
             yield _decode_record(body)
+
+    def iter_lazy(self):
+        """Iterate LazyBamRecord views (expensive fields parse on first
+        access) — the fast path for streaming scans."""
+        while True:
+            szb = self._r.read(4)
+            if len(szb) < 4:
+                return
+            sz = struct.unpack("<I", szb)[0]
+            body = self._r.read(sz)
+            if len(body) < sz:
+                return
+            yield LazyBamRecord(body)
 
     def close(self):
         self._r.close()

@@ -506,22 +506,25 @@ def seed_reads_flat(
         lo0 = hash_g[jnp.clip(bucket, 0, hash_g.shape[0] - 2)]
         hi0 = hash_g[jnp.clip(bucket + 1, 0, hash_g.shape[0] - 1)]
 
-        def bisect(pred):
-            lo, hi = lo0, hi0
-            for _ in range(didx.max_bucket_bits):
-                mid = (lo + hi) >> 1
-                key = (kmer_g_u[jnp.clip(mid, 0, max(didx.n_kmer - 1, 0))]
-                       >> entry_shift).astype(jnp.int32)
-                go_right = pred(key)
-                active = lo < hi
-                lo = jnp.where(active & go_right, mid + 1, lo)
-                hi = jnp.where(active & ~go_right, mid, hi)
-            return lo
-
-        left = bisect(lambda key: key < residue)
-        right = bisect(lambda key: key <= residue)
-        count = right - left
-        found = seed_ok & (count > 0) & (count <= UNI_POS_N_MAX)
+        # ONE lower-bound bisect; the equal-key range length comes from
+        # the precomputed per-entry run table (ent_run[lower_bound]),
+        # replacing the upper-bound bisect's max_bucket_bits dependent
+        # gathers with a single key check + one gather
+        lo, hi = lo0, hi0
+        for _ in range(didx.max_bucket_bits):
+            mid = (lo + hi) >> 1
+            key = (kmer_g_u[jnp.clip(mid, 0, max(didx.n_kmer - 1, 0))]
+                   >> entry_shift).astype(jnp.int32)
+            go_right = key < residue
+            active = lo < hi
+            lo = jnp.where(active & go_right, mid + 1, lo)
+            hi = jnp.where(active & ~go_right, mid, hi)
+        left = lo
+        left_c = jnp.clip(left, 0, max(didx.n_kmer - 1, 0))
+        key_at = (kmer_g_u[left_c] >> entry_shift).astype(jnp.int32)
+        exists = (key_at == residue) & (left < hi0)
+        count = jnp.where(exists, didx.ent_run[left_c], 0)
+        found = seed_ok & exists & (count > 0) & (count <= UNI_POS_N_MAX)
 
     # --- per-row hit layout (same packing order as seed_reads) -------------
     eff = jnp.where(found, count, 0)                    # (B, S0)

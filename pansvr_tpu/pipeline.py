@@ -91,9 +91,21 @@ def read_signal_fastq(path_or_fh):
 def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
                  cfg: PipelineConfig | None = None) -> str:
     """Full run; returns the path of the final VCF."""
+    import sys
+    import time as _time
+
     cfg = cfg or PipelineConfig()
     os.makedirs(workdir, exist_ok=True)
     genome = Faidx(genome_fa)
+
+    _t0 = _time.time()
+    _last = [_t0]
+
+    def _stage(msg):
+        now = _time.time()
+        print(f"[pansvr +{now - _t0:7.1f}s] {msg} "
+              f"({now - _last[0]:.1f}s)", file=sys.stderr, flush=True)
+        _last[0] = now
 
     # ---- S1: anchor reference --------------------------------------------
     anchors_fa = os.path.join(workdir, "anchors.fa")
@@ -102,12 +114,14 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
     write_fasta(anchors_fa, ((c.name, c.seq) for c in contigs), width=70)
     if not contigs:
         raise ValueError("no anchor contigs built from the input VCF")
+    _stage(f"S1 anchor reference: {len(contigs)} contigs")
 
     # ---- S2: index -------------------------------------------------------
     idx = build_index(
         [(c.name, c.seq) for c in contigs],
         first_level_bases=cfg.first_level_bases,
     )
+    _stage(f"S2 index: {len(idx.uni_seqf) - 1} unitigs")
 
     # ---- S3: signal extraction ------------------------------------------
     signal_fq = os.path.join(workdir, "signal.fq")
@@ -118,6 +132,7 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
         stats = extract_signal(bam, fh, opts=cfg.signal)
     with open(os.path.join(workdir, "status.txt"), "w") as fh:
         fh.write(stats.status_file_text())
+    _stage("S3 signal extraction")
 
     # ---- S4: realignment -------------------------------------------------
     from .io.bam import BamReader
@@ -192,6 +207,7 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
                 n_emitted += 1
     writer.close()
     ori_writer.close()
+    _stage(f"S4 realignment: {n_emitted} records emitted")
 
     # ---- S5: SV calling --------------------------------------------------
     out_vcf = os.path.join(workdir, "result.vcf")
@@ -229,4 +245,5 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
     for rec in vcf_records:
         w.write(rec)
     w.close()
+    _stage(f"S5 SV calling: {len(vcf_records)} records")
     return out_vcf

@@ -77,7 +77,8 @@ def compute_stats(bam_path: str, genome_size: float = 3.1e9,
     len_hist = np.zeros(4096, dtype=np.int64)
     n = 0
     with open_alignment(bam_path, ref=ref) as rd:
-        for rec in rd:
+        it = rd.iter_lazy() if hasattr(rd, "iter_lazy") else rd
+        for rec in it:
             if rec.is_secondary or rec.is_supplementary:
                 continue
             n += 1
@@ -322,7 +323,8 @@ def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
                 return
             _pair_block(block, ex, out_fq, unpaired)
 
-        for rec in rd:
+        it = rd.iter_lazy() if hasattr(rd, "iter_lazy") else rd
+        for rec in it:
             if rec.is_secondary or rec.is_supplementary:
                 continue
             if block and (
