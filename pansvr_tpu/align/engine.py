@@ -366,8 +366,10 @@ class _CollectDP(KswHandler):
 class EngineConfig:
     # compiled read-length classes: each batch runs in the smallest class
     # that fits its longest read; longer reads fall back to the host
-    # aligner (reference cap is 1600, read_realignment.hpp:322)
-    read_classes: tuple = (160, 256, 512)
+    # aligner. The top class matches the reference's cap (1600,
+    # read_realignment.hpp:322); classes only compile when a batch
+    # actually needs them.
+    read_classes: tuple = (160, 256, 512, 1024, 1600)
     max_seeds: int = 32          # S: expanded seeds per read/direction
     chain_bucket: int = 32       # K: fixed chain width (over-K reads -> host)
     mem_slots: int = 32          # M: compacted MEM lanes (overflow -> host)

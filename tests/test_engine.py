@@ -131,3 +131,37 @@ def test_engine_read_class_256(world):
         _cmp_states(expect, got[i], f"read{i}")
         n_with += bool(expect.results)
     assert n_with > len(seqs) // 2
+
+
+def test_engine_long_read_class(world):
+    """Reads in the 513..1600 range run through the device path in the
+    1024/1600 classes (the reference's MAX_READ_LEN is 1600,
+    read_realignment.hpp:322) and match the host aligner exactly."""
+    ds, idx, host, eng = world
+    rng = np.random.default_rng(43)
+    names = list(idx.chr_names)
+    seqs = []
+    for i in range(6):
+        name = names[i % len(names)]
+        seq = idx.chr_seq(name) if hasattr(idx, "chr_seq") else None
+        if seq is None:
+            st = int(idx.chr_starts[i % len(names)])
+            ed = int(idx.chr_starts[i % len(names) + 1])
+            codes = idx.ref_codes[st:ed]
+            seq = "".join("ACGTN"[min(c, 4)] for c in codes)
+        L = min(700 + 37 * i, max(64, len(seq) - 2))
+        p = int(rng.integers(0, max(1, len(seq) - L)))
+        sub = np.frombuffer(seq[p : p + L].encode(), np.uint8).copy()
+        mut = rng.random(L) < 0.01
+        lut = {65: 67, 67: 71, 71: 84, 84: 65, 78: 65}
+        for j in np.nonzero(mut)[0]:
+            sub[j] = lut.get(int(sub[j]), 65)
+        seqs.append(sub.tobytes().decode())
+    oris = [OriResult(unmapped=True)] * len(seqs)
+    got = eng.align_batch(seqs, oris)
+    n_with = 0
+    for i, seq in enumerate(seqs):
+        expect = host.align_read(seq, oris[i])
+        _cmp_states(expect, got[i], f"long{i}")
+        n_with += bool(expect.results)
+    assert n_with >= 3
