@@ -125,11 +125,16 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
 
     # ---- S3: signal extraction ------------------------------------------
     signal_fq = os.path.join(workdir, "signal.fq")
-    gsize = cfg.genome_size or sum(
-        genome.seq_len(n) for n in genome.names
-    )
     with open(signal_fq, "w") as fh:
-        stats = extract_signal(bam, fh, opts=cfg.signal)
+        # depth normalization uses the reference's hardcoded 3.1 Gbp
+        # (HUMAN_GENOME_SIZE, getSignalRead.hpp:31) unless the config
+        # overrides it
+        pre_stats = None
+        if cfg.genome_size:
+            from .signal.extract import compute_stats
+
+            pre_stats = compute_stats(bam, genome_size=cfg.genome_size)
+        stats = extract_signal(bam, fh, stats=pre_stats, opts=cfg.signal)
     with open(os.path.join(workdir, "status.txt"), "w") as fh:
         fh.write(stats.status_file_text())
     _stage("S3 signal extraction")
