@@ -1133,6 +1133,16 @@ class AlignEngine:
         owners = handles["owners"]
         to_cigar = epl.ops_to_cigar_skip if self.cfg.use_pallas() \
             else ops_to_cigar
+        # start all chunk transfers before blocking on the first: each
+        # np.asarray pays a tunnel round trip, so overlapping the copies
+        # collapses the per-chunk RTTs (no-op on backends without async
+        # host copies)
+        for _, payload in handles["chunks"]:
+            for arr in payload[1:]:
+                try:
+                    arr.copy_to_host_async()
+                except (AttributeError, TypeError):
+                    break
         for chunk, payload in handles["chunks"]:
             if payload[0] == "fused":
                 ops, packed = _dp_unpack(np.asarray(payload[1]), payload[2])

@@ -101,6 +101,7 @@ def _cmd_fc_aln(args):
         if len(buf) >= 2:
             yield buf[: len(buf) // 2 * 2]
 
+    import contextlib
     import itertools
 
     chunks_a, chunks_b = itertools.tee(chunk_stream())
@@ -109,6 +110,27 @@ def _cmd_fc_aln(args):
         for chunk in chunks_b:
             yield ([p[1] for p in chunk],
                    [parse_signal_comment(p[3])[0] for p in chunk])
+
+    # --trace DIR: structured device profiling (xplane/perfetto) around
+    # the whole realignment stream — the TPU analog of the reference's
+    # cputime() stage timers (read_realignment.cpp:71-73,105)
+    tracer = contextlib.nullcontext()
+    if getattr(args, "trace", None):
+        import jax
+
+        tracer = jax.profiler.trace(args.trace)
+    with tracer:
+        _run_aln_stream(chunks_a, eng, pe, writer, ori_writer, header,
+                        filt, batch_stream)
+    if getattr(args, "trace", None):
+        phases = {k: round(v, 3) for k, v in eng.prof.items()
+                  if isinstance(v, float)}
+        print(f"[fc_aln] engine phases (s): {phases}", file=sys.stderr)
+
+
+def _run_aln_stream(chunks_a, eng, pe, writer, ori_writer, header, filt,
+                    batch_stream):
+    from ..align.bam_out import emit_ori_pair, emit_pair
 
     for chunk, states in zip(chunks_a, eng.align_stream(batch_stream())):
         for k in range(0, len(chunk) - 1, 2):
@@ -260,6 +282,10 @@ def main(argv=None):
                         "neither reference explains (de novo caller input)")
     s.add_argument("-r", "--status-file", default=None)
     s.add_argument("-b", "--batch", type=int, default=2048)
+    s.add_argument("--trace", default=None, metavar="DIR",
+                   help="write a JAX profiler (xplane/perfetto) trace of "
+                        "the realignment stream to DIR and print the "
+                        "engine phase timers")
     s.set_defaults(fn=_cmd_fc_aln)
 
     s = sub.add_parser("fc_sv", help="realigned BAM -> VCF")

@@ -982,6 +982,160 @@ def merge_expand_device(sb: SeedBatch, didx: DeviceIndex, S: int,
     )
 
 
+def _seg_last(v: jnp.ndarray, run_id: jnp.ndarray) -> jnp.ndarray:
+    """Propagate each run's LAST-lane value leftward to every lane of the
+    run (segmented doubling scan along the M axis): out[m] = v[m'] where
+    m' is the last lane with run_id[m'] == run_id[m]. Pure shifts +
+    selects — no gathers."""
+    B, M = v.shape
+    out = v
+    s = 1
+    while s < M:
+        sh_v = jnp.concatenate([out[:, s:], out[:, -s:]], axis=1)
+        sh_id = jnp.concatenate(
+            [run_id[:, s:], jnp.full((B, s), -1, run_id.dtype)], axis=1)
+        out = jnp.where(sh_id == run_id, sh_v, out)
+        s *= 2
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def merge_expand_device2(sb: SeedBatch, didx: DeviceIndex, S: int,
+                         sample_seed: jnp.ndarray | int = 0) -> DeviceSeeds:
+    """merge_expand_device with the run-attribute gathers restructured
+    for the TPU gather wall: instead of computing first/last columns per
+    run and gathering 8 attribute arrays at them (each (B, M)
+    take_along_axis is a ~5 ms HBM gather on this chip), last-of-run
+    values are propagated to the run's first lane by a segmented
+    doubling scan (shifts + selects), attributes are computed in-lane,
+    and ONE payload-carrying compaction sort moves run firsts into run
+    slots. Bit-identical outputs (tested)."""
+    uid, rp, uo, ln, pn, valid = (
+        sb.uid, sb.read_pos, sb.uni_pos_off, sb.length, sb.pos_n, sb.valid
+    )
+    B, M = uid.shape
+
+    # ---- sort MEMs by (uid, read_pos), invalid last (as v1) -------------
+    key1 = jnp.where(valid, uid, jnp.int32(0x7FFFFFFF))
+    pk = (
+        jnp.clip(rp, 0, 4095)
+        | (jnp.clip(ln, 0, 4095) << 12)
+        | (valid.astype(jnp.int32) << 24)
+    )
+    pn_c = jnp.minimum(pn, 16383)
+    key1, rp, uo, pk, pn = jax.lax.sort(
+        (key1, rp, uo, pk, pn_c), dimension=1, num_keys=2, is_stable=True)
+    valid = (pk >> 24) != 0
+    uid = jnp.where(valid, key1, 0)
+    ln = (pk >> 12) & 4095
+
+    # ---- adjacent-linked runs (as v1) -----------------------------------
+    linked = jnp.zeros((B, M), dtype=bool)
+    same = (uid[:, 1:] == uid[:, :-1]) & (uo[:, 1:] > uo[:, :-1]) \
+        & valid[:, 1:] & valid[:, :-1]
+    diff = rp[:, 1:] - rp[:, :-1] - ln[:, :-1]
+    drift = (uo[:, 1:] - uo[:, :-1]) - (rp[:, 1:] - rp[:, :-1])
+    linked = linked.at[:, 1:].set(
+        same & (diff <= WAITING_LEN) & (drift == 0)
+    )
+    is_first = ~linked
+    run_id = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # (B, M)
+
+    contrib = jnp.where(
+        linked & (jnp.pad(diff, ((0, 0), (1, 0))) <= 0),
+        jnp.pad(diff, ((0, 0), (1, 0))) + ln, ln
+    )
+    contrib = jnp.where(valid, contrib, 0)
+    csum = jnp.cumsum(contrib, axis=1)
+
+    # ---- per-lane run attributes via segmented propagation --------------
+    # last-of-run pk / uo / csum arrive at the run's first lane by the
+    # doubling scan; csum_before is just the left neighbour — all local.
+    pk_l = _seg_last(pk, run_id)
+    uo_l = _seg_last(uo, run_id)
+    csum_l = _seg_last(csum, run_id)
+    csum_before = jnp.concatenate(
+        [jnp.zeros((B, 1), csum.dtype), csum[:, :-1]], axis=1)
+    cov_all = csum_l - csum_before
+    rp_l = pk_l & 4095
+    ln_l = (pk_l >> 12) & 4095
+    # a first lane that is also a last lane = single-MEM run
+    is_last = jnp.concatenate(
+        [is_first[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    len1 = jnp.where(is_last, ln, rp_l + ln_l - rp)
+    len2 = jnp.where(is_last, ln, uo_l + ln_l - uo)
+
+    # ---- compact run firsts into run slots: ONE payload sort ------------
+    flag = is_first & valid
+    n_runs = jnp.sum(flag, axis=1)  # (B,)
+    m_cols = jnp.arange(M, dtype=jnp.int32)[None, :]
+    ckey = jnp.where(flag, m_cols, jnp.int32(M))
+    mp_a = (rp & 4095) | ((len1 & 4095) << 12)
+    mp_b = (len2 & 4095) | (pn << 12)   # pn already clamped to 14 bits
+    _, m_uid, m_uo, m_a, m_b, m_cov = jax.lax.sort(
+        (jnp.broadcast_to(ckey, (B, M)), uid, uo, mp_a, mp_b, cov_all),
+        dimension=1, num_keys=1, is_stable=True)
+    m_pn = m_b >> 12
+
+    # ---- expand (as v1) -------------------------------------------------
+    run_slot = jnp.arange(M)[None, :]
+    run_ok = run_slot < n_runs[:, None]
+    over2 = run_ok & (m_pn > POS_N_MAX_LEVEL2)
+    aborted = jnp.cumsum(over2.astype(jnp.int32), axis=1) > 0
+    keep = run_ok & ~aborted
+    occ = jnp.where(
+        keep, jnp.where(m_pn > POS_N_MAX, RANDOM_NUM, m_pn), 0
+    )
+    cum = jnp.cumsum(occ, axis=1)
+    start = cum - occ
+    total = cum[:, -1]
+
+    slot = jnp.arange(S, dtype=jnp.int32)[None, :]
+    src_run = jnp.sum(
+        (cum[:, None, :] <= slot[:, :, None]).astype(jnp.int32), axis=2
+    )
+    src_run = jnp.clip(src_run, 0, M - 1)
+    within = slot - jnp.take_along_axis(start, src_run, axis=1)
+    slot_ok = slot < jnp.minimum(total[:, None], S)
+
+    r_uid = jnp.take_along_axis(m_uid, src_run, axis=1)
+    r_a = jnp.take_along_axis(m_a, src_run, axis=1)
+    r_b = jnp.take_along_axis(m_b, src_run, axis=1)
+    r_pn = r_b >> 12
+    sampled = r_pn > POS_N_MAX
+    h = (
+        (slot.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        ^ (jnp.uint32(sample_seed) if isinstance(sample_seed, int)
+           else sample_seed.astype(jnp.uint32))
+        ^ (r_uid.astype(jnp.uint32) * jnp.uint32(2654435761))
+    )
+    pick_within = jnp.where(
+        sampled,
+        (h % jnp.maximum(r_pn, 1).astype(jnp.uint32)).astype(jnp.int32),
+        within,
+    )
+    base = didx.uni_posp[jnp.clip(r_uid, 0, max(didx.n_uni - 1, 0))]
+    occ_idx = jnp.clip(base + pick_within, 0, didx.uni_pos.shape[0] - 1)
+    r_uo = jnp.take_along_axis(m_uo, src_run, axis=1)
+    ref_begin = didx.uni_pos[occ_idx] + r_uo
+    read_begin = r_a & 4095
+    len1_r = (r_a >> 12) & 4095
+    len2_r = r_b & 4095
+    covv = jnp.take_along_axis(m_cov, src_run, axis=1)
+
+    z = jnp.int32(0)
+    return DeviceSeeds(
+        read_begin=jnp.where(slot_ok, read_begin, z),
+        read_end=jnp.where(slot_ok, read_begin + len1_r - 1, z),
+        ref_begin=jnp.where(slot_ok, ref_begin, z),
+        ref_end=jnp.where(slot_ok, ref_begin + len2_r - 1, z),
+        cov=jnp.where(slot_ok, covv, z),
+        seed_id=jnp.where(slot_ok, src_run, z),
+        valid=slot_ok,
+        n_dropped=jnp.maximum(total - S, 0),
+    )
+
+
 # -------------------------------------------------------------------------
 # v2 device front: open-addressing hash + slab MEM extension
 # -------------------------------------------------------------------------

@@ -202,6 +202,45 @@ def test_seed_reads_flat_matches_v1(world):
         assert np.array_equal(a[ok], b[ok]), f"unflagged rows differ in {f}"
 
 
+def test_merge_expand_device2_matches_v1(world):
+    """The gather-restructured device merge/expand (segmented-scan run
+    attributes + one compaction sort) must be bit-identical to v1 — on
+    real seed batches and on adversarial random ones (mixed validity,
+    sampled and aborted pos_n tiers)."""
+    from pansvr_tpu.ops.seeding import (
+        SeedBatch, merge_expand_device, merge_expand_device2)
+
+    idx, didx, contigs = world
+    rng = np.random.default_rng(36)
+    reads = _reads_from(contigs, rng, 24, err=0.03)
+    L = 150
+    codes = np.stack(reads)
+    words = pack_reads(codes)
+    lens = np.full(len(reads), L, np.int32)
+    S0 = (L - idx.search_k) // SEED_STEP + 1
+    mask = np.ones((len(reads), S0), bool)
+    sb = seed_reads(didx, words, lens, mask, S0=S0, M=32)
+
+    B2, M = 64, 32
+    sb_rand = SeedBatch(
+        uid=rng.integers(0, 50, (B2, M)).astype(np.int32),
+        read_pos=rng.integers(0, 140, (B2, M)).astype(np.int32),
+        uni_pos_off=rng.integers(0, 4000, (B2, M)).astype(np.int32),
+        length=rng.integers(20, 60, (B2, M)).astype(np.int32),
+        pos_n=rng.choice([1, 2, 3, 600, 9000], (B2, M)).astype(np.int32),
+        valid=rng.random((B2, M)) < 0.7,
+        n_overflow=np.zeros(B2, np.int32),
+    )
+    for batch in (sb, sb_rand):
+        for S in (32, 64):
+            e1 = merge_expand_device(batch, didx, S=S)
+            e2 = merge_expand_device2(batch, didx, S=S)
+            for f in e1._fields:
+                assert np.array_equal(
+                    np.asarray(getattr(e1, f)), np.asarray(getattr(e2, f))
+                ), f"S={S} field {f} differs"
+
+
 def test_seed_reads2_matches_oracle(world):
     from pansvr_tpu.ops.seeding import seed_reads2
 
