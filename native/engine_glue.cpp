@@ -32,7 +32,9 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -955,6 +957,246 @@ void glue_str_dup(const uint8_t* codes, const int32_t* lens,
     int32_t d = 0;
     for (size_t j = 1; j < buf.size(); j++) d += (buf[j] == buf[j - 1]);
     n_dup_out[i] = d;
+  }
+}
+
+// ---------------------------------------------------------------------
+// fc_signal block scan: parse raw BAM record bodies, greedily pair
+// mates inside the block and run the 7-rule signal filter — the native
+// form of signal/extract.py's _pair_block + classify_pair (behavioral
+// spec: getSignalRead.cpp:100-256,305-420). Python keeps only the
+// FASTQ emission for pairs this pass marks as signal.
+//
+// Inputs: blob = concatenated record bodies, offs = (n+1) offsets.
+// Outputs per record i:
+//   cols[i*8+0] score_by_cigar   (getSignalRead.cpp:36-77)
+//   cols[i*8+1] soft_left        (clip at cigar head, S/H)
+//   cols[i*8+2] clip_sum         (head + tail S/H)
+//   cols[i*8+3] low_quality_len  (qual bases below '/')
+//   cols[i*8+4] NM tag (0 if absent)
+//   cols[i*8+5] xa_number        (get_XA_number, cpp:81-93)
+//   cols[i*8+6] l_seq
+//   cols[i*8+7] 0 (reserved)
+//   mate[i]   in-block mate index or -1
+//   verdict[i] at the read1 member of each pair: 1 = emit signal,
+//              0 = filtered out, -1 = -U full-match discard; else 0
+//   reason[i]  reason bitmask of the pair (valid where verdict != -1)
+
+namespace {
+
+struct SigRec {
+  int32_t tid, pos, mapq, flag, l_seq, mtid, mpos, isize;
+  const uint8_t* name;  // NUL-terminated in blob
+  int32_t score, soft_left, clip_sum, lowq, nm, xa;
+};
+
+}  // namespace
+
+void glue_signal_scan(const uint8_t* blob, const int64_t* offs, int32_t n,
+                      int32_t min_isize, int32_t max_isize,
+                      int32_t max_tid, int32_t discard_full,
+                      int32_t not_using_filter, int32_t* cols,
+                      int32_t* mate, int32_t* verdict, int32_t* reason) {
+  constexpr int32_t MATCH = 2, MISMATCH = 12;
+  constexpr int32_t GO = 16, GE = 1, GO2 = 32, GE2 = 0;
+  std::vector<SigRec> rec(n);
+
+  for (int32_t i = 0; i < n; i++) {
+    const uint8_t* b = blob + offs[i];
+    const int64_t blen = offs[i + 1] - offs[i];
+    SigRec& r = rec[i];
+    std::memcpy(&r.tid, b + 0, 4);
+    std::memcpy(&r.pos, b + 4, 4);
+    const int32_t l_name = b[8];
+    r.mapq = b[9];
+    uint16_t n_cigar, flag16;
+    std::memcpy(&n_cigar, b + 12, 2);
+    std::memcpy(&flag16, b + 14, 2);
+    r.flag = flag16;
+    std::memcpy(&r.l_seq, b + 16, 4);
+    std::memcpy(&r.mtid, b + 20, 4);
+    std::memcpy(&r.mpos, b + 24, 4);
+    std::memcpy(&r.isize, b + 28, 4);
+    r.name = b + 32;
+
+    // cigar walk: score (NM applied below), clips, gap length
+    const uint8_t* cg = b + 32 + l_name;
+    int32_t score = 0, gap = 0, soft_l = 0, soft_r = 0;
+    for (int32_t k = 0; k < n_cigar; k++) {
+      uint32_t cv;
+      std::memcpy(&cv, cg + 4 * k, 4);
+      const int32_t ln = (int32_t)(cv >> 4);
+      const int32_t op = (int32_t)(cv & 0xF);  // MIDNSHP=X
+      if (op == 0 || op == 7) {  // M, =
+        score += ln * MATCH;
+      } else if (op == 1 || op == 2 || op == 4 || op == 5) {  // I D S H
+        if (op == 1 || op == 2) gap += ln;
+        score -= std::min(GO + ln * GE, GO2 + ln * GE2);
+      }
+      if (op == 4 || op == 5) {
+        if (k == 0) soft_l = ln;
+        if (k == n_cigar - 1) soft_r = ln;
+      }
+    }
+    r.soft_left = soft_l;
+    r.clip_sum = soft_l + soft_r;
+
+    // qual: count bases below '/' (raw phred < 14); 0xff = missing
+    const uint8_t* q = cg + 4 * n_cigar + (r.l_seq + 1) / 2;
+    int32_t lowq = 0;
+    if (r.l_seq > 0 && q[0] != 0xFF) {
+      for (int32_t k = 0; k < r.l_seq; k++) lowq += (q[k] < 14);
+    }
+    r.lowq = lowq;
+
+    // aux walk: NM (any int type) + XA semicolon count
+    const uint8_t* t = q + r.l_seq;
+    const uint8_t* end = blob + offs[i] + blen;
+    int32_t nm = 0, xa = -1;
+    while (t + 3 <= end) {
+      const uint8_t t0 = t[0], t1 = t[1];
+      const char ty = (char)t[2];
+      t += 3;
+      int64_t adv;
+      switch (ty) {
+        case 'A': adv = 1; break;
+        case 'c': case 'C': adv = 1; break;
+        case 's': case 'S': adv = 2; break;
+        case 'i': case 'I': adv = 4; break;
+        case 'f': adv = 4; break;
+        case 'Z': case 'H': {
+          const uint8_t* z = t;
+          while (z < end && *z) z++;
+          adv = z - t + 1;
+          break;
+        }
+        case 'B': {
+          if (t + 5 > end) { adv = end - t; break; }
+          uint32_t cnt;
+          std::memcpy(&cnt, t + 1, 4);
+          int32_t esz;
+          switch ((char)t[0]) {
+            case 'c': case 'C': esz = 1; break;
+            case 's': case 'S': esz = 2; break;
+            default: esz = 4; break;
+          }
+          adv = 5 + (int64_t)cnt * esz;
+          break;
+        }
+        default: adv = end - t; break;  // unknown: stop (parser parity)
+      }
+      if (t0 == 'N' && t1 == 'M') {
+        switch (ty) {
+          case 'c': nm = *(const int8_t*)t; break;
+          case 'C': nm = *t; break;
+          case 's': { int16_t v; std::memcpy(&v, t, 2); nm = v; break; }
+          case 'S': { uint16_t v; std::memcpy(&v, t, 2); nm = v; break; }
+          case 'i': case 'I': std::memcpy(&nm, t, 4); break;
+          default: break;
+        }
+      } else if (t0 == 'X' && t1 == 'A' && (ty == 'Z' || ty == 'H')) {
+        xa = 0;
+        for (const uint8_t* z = t; z < end && *z; z++) xa += (*z == ';');
+      }
+      t += adv;
+    }
+    r.nm = nm;
+    score -= (MISMATCH + MATCH) * (nm - gap);
+    r.score = std::max(0, score);
+    r.xa = (r.mapq > 0) ? 0 : (xa < 0 ? 6 : xa);
+
+    int32_t* c8 = cols + (int64_t)i * 8;
+    c8[0] = r.score; c8[1] = r.soft_left; c8[2] = r.clip_sum;
+    c8[3] = r.lowq; c8[4] = r.nm; c8[5] = r.xa; c8[6] = r.l_seq;
+    c8[7] = r.flag;
+  }
+
+  // ---- greedy in-block mate pairing (extract._pair_block) ------------
+  for (int32_t i = 0; i < n; i++) mate[i] = -1;
+  std::unordered_map<int32_t, std::vector<int32_t>> by_pos;
+  by_pos.reserve((size_t)n * 2);
+  for (int32_t k = 0; k < n; k++) by_pos[rec[k].pos].push_back(k);
+  for (int32_t i = 0; i < n; i++) {
+    verdict[i] = 0;
+    reason[i] = 0;
+    if (mate[i] >= 0) continue;
+    const SigRec& r = rec[i];
+    if (r.tid != r.mtid) continue;
+    if (r.tid == -1) {
+      for (int32_t d = 0; d < 2; d++) {
+        const int32_t k = (d == 0) ? i + 1 : i - 1;
+        if (k >= 0 && k < n && mate[k] < 0 &&
+            std::strcmp((const char*)rec[k].name, (const char*)r.name) == 0) {
+          mate[i] = k;
+          mate[k] = i;
+          break;
+        }
+      }
+      continue;
+    }
+    auto it = by_pos.find(r.mpos);
+    if (it == by_pos.end()) continue;
+    for (const int32_t k : it->second) {
+      const SigRec& m = rec[k];
+      if (k != i && m.mpos == r.pos && mate[k] < 0 &&
+          std::strcmp((const char*)m.name, (const char*)r.name) == 0) {
+        mate[i] = k;
+        mate[k] = i;
+        break;
+      }
+    }
+  }
+
+  // ---- per-pair 7-rule filter (extract.classify_pair) ----------------
+  for (int32_t i = 0; i < n; i++) {
+    if (mate[i] < 0) continue;
+    const SigRec& r1 = rec[i];
+    if (!(r1.flag & 0x40)) continue;  // classify at the read1 member
+    const SigRec& r2 = rec[mate[i]];
+    if (r2.flag & 0x40) continue;     // both-read1: not emitted (parity)
+    const int32_t isize = std::abs(r1.isize);
+    const bool unm1 = r1.flag & 0x4, unm2 = r2.flag & 0x4;
+
+    if (discard_full) {
+      const int32_t min_score =
+          (r1.l_seq + r2.l_seq) * MATCH - 4 * (MATCH + MISMATCH);
+      const bool near_full = r1.score + r2.score >= min_score;
+      const bool isize_ok = isize != 0 && min_isize < isize && isize < max_isize;
+      if (near_full && isize_ok && r1.tid == r2.tid && r1.tid <= max_tid &&
+          r2.tid <= max_tid) {
+        verdict[i] = -1;
+        continue;
+      }
+    }
+
+    bool d0 = !(r1.flag & 0x10), d1 = !(r2.flag & 0x10);
+    if (r1.pos > r2.pos) std::swap(d0, d1);
+    if (isize == r1.l_seq && isize == r2.l_seq && !d0 && d1) std::swap(d0, d1);
+
+    int32_t clip[2] = {r1.clip_sum, r2.clip_sum};
+    int32_t lowq[2] = {r1.lowq, r2.lowq};
+    int32_t indel[2] = {r1.nm, r2.nm};
+    for (int32_t k = 0; k < 2; k++) {
+      clip[k] -= lowq[k];
+      if (clip[k] < 0) {
+        lowq[k] = -clip[k];
+        clip[k] = 0;
+      }
+      lowq[k] >>= 1;
+      indel[k] -= lowq[k];
+      if (indel[k] < 0) indel[k] = 0;
+    }
+
+    int32_t rs = 0;
+    if (r1.mapq < 10 && r2.mapq < 10) rs += 1;
+    if (unm1 || unm2) rs += 2;
+    if (isize > 1000) rs += 4;
+    if (!d0 || d1) rs += 8;
+    if (indel[0] + indel[1] > 15) rs += 16;
+    if (clip[0] + clip[1] > 10) rs += 32;
+    if (r1.tid != r2.tid || r1.tid > max_tid || r2.tid > max_tid) rs += 64;
+    reason[i] = rs;
+    verdict[i] = (rs != 0 || not_using_filter) ? 1 : 0;
   }
 }
 

@@ -76,6 +76,15 @@ def get_lib():
         except AttributeError:
             pass  # older built library without the STR screen
         try:
+            lib.glue_signal_scan.argtypes = [
+                _u8, _i64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                _i32, _i32, _i32, _i32,
+            ]
+        except AttributeError:
+            pass  # older built library without the signal scan
+        try:
             lib.glue_extd2.restype = ctypes.c_int32
             lib.glue_extd2.argtypes = [
                 _u8, ctypes.c_int32, _u8, ctypes.c_int32,
@@ -121,6 +130,31 @@ def extd2_native(lib, query: np.ndarray, target: np.ndarray, *,
         zdropped=bool(scores[8]),
         cigar=[(_EXTD2_OPS[cig_op[k]], int(cig_len[k])) for k in range(n)],
     )
+
+
+def signal_scan(lib, blob: bytes, offs: np.ndarray, *, min_isize: int,
+                max_isize: int, max_tid: int, discard_full: bool,
+                not_using_filter: bool):
+    """One fc_signal block scanned natively: per-record score/clip/NM/XA
+    columns, greedy in-block mate pairing, and the 7-rule pair filter.
+    Returns (cols (n,8) int32, mate (n,), verdict (n,), reason (n,)) or
+    None when the built library predates the scan."""
+    if not hasattr(lib, "glue_signal_scan"):
+        return None
+    n = len(offs) - 1
+    blob_a = np.frombuffer(blob, np.uint8)
+    offs = np.ascontiguousarray(offs, np.int64)
+    cols = np.zeros((n, 8), np.int32)
+    mate = np.zeros(n, np.int32)
+    verdict = np.zeros(n, np.int32)
+    reason = np.zeros(n, np.int32)
+    lib.glue_signal_scan(
+        _p(blob_a, _u8), _p(offs, _i64), n,
+        min_isize, max_isize, max_tid,
+        1 if discard_full else 0, 1 if not_using_filter else 0,
+        _p(cols, _i32), _p(mate, _i32), _p(verdict, _i32), _p(reason, _i32),
+    )
+    return cols, mate, verdict, reason
 
 
 def str_dup_counts(lib, codes: np.ndarray, lens: np.ndarray,

@@ -502,28 +502,38 @@ class BamReader:
             lens.append(struct.unpack("<i", self._r.read(4))[0])
         self.header = BamHeader(text=text, ref_names=names, ref_lens=lens)
 
-    def __iter__(self):
+    def iter_bodies(self):
+        """Yield raw record bodies (bytes) by slicing whole decompressed
+        BGZF chunks: one buffer splice per ~64 KB block instead of two
+        buffer-compacting reads per record."""
+        buf = b""
+        pos = 0
         while True:
-            szb = self._r.read(4)
-            if len(szb) < 4:
-                return
-            sz = struct.unpack("<I", szb)[0]
-            body = self._r.read(sz)
-            if len(body) < sz:
-                return
+            while len(buf) - pos < 4:
+                nb = self._r.next_chunk()
+                if nb is None:
+                    return
+                buf = buf[pos:] + nb
+                pos = 0
+            sz = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+            while len(buf) - pos < sz:
+                nb = self._r.next_chunk()
+                if nb is None:
+                    return
+                buf = buf[pos:] + nb
+                pos = 0
+            yield buf[pos : pos + sz]
+            pos += sz
+
+    def __iter__(self):
+        for body in self.iter_bodies():
             yield _decode_record(body)
 
     def iter_lazy(self):
         """Iterate LazyBamRecord views (expensive fields parse on first
         access) — the fast path for streaming scans."""
-        while True:
-            szb = self._r.read(4)
-            if len(szb) < 4:
-                return
-            sz = struct.unpack("<I", szb)[0]
-            body = self._r.read(sz)
-            if len(body) < sz:
-                return
+        for body in self.iter_bodies():
             yield LazyBamRecord(body)
 
     def close(self):

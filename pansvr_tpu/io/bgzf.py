@@ -117,6 +117,17 @@ class BGZFReader:
         self.uoffset += len(out)
         return out
 
+    def next_chunk(self) -> bytes | None:
+        """Drain the buffered decompressed bytes (or the next block) as
+        one chunk — the zero-compaction path for record streaming
+        (read() pays an O(buffer) bytearray delete per call)."""
+        if not self._buf and not self._read_block():
+            return None
+        out = bytes(self._buf)
+        self._buf.clear()
+        self.uoffset += len(out)
+        return out
+
     def read_all(self) -> bytes:
         while self._read_block():
             pass

@@ -76,19 +76,37 @@ def compute_stats(bam_path: str, genome_size: float = 3.1e9,
     isize_hist = np.zeros(MAX_ISIZE, dtype=np.int64)
     len_hist = np.zeros(4096, dtype=np.int64)
     n = 0
+    import struct as _struct
+
+    _unpack = _struct.Struct("<Hiiii").unpack_from  # flag,l_seq,mtid,mpos,tlen
     with open_alignment(bam_path, ref=ref) as rd:
-        it = rd.iter_lazy() if hasattr(rd, "iter_lazy") else rd
-        for rec in it:
-            if rec.is_secondary or rec.is_supplementary:
-                continue
-            n += 1
-            isz = abs(rec.isize)
-            if 0 < isz < MAX_ISIZE:
-                isize_hist[isz] += 1
-            if rec.query_len < 4096:
-                len_hist[rec.query_len] += 1
-            if n >= sample_limit:
-                break
+        if hasattr(rd, "iter_bodies"):
+            # fixed-header-only scan: flag/l_seq/isize live at static
+            # offsets, so the stats pass skips record-object construction
+            for body in rd.iter_bodies():
+                flag, l_seq, _, _, tlen = _unpack(body, 14)
+                if flag & 0x900:  # secondary | supplementary
+                    continue
+                n += 1
+                isz = abs(tlen)
+                if 0 < isz < MAX_ISIZE:
+                    isize_hist[isz] += 1
+                if l_seq < 4096:
+                    len_hist[l_seq] += 1
+                if n >= sample_limit:
+                    break
+        else:
+            for rec in rd:
+                if rec.is_secondary or rec.is_supplementary:
+                    continue
+                n += 1
+                isz = abs(rec.isize)
+                if 0 < isz < MAX_ISIZE:
+                    isize_hist[isz] += 1
+                if rec.query_len < 4096:
+                    len_hist[rec.query_len] += 1
+                if n >= sample_limit:
+                    break
     st = SignalStats()
     if n == 0:
         return st
@@ -173,21 +191,35 @@ class SignalOptions:
     max_tid: int = 24
 
 
-def _pair_comment(b, i, stats: SignalStats, emit_stat: bool) -> str:
-    """The comment-field contract (getSignalRead.cpp:158-249)."""
+def _pair_comment(b, i, stats: SignalStats, emit_stat: bool,
+                  pre=None) -> str:
+    """The comment-field contract (getSignalRead.cpp:158-249). `pre`
+    optionally carries the native scan's per-record columns
+    ((score, soft_left, clip_sum, _, nm, xa) for each mate) so the
+    cigar/tag walks are not redone in Python."""
     j = 1 - i
     isize = abs(b[0].isize)
-    parts = [
-        f"{b[i].tid}_{b[i].pos}_{_clips(b[i])[0]}_{score_by_cigar(b[i])}_"
-        f"{b[i].mapq}_{b[j].mapq}_{_xa_number(b[i])}_{_xa_number(b[j])}_{isize}_"
-    ]
+    if pre is not None:
+        sc, sl, cl, nm_c, xa_c = pre
+        parts = [
+            f"{b[i].tid}_{b[i].pos}_{sl[i]}_{sc[i]}_"
+            f"{b[i].mapq}_{b[j].mapq}_{xa_c[i]}_{xa_c[j]}_{isize}_"
+        ]
+    else:
+        cl = [sum(_clips(b[k])) for k in (0, 1)]
+        nm_c = [_indel_nm(b[k]) for k in (0, 1)]
+        xa_c = [_xa_number(b[k]) for k in (0, 1)]
+        parts = [
+            f"{b[i].tid}_{b[i].pos}_{_clips(b[i])[0]}_{score_by_cigar(b[i])}_"
+            f"{b[i].mapq}_{b[j].mapq}_{xa_c[i]}_{xa_c[j]}_{isize}_"
+        ]
     flags = []
     for k in (i, j):
         f = ""
         f += "F" if not b[k].is_reverse else "R"
         f += "Y" if b[k].is_unmapped else "N"
-        f += "Y" if _indel_nm(b[k]) > 8 else "N"
-        f += "Y" if sum(_clips(b[k])) > 10 else "N"
+        f += "Y" if nm_c[k] > 8 else "N"
+        f += "Y" if cl[k] > 10 else "N"
         flags.append(f)
     parts.append(f"{flags[0]}_{flags[1]}_")
     if emit_stat:
@@ -293,14 +325,17 @@ class SignalExtractor:
             self.reason_counter[reason] = self.reason_counter.get(reason, 0) + 1
         if not is_signal:
             return False
+        self._write_pair(r1, r2, out)
+        return True
+
+    def _write_pair(self, r1, r2, out, pre=None):
         b = [r1, r2]
-        c1 = _pair_comment(b, 0, self.stats, not self._stat_emitted)
+        c1 = _pair_comment(b, 0, self.stats, not self._stat_emitted, pre)
         self._stat_emitted = True
-        c2 = _pair_comment(b, 1, self.stats, False)
+        c2 = _pair_comment(b, 1, self.stats, False, pre)
         out.write(_fastq_entry(r1, c1))
         out.write(_fastq_entry(r2, c2))
         self.n_signal += 1
-        return True
 
 
 def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
@@ -353,8 +388,67 @@ def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
     return stats
 
 
+def _pair_block_native(block, ex: SignalExtractor, out_fq, unpaired) -> bool:
+    """Native-scan form of _pair_block: the C++ pass parses every raw
+    record body, pairs mates and runs the pair filter; Python only
+    renders the FASTQ for pairs marked signal. Identical output to the
+    Python path (tested). Returns False when the native library (or the
+    raw bodies) are unavailable."""
+    from ..align import native_glue
+
+    lib = native_glue.get_lib()
+    if lib is None or not hasattr(lib, "glue_signal_scan"):
+        return False
+    bodies = []
+    for r in block:
+        body = getattr(r, "_body", None)
+        if body is None:
+            return False
+        bodies.append(body)
+    offs = np.zeros(len(bodies) + 1, np.int64)
+    np.cumsum([len(b) for b in bodies], out=offs[1:])
+    res = native_glue.signal_scan(
+        lib, b"".join(bodies), offs,
+        min_isize=ex.stats.min_isize, max_isize=ex.stats.max_isize,
+        max_tid=ex.opts.max_tid, discard_full=ex.opts.discard_both_full_match,
+        not_using_filter=ex.opts.not_using_filter,
+    )
+    if res is None:
+        return False
+    cols, mate, verdict, reason = res
+
+    for i in np.nonzero(mate < 0)[0]:
+        unpaired.append(block[i])
+    # pairs visited by the Python loop: read1 member, mate not read1
+    flags = cols[:, 7]
+    is_r1 = (flags & 0x40) != 0
+    m_ok = mate >= 0
+    mate_c = np.where(m_ok, mate, 0)
+    classified = m_ok & is_r1 & ~is_r1[mate_c]
+    for i in np.nonzero(classified)[0]:
+        ex.n_pairs += 1
+        v = int(verdict[i])
+        if v == -1:
+            continue  # -U full-match discard (no reason count)
+        rs = int(reason[i])
+        ex.reason_counter[rs] = ex.reason_counter.get(rs, 0) + 1
+        if v == 1:
+            j = int(mate[i])
+            pre = (
+                (int(cols[i, 0]), int(cols[j, 0])),   # score_by_cigar
+                (int(cols[i, 1]), int(cols[j, 1])),   # soft_left
+                (int(cols[i, 2]), int(cols[j, 2])),   # clip sum
+                (int(cols[i, 4]), int(cols[j, 4])),   # NM
+                (int(cols[i, 5]), int(cols[j, 5])),   # xa_number
+            )
+            ex._write_pair(block[i], block[j], out_fq, pre)
+    return True
+
+
 def _pair_block(block, ex: SignalExtractor, out_fq, unpaired):
     """Greedy in-block mate pairing (getSignalRead.cpp:305-420)."""
+    if _pair_block_native(block, ex, out_fq, unpaired):
+        return
     n = len(block)
     mate = [-1] * n
     pos_of = {}

@@ -75,6 +75,31 @@ def test_extract_signal(sim_bam):
     assert alt_frac > 0.6
 
 
+def test_native_scan_matches_python(sim_bam):
+    """The C++ block scan (pairing + filter + comment columns) must give
+    byte-identical FASTQ and identical telemetry vs the Python path."""
+    from pansvr_tpu.align import native_glue
+    from pansvr_tpu.signal import extract as ext
+
+    if native_glue.get_lib() is None or \
+            not hasattr(native_glue.get_lib(), "glue_signal_scan"):
+        pytest.skip("native glue library not built")
+    ds, p = sim_bam
+    for opts in (SignalOptions(discard_both_full_match=True),
+                 SignalOptions(discard_both_full_match=False,
+                               not_using_filter=True)):
+        out_n, out_p = io.StringIO(), io.StringIO()
+        st_n = extract_signal(p, out_n, opts=opts)
+        orig = ext._pair_block_native
+        ext._pair_block_native = lambda *a: False  # force the Python path
+        try:
+            st_p = extract_signal(p, out_p, opts=opts)
+        finally:
+            ext._pair_block_native = orig
+        assert out_n.getvalue() == out_p.getvalue()
+        assert st_n.reason_flag_counter == st_p.reason_flag_counter
+
+
 def test_extract_all_dump(sim_bam):
     ds, p = sim_bam
     out = io.StringIO()
