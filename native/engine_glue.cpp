@@ -31,9 +31,13 @@
 // MAX_OUTPUT_NUMBER 6; reference read_realignment.cpp:396-398).
 
 #include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <map>
+#include <set>
+#include <string>
 #include <unordered_map>
 #include <vector>
 
@@ -1201,3 +1205,436 @@ void glue_signal_scan(const uint8_t* blob, const int64_t* offs, int32_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Manta-style word-ladder assembly, one word length: the native form of
+// assembly/assembler.py's _build_contigs (_kmer_maps + Tarjan repeat
+// search + greedy bidirectional walks). The Python AssemblyManager keeps
+// the ladder loop, pseudo-read re-injection and contig selection, and
+// falls back to its own loops when this library is absent — outputs are
+// bit-identical (tested). Behavioral contract: SURVEY.md §8.1
+// (mantaAssembler.cpp:69-677).
+//
+// Determinism mirrors the Python exactly: word maps are ordered
+// (std::map) so "first max in sorted order" seed choice and sorted-root
+// Tarjan match; read sets are bitsets, iterated ascending like
+// Python's sorted(set).
+
+namespace asmN {
+
+struct Bits {
+  std::vector<uint64_t> w;
+  explicit Bits(size_t n = 0) : w((n + 63) / 64, 0) {}
+  void set(int i) { w[i >> 6] |= 1ull << (i & 63); }
+  void reset(int i) { w[i >> 6] &= ~(1ull << (i & 63)); }
+  bool test(int i) const { return (w[i >> 6] >> (i & 63)) & 1; }
+  int count() const {
+    int c = 0;
+    for (uint64_t x : w) c += __builtin_popcountll(x);
+    return c;
+  }
+  bool any() const {
+    for (uint64_t x : w) if (x) return true;
+    return false;
+  }
+  template <class F>
+  void for_each(F f) const {  // ascending
+    for (size_t k = 0; k < w.size(); k++) {
+      uint64_t x = w[k];
+      while (x) {
+        f((int)(k * 64 + __builtin_ctzll(x)));
+        x &= x - 1;
+      }
+    }
+  }
+};
+
+static inline Bits and_(const Bits& a, const Bits& b) {
+  Bits r(0);
+  r.w.resize(a.w.size());
+  for (size_t i = 0; i < a.w.size(); i++) r.w[i] = a.w[i] & b.w[i];
+  return r;
+}
+static inline void bits_or(Bits& a, const Bits& b) {
+  for (size_t i = 0; i < a.w.size(); i++) a.w[i] |= b.w[i];
+}
+// popcount of a &~ b
+static inline int diff_count(const Bits& a, const Bits& b) {
+  int c = 0;
+  for (size_t i = 0; i < a.w.size(); i++)
+    c += __builtin_popcountll(a.w[i] & ~b.w[i]);
+  return c;
+}
+static inline void or_diff(Bits& dst, const Bits& a, const Bits& b) {
+  for (size_t i = 0; i < a.w.size(); i++) dst.w[i] |= a.w[i] & ~b.w[i];
+}
+
+struct Word {
+  int32_t count = 0;
+  Bits reads;
+};
+
+struct Contig {
+  std::string seq;
+  Bits support, reject;
+  int32_t seed_read_count = 0, word_length = 0;
+  int32_t ass_begin = 0, cons_bgn = 0, cons_end = 0;
+  int32_t ending[2] = {-1, -1};
+  std::vector<std::array<int32_t, 3>> actions;  // kmer_index, read, is_add
+};
+
+struct AsmCtx {
+  std::vector<Contig> contigs;
+  int32_t success = 0, global_max_count = 0;
+};
+
+constexpr int32_t MAX_ALLELE_AS_SNP = 1;
+static const char* ALPHA = "ACGT";
+
+}  // namespace asmN
+
+extern "C" void* glue_asm_run(
+    const uint8_t* blob, const int64_t* offs, int32_t n_reads,
+    const uint8_t* is_pseudo, int32_t wl, int32_t min_coverage,
+    int32_t min_conservative_coverage, int32_t max_assembly_count,
+    int32_t reject_read_reused) {
+  using namespace asmN;
+  auto* ctx = new AsmCtx();
+
+  // ---- _kmer_maps ----------------------------------------------------
+  std::map<std::string, Word> words;
+  {
+    std::vector<std::string> per_read;
+    for (int32_t r = 0; r < n_reads; r++) {
+      const char* s = (const char*)blob + offs[r];
+      const int64_t len = offs[r + 1] - offs[r];
+      if (len < wl) continue;
+      per_read.clear();
+      for (int64_t j = 0; j + wl <= len; j++) {
+        bool has_n = false;
+        for (int32_t k = 0; k < wl; k++)
+          if (s[j + k] == 'N') { has_n = true; break; }
+        if (!has_n) per_read.emplace_back(s + j, wl);
+      }
+      std::sort(per_read.begin(), per_read.end());
+      per_read.erase(std::unique(per_read.begin(), per_read.end()),
+                     per_read.end());
+      const int32_t add = is_pseudo[r] ? min_coverage : 1;
+      for (auto& w : per_read) {
+        auto& e = words[w];
+        if (e.reads.w.empty()) e.reads = Bits(n_reads);
+        e.count += add;
+        e.reads.set(r);
+      }
+    }
+  }
+
+  // ---- _repeat_words: iterative Tarjan, sorted roots, ACGT succ ------
+  std::map<std::string, std::array<int32_t, 2>> index_of;
+  for (auto& kv : words) index_of[kv.first] = {0, 0};
+  std::set<std::string> repeats;
+  {
+    std::vector<std::string> stack;
+    std::set<std::string> on_stack;
+    int32_t counter = 1;
+    for (auto& root_kv : index_of) {
+      const std::string& root = root_kv.first;
+      if (index_of[root][0] != 0) continue;
+      std::vector<std::pair<std::string, int32_t>> work;
+      work.emplace_back(root, 0);
+      index_of[root] = {counter, counter};
+      counter++;
+      stack.push_back(root);
+      on_stack.insert(root);
+      while (!work.empty()) {
+        auto& top = work.back();
+        const std::string w = top.first;
+        const int32_t si = top.second;
+        if (si < 4) {
+          top.second = si + 1;
+          std::string nxt = w.substr(1) + ALPHA[si];
+          if (nxt == w) { repeats.insert(w); continue; }
+          auto it = index_of.find(nxt);
+          if (it == index_of.end()) continue;
+          if (it->second[0] == 0) {
+            it->second = {counter, counter};
+            counter++;
+            stack.push_back(nxt);
+            on_stack.insert(nxt);
+            work.emplace_back(nxt, 0);
+          } else if (on_stack.count(nxt)) {
+            auto& iw = index_of[w];
+            iw[1] = std::min(iw[1], it->second[0]);
+          }
+          continue;
+        }
+        work.pop_back();
+        if (!work.empty()) {
+          auto& ip = index_of[work.back().first];
+          ip[1] = std::min(ip[1], index_of[w][1]);
+        }
+        auto& iw = index_of[w];
+        if (iw[1] == iw[0]) {
+          if (stack.back() == w) {
+            stack.pop_back();
+            on_stack.erase(w);
+          } else {
+            const bool small =
+                (index_of[stack.back()][0] - iw[0]) <= 50;
+            while (true) {
+              std::string rw = stack.back();
+              stack.pop_back();
+              on_stack.erase(rw);
+              if (small) repeats.insert(rw);
+              if (rw == w) break;
+            }
+          }
+        }
+      }
+    }
+  }
+
+  std::set<std::string> unused;
+  for (auto& kv : words)
+    if (kv.second.count >= min_coverage) unused.insert(kv.first);
+
+  // ---- _build_contigs loop -------------------------------------------
+  ctx->success = 1;
+  int32_t normal_contig = 0;
+  while (!unused.empty() && normal_contig < 2 * max_assembly_count) {
+    // first max in sorted order
+    std::string max_word;
+    int32_t max_count = 0;
+    for (auto& w : unused) {
+      const int32_t c = words[w].count;
+      if (c > max_count) { max_word = w; max_count = c; }
+    }
+    ctx->global_max_count = std::max(ctx->global_max_count, max_count);
+
+    // ---- _walk -------------------------------------------------------
+    Contig contig;
+    contig.seq = max_word;
+    contig.word_length = wl;
+    contig.support = words[max_word].reads;
+    contig.reject = Bits(n_reads);
+    contig.seed_read_count = contig.support.count();
+    contig.support.for_each([&](int rd) {
+      contig.actions.push_back({0, rd, 1});
+    });
+    unused.erase(max_word);
+    bool is_repeat_found = false;
+
+    if (repeats.count(max_word)) {
+      contig.cons_bgn = 0;
+      contig.cons_end = wl;
+      contig.ending[0] = 1;
+      contig.ending[1] = 1;
+      is_repeat_found = true;
+      // note: Python returns the contig here with cons_end NOT
+      // re-derived (it returns before the final adjustment)
+      ctx->contigs.push_back(std::move(contig));
+      if ((int32_t)ctx->contigs.back().seq.size() > wl) normal_contig++;
+      ctx->success = 0;
+      continue;
+    }
+
+    std::set<std::string> words_in_contig{max_word};
+    {
+      const std::string trunk0 = max_word.substr(0, wl - 1);
+      for (int a = 0; a < 4; a++) {
+        if (ALPHA[a] == max_word[wl - 1]) continue;
+        auto it = words.find(trunk0 + ALPHA[a]);
+        if (it != words.end()) bits_or(contig.reject, it->second.reads);
+      }
+    }
+
+    int32_t kmer_index = 0;
+    for (int mode = 0; mode < 2; mode++) {
+      const bool at_end = mode == 0;
+      const int32_t step = at_end ? 1 : -1;
+      kmer_index = 0;
+      int32_t conservative_off = 0;
+      while (true) {
+        const std::string previous_word =
+            at_end ? contig.seq.substr(contig.seq.size() - wl)
+                   : contig.seq.substr(0, wl);
+        const std::string trunk =
+            at_end ? contig.seq.substr(contig.seq.size() - (wl - 1))
+                   : contig.seq.substr(0, wl - 1);
+        int32_t max_base_count = 0;
+        Bits max_contig_word_reads(n_reads), max_word_reads(n_reads);
+        bool have_max = false, have_max_wr = false;
+        std::string cur_max_word;
+        char max_base = 'A';
+        Bits support_to_remove(n_reads), reject_to_add(n_reads);
+
+        for (int a = 0; a < 4; a++) {
+          const std::string new_key =
+              at_end ? trunk + ALPHA[a] : ALPHA[a] + trunk;
+          auto it = words.find(new_key);
+          if (it == words.end()) continue;
+          const Bits& curr_reads = it->second.reads;
+          Bits contig_word_reads = and_(contig.support, curr_reads);
+          Bits shared = and_(max_contig_word_reads, curr_reads);
+          if (!contig_word_reads.any()) continue;
+          if (contig_word_reads.count() > max_contig_word_reads.count()) {
+            if (have_max && max_contig_word_reads.any()) {
+              if (diff_count(max_contig_word_reads, shared) >
+                  MAX_ALLELE_AS_SNP)
+                or_diff(support_to_remove, max_contig_word_reads, shared);
+            }
+            if (have_max_wr && max_word_reads.any()) {
+              if (diff_count(max_word_reads, shared) > MAX_ALLELE_AS_SNP)
+                or_diff(reject_to_add, max_word_reads, shared);
+            }
+            max_word_reads = curr_reads;
+            have_max_wr = true;
+            max_contig_word_reads = std::move(contig_word_reads);
+            have_max = true;
+            max_base_count = it->second.count;
+            max_base = ALPHA[a];
+            cur_max_word = new_key;
+          } else {
+            if (diff_count(contig_word_reads, shared) > MAX_ALLELE_AS_SNP)
+              or_diff(support_to_remove, contig_word_reads, shared);
+            if (diff_count(curr_reads, shared) > MAX_ALLELE_AS_SNP)
+              or_diff(reject_to_add, curr_reads, shared);
+          }
+        }
+
+        if (max_base_count < min_coverage) {
+          contig.ending[1 - mode] = 0;
+          break;
+        }
+        if (words_in_contig.count(cur_max_word)) {
+          is_repeat_found = true;
+          contig.ending[1 - mode] = 1;
+          break;
+        }
+
+        if (at_end)
+          contig.seq.push_back(max_base);
+        else
+          contig.seq.insert(contig.seq.begin(), max_base);
+        kmer_index += step;
+        if (conservative_off != 0 ||
+            max_base_count < min_conservative_coverage)
+          conservative_off++;
+
+        const char tmp_sym = at_end ? previous_word[0]
+                                    : previous_word[wl - 1];
+        for (int a = 0; a < 4; a++) {
+          if (ALPHA[a] == tmp_sym) continue;
+          const std::string back_key =
+              at_end ? ALPHA[a] + trunk : trunk + ALPHA[a];
+          if (back_key == cur_max_word) continue;
+          auto it = words.find(back_key);
+          if (it == words.end()) continue;
+          const Bits& back_reads = it->second.reads;
+          Bits shared_al = and_(max_contig_word_reads, back_reads);
+          if (diff_count(back_reads, shared_al) > MAX_ALLELE_AS_SNP) {
+            or_diff(reject_to_add, back_reads, shared_al);
+            or_diff(support_to_remove, back_reads, shared_al);
+          }
+        }
+
+        bits_or(contig.reject, reject_to_add);
+        max_word_reads.for_each([&](int rd) {
+          if (reject_read_reused) {
+            if (!contig.support.test(rd)) {
+              contig.support.set(rd);
+              contig.actions.push_back({kmer_index, rd, 1});
+            }
+          } else {
+            if (!contig.reject.test(rd) && !contig.support.test(rd)) {
+              contig.support.set(rd);
+              contig.actions.push_back({kmer_index, rd, 1});
+            }
+          }
+        });
+        support_to_remove.for_each([&](int rd) {
+          if (contig.support.test(rd)) {
+            contig.support.reset(rd);
+            contig.actions.push_back({kmer_index, rd, 0});
+          }
+        });
+
+        unused.erase(cur_max_word);
+        words_in_contig.insert(cur_max_word);
+      }
+
+      if (mode == 0)
+        contig.cons_end = conservative_off;
+      else
+        contig.cons_bgn = conservative_off;
+    }
+
+    contig.ass_begin = std::min(kmer_index, 0);
+    contig.cons_end = (int32_t)contig.seq.size() - contig.cons_end;
+    if (is_repeat_found) ctx->success = 0;
+    if ((int32_t)contig.seq.size() > wl) normal_contig++;
+    ctx->contigs.push_back(std::move(contig));
+  }
+  return ctx;
+}
+
+extern "C" void glue_asm_sizes(void* vctx, int64_t* out) {
+  using namespace asmN;
+  auto* ctx = (AsmCtx*)vctx;
+  int64_t seq = 0, sup = 0, rej = 0, act = 0;
+  for (auto& c : ctx->contigs) {
+    seq += c.seq.size();
+    sup += c.support.count();
+    rej += c.reject.count();
+    act += c.actions.size();
+  }
+  out[0] = (int64_t)ctx->contigs.size();
+  out[1] = seq;
+  out[2] = sup;
+  out[3] = rej;
+  out[4] = act;
+  out[5] = ctx->success;
+  out[6] = ctx->global_max_count;
+}
+
+extern "C" void glue_asm_copy(void* vctx, uint8_t* seq_blob,
+                              int64_t* seq_offs, int32_t* sup_ids,
+                              int64_t* sup_offs, int32_t* rej_ids,
+                              int64_t* rej_offs, int32_t* act_vals,
+                              int64_t* act_offs, int32_t* meta) {
+  using namespace asmN;
+  auto* ctx = (AsmCtx*)vctx;
+  int64_t so = 0, uo = 0, ro = 0, ao = 0;
+  for (size_t i = 0; i < ctx->contigs.size(); i++) {
+    Contig& c = ctx->contigs[i];
+    seq_offs[i] = so;
+    std::memcpy(seq_blob + so, c.seq.data(), c.seq.size());
+    so += c.seq.size();
+    sup_offs[i] = uo;
+    c.support.for_each([&](int rd) { sup_ids[uo++] = rd; });
+    rej_offs[i] = ro;
+    c.reject.for_each([&](int rd) { rej_ids[ro++] = rd; });
+    act_offs[i] = ao;
+    for (auto& a : c.actions) {
+      act_vals[3 * ao] = a[0];
+      act_vals[3 * ao + 1] = a[1];
+      act_vals[3 * ao + 2] = a[2];
+      ao++;
+    }
+    int32_t* m = meta + i * 8;
+    m[0] = c.seed_read_count;
+    m[1] = c.word_length;
+    m[2] = c.ass_begin;
+    m[3] = c.cons_bgn;
+    m[4] = c.cons_end;
+    m[5] = c.ending[0];
+    m[6] = c.ending[1];
+    m[7] = 0;
+  }
+  seq_offs[ctx->contigs.size()] = so;
+  sup_offs[ctx->contigs.size()] = uo;
+  rej_offs[ctx->contigs.size()] = ro;
+  act_offs[ctx->contigs.size()] = ao;
+}
+
+extern "C" void glue_asm_free(void* vctx) { delete (asmN::AsmCtx*)vctx; }

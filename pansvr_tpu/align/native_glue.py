@@ -85,6 +85,21 @@ def get_lib():
         except AttributeError:
             pass  # older built library without the signal scan
         try:
+            lib.glue_asm_run.restype = ctypes.c_void_p
+            lib.glue_asm_run.argtypes = [
+                _u8, _i64, ctypes.c_int32, _u8, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32,
+            ]
+            lib.glue_asm_sizes.argtypes = [ctypes.c_void_p, _i64]
+            lib.glue_asm_copy.argtypes = [
+                ctypes.c_void_p, _u8, _i64, _i32, _i64, _i32, _i64,
+                _i32, _i64, _i32,
+            ]
+            lib.glue_asm_free.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            pass  # older built library without the assembler
+        try:
             lib.glue_extd2.restype = ctypes.c_int32
             lib.glue_extd2.argtypes = [
                 _u8, ctypes.c_int32, _u8, ctypes.c_int32,
@@ -155,6 +170,58 @@ def signal_scan(lib, blob: bytes, offs: np.ndarray, *, min_isize: int,
         _p(cols, _i32), _p(mate, _i32), _p(verdict, _i32), _p(reason, _i32),
     )
     return cols, mate, verdict, reason
+
+
+def asm_build_contigs(lib, reads: list, is_pseudo: list, wl: int,
+                      min_coverage: int, min_conservative_coverage: int,
+                      max_assembly_count: int, reject_read_reused: bool):
+    """One word-length pass of the Manta-style assembler in C++
+    (kmer maps + Tarjan repeats + greedy walks). Returns
+    (success, global_max_count, contig dicts) or None when the built
+    library predates it."""
+    if not hasattr(lib, "glue_asm_run"):
+        return None
+    blob = "".join(reads).encode()
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs[1:])
+    pseudo = np.array(is_pseudo, np.uint8)
+    blob_a = np.frombuffer(blob, np.uint8)
+    ctx = lib.glue_asm_run(
+        _p(blob_a, _u8), _p(offs, _i64), len(reads), _p(pseudo, _u8),
+        wl, min_coverage, min_conservative_coverage, max_assembly_count,
+        1 if reject_read_reused else 0,
+    )
+    sizes = np.zeros(7, np.int64)
+    lib.glue_asm_sizes(ctx, _p(sizes, _i64))
+    nc, n_seq, n_sup, n_rej, n_act, success, gmax = (int(x) for x in sizes)
+    seq_blob = np.zeros(n_seq, np.uint8)
+    seq_offs = np.zeros(nc + 1, np.int64)
+    sup_ids = np.zeros(n_sup, np.int32)
+    sup_offs = np.zeros(nc + 1, np.int64)
+    rej_ids = np.zeros(n_rej, np.int32)
+    rej_offs = np.zeros(nc + 1, np.int64)
+    act_vals = np.zeros(3 * n_act, np.int32)
+    act_offs = np.zeros(nc + 1, np.int64)
+    meta = np.zeros((max(nc, 1), 8), np.int32)
+    lib.glue_asm_copy(
+        ctx, _p(seq_blob, _u8), _p(seq_offs, _i64), _p(sup_ids, _i32),
+        _p(sup_offs, _i64), _p(rej_ids, _i32), _p(rej_offs, _i64),
+        _p(act_vals, _i32), _p(act_offs, _i64), _p(meta, _i32),
+    )
+    lib.glue_asm_free(ctx)
+    seq_bytes = seq_blob.tobytes()
+    out = []
+    for i in range(nc):
+        a0, a1 = int(act_offs[i]), int(act_offs[i + 1])
+        out.append(dict(
+            seq=seq_bytes[seq_offs[i]:seq_offs[i + 1]].decode(),
+            support=sup_ids[sup_offs[i]:sup_offs[i + 1]],
+            reject=rej_ids[rej_offs[i]:rej_offs[i + 1]],
+            actions=[(int(act_vals[3 * k]), int(act_vals[3 * k + 1]),
+                      bool(act_vals[3 * k + 2])) for k in range(a0, a1)],
+            meta=meta[i],
+        ))
+    return bool(success), gmax, out
 
 
 def str_dup_counts(lib, codes: np.ndarray, lens: np.ndarray,

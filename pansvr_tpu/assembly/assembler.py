@@ -294,7 +294,43 @@ class AssemblyManager:
         return is_repeat_found, contig
 
     # ------------------------------------------------------------------
+    def _build_contigs_native(self, wl: int):
+        """One word-length pass in C++ (native_glue.asm_build_contigs) —
+        bit-identical contigs/journals to the Python loops (tested).
+        Returns None when the library isn't built."""
+        from ..align import native_glue
+
+        lib = native_glue.get_lib()
+        if lib is None:
+            return None
+        res = native_glue.asm_build_contigs(
+            lib, self.reads, self.read_is_pseudo, wl,
+            self.o.min_coverage, self.o.min_conservative_coverage,
+            self.o.max_assembly_count, self.o.reject_read_reused,
+        )
+        if res is None:
+            return None
+        success, gmax, raw = res
+        self._tmp_contigs = []
+        for r in raw:
+            m = r["meta"]
+            self._tmp_contigs.append(AssembledContig(
+                seq=r["seq"],
+                support_reads=set(int(x) for x in r["support"]),
+                reject_reads=set(int(x) for x in r["reject"]),
+                actions=r["actions"],
+                seed_read_count=int(m[0]), word_length=int(m[1]),
+                ass_begin_offset_in_contig=int(m[2]),
+                conservative_range_bgn=int(m[3]),
+                conservative_range_end=int(m[4]),
+                ending_reason=[int(m[5]), int(m[6])],
+            ))
+        return success, gmax
+
     def _build_contigs(self, wl: int):
+        native = self._build_contigs_native(wl)
+        if native is not None:
+            return native
         word_count, word_reads = self._kmer_maps(wl)
         repeat_words = self._repeat_words(word_count)
         unused = {w for w, c in word_count.items() if c >= self.o.min_coverage}

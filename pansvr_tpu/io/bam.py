@@ -629,7 +629,9 @@ class BamReaderOffsets(BamReader):
             body = self._r.read(sz)
             if len(body) < sz:
                 return
-            yield uoff, 4 + sz, _decode_record(body)
+            # lazy view: index passes touch only tags/pos, so the
+            # seq/qual/cigar decode is deferred to first access
+            yield uoff, 4 + sz, LazyBamRecord(body)
 
 
 class BamRandomReader:
@@ -693,7 +695,7 @@ class BamRandomReader:
 
     def record_at(self, uoff: int, length: int):
         body = self.read_span(uoff, length)
-        return _decode_record(body[4:])
+        return LazyBamRecord(body[4:])
 
     def close(self):
         self._fh.close()
