@@ -130,9 +130,19 @@ def _cmd_fc_aln(args):
 
 def _run_aln_stream(chunks_a, eng, pe, writer, ori_writer, header, filt,
                     batch_stream):
+    """Consume align_stream batches, PE-score and write BAM records.
+
+    Emission runs on a single writer thread pipelined one batch behind
+    the engine (the reference's kt_pipeline step2 analog,
+    read_realignment.cpp:165-176): the Python emit work overlaps the
+    engine's GIL-released device waits, and single-thread writes keep
+    BAM record order deterministic."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..align.bam_out import emit_ori_pair, emit_pair
 
-    for chunk, states in zip(chunks_a, eng.align_stream(batch_stream())):
+    def emit_chunk(chunk, states):
         for k in range(0, len(chunk) - 1, 2):
             pr = pe.pair(states[k], states[k + 1])
             if ori_writer is not None:
@@ -153,6 +163,18 @@ def _run_aln_stream(chunks_a, eng, pe, writer, ori_writer, header, filt,
                 chunk[k][3], chunk[k + 1][3], header,
             ):
                 writer.write(rec)
+
+    pool = ThreadPoolExecutor(1)
+    futs: deque = deque()
+    try:
+        for chunk, states in zip(chunks_a, eng.align_stream(batch_stream())):
+            futs.append(pool.submit(emit_chunk, chunk, states))
+            while len(futs) > 2:
+                futs.popleft().result()
+        while futs:
+            futs.popleft().result()
+    finally:
+        pool.shutdown(wait=True)
     writer.close()
     if ori_writer is not None:
         ori_writer.close()

@@ -20,6 +20,12 @@ SEQ_NT16 = "=ACMGRSVTWYHKDBN"
 # 256-byte translate table mapping 4-bit codes to their bases
 _SEQ16_TRANS = (SEQ_NT16.encode() + bytes(240))
 SEQ_NT16_CODE = {c: i for i, c in enumerate(SEQ_NT16)}
+# base byte (either case) -> 4-bit code, unknown -> N (15)
+_SEQ16_CODE_TRANS = bytearray([15]) * 256
+for _i, _c in enumerate(SEQ_NT16):
+    _SEQ16_CODE_TRANS[ord(_c)] = _i
+    _SEQ16_CODE_TRANS[ord(_c.lower())] = _i
+_SEQ16_CODE_TRANS = bytes(_SEQ16_CODE_TRANS)
 CIGAR_OPS = "MIDNSHP=X"
 CIGAR_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
 
@@ -214,15 +220,14 @@ def _encode_record(r: BamRecord) -> bytes:
         struct.pack("<I", (n << 4) | CIGAR_CODE[op]) for op, n in r.cigar
     )
     l_seq = len(r.seq)
-    seq_b = bytearray((l_seq + 1) // 2)
-    for i, ch in enumerate(r.seq):
-        code = SEQ_NT16_CODE.get(ch.upper(), 15)
-        if i % 2 == 0:
-            seq_b[i // 2] = code << 4
-        else:
-            seq_b[i // 2] |= code
+    codes = np.frombuffer(
+        r.seq.encode().translate(_SEQ16_CODE_TRANS), np.uint8)
+    if l_seq % 2:
+        codes = np.append(codes, np.uint8(0))
+    seq_b = ((codes[0::2] << 4) | codes[1::2]).tobytes()
     if r.qual and r.qual != "*":
-        qual_b = bytes((min(ord(q) - 33, 93) for q in r.qual))
+        q = np.frombuffer(r.qual.encode(), np.uint8)
+        qual_b = np.minimum(q - 33, 93).astype(np.uint8).tobytes()
     else:
         qual_b = b"\xff" * l_seq
     tags_b = b""
