@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..io.alignment import open_alignment
-from ..io.bam import BamReader, BamRecord
+from ..io.bam import BamReader, BamRecord, LazyBamRecord
 from ..utils import dna
 
 MAX_ISIZE = 3000
@@ -349,28 +349,68 @@ def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
     ex = SignalExtractor(stats, opts)
     unpaired: list[BamRecord] = []
 
+    from ..align import native_glue
+
+    lib = native_glue.get_lib()
+    native_ok = lib is not None and hasattr(lib, "glue_signal_scan")
+
     with open_alignment(bam_path, ref=ref) as rd:
-        block: list[BamRecord] = []
+        if native_ok and hasattr(rd, "iter_bodies"):
+            # raw-body streaming: block boundaries read tid/pos/flag at
+            # fixed offsets; record objects exist only for signal pairs
+            # and phase-2 leftovers
+            import struct as _struct
 
-        def flush_block():
-            if len(block) < 2:
-                unpaired.extend(block)
-                return
-            _pair_block(block, ex, out_fq, unpaired)
+            _tp = _struct.Struct("<ii").unpack_from
+            bodies: list[bytes] = []
+            tid0 = pos0 = 0
 
-        it = rd.iter_lazy() if hasattr(rd, "iter_lazy") else rd
-        for rec in it:
-            if rec.is_secondary or rec.is_supplementary:
-                continue
-            if block and (
-                rec.tid != block[0].tid
-                or rec.pos - block[0].pos > SEARCH_REGION_MAX
-                or len(block) >= SAM_LOAD_BUFF_SIZE
-            ):
-                flush_block()
-                block = []
-            block.append(rec)
-        flush_block()
+            def flush_bodies():
+                if len(bodies) < 2:
+                    unpaired.extend(LazyBamRecord(b) for b in bodies)
+                    return
+                block = _BodyBlock(bodies)
+                if not _pair_block_native(block, ex, out_fq, unpaired):
+                    _pair_block(list(block), ex, out_fq, unpaired)
+
+            for body in rd.iter_bodies():
+                flag = body[14] | (body[15] << 8)
+                if flag & 0x900:  # secondary | supplementary
+                    continue
+                tid, pos = _tp(body, 0)
+                if bodies and (
+                    tid != tid0
+                    or pos - pos0 > SEARCH_REGION_MAX
+                    or len(bodies) >= SAM_LOAD_BUFF_SIZE
+                ):
+                    flush_bodies()
+                    bodies = []
+                if not bodies:
+                    tid0, pos0 = tid, pos
+                bodies.append(body)
+            flush_bodies()
+        else:
+            block: list[BamRecord] = []
+
+            def flush_block():
+                if len(block) < 2:
+                    unpaired.extend(block)
+                    return
+                _pair_block(block, ex, out_fq, unpaired)
+
+            it = rd.iter_lazy() if hasattr(rd, "iter_lazy") else rd
+            for rec in it:
+                if rec.is_secondary or rec.is_supplementary:
+                    continue
+                if block and (
+                    rec.tid != block[0].tid
+                    or rec.pos - block[0].pos > SEARCH_REGION_MAX
+                    or len(block) >= SAM_LOAD_BUFF_SIZE
+                ):
+                    flush_block()
+                    block = []
+                block.append(rec)
+            flush_block()
 
     # phase 2: name-sorted pairing of the leftovers (getSignalRead.cpp:436-488)
     unpaired.sort(key=lambda r: (r.name, not r.is_read1))
@@ -388,6 +428,31 @@ def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
     return stats
 
 
+class _BodyBlock:
+    """Sequence view over raw record bodies: LazyBamRecord objects are
+    built (and cached) only for the indices actually touched — emitted
+    signal pairs and phase-2 leftovers."""
+
+    __slots__ = ("bodies", "_recs")
+
+    def __init__(self, bodies: list):
+        self.bodies = bodies
+        self._recs: dict[int, LazyBamRecord] = {}
+
+    def __len__(self):
+        return len(self.bodies)
+
+    def __getitem__(self, i: int):
+        r = self._recs.get(i)
+        if r is None:
+            r = self._recs[i] = LazyBamRecord(self.bodies[i])
+        return r
+
+    def __iter__(self):
+        for i in range(len(self.bodies)):
+            yield self[i]
+
+
 def _pair_block_native(block, ex: SignalExtractor, out_fq, unpaired) -> bool:
     """Native-scan form of _pair_block: the C++ pass parses every raw
     record body, pairs mates and runs the pair filter; Python only
@@ -399,12 +464,15 @@ def _pair_block_native(block, ex: SignalExtractor, out_fq, unpaired) -> bool:
     lib = native_glue.get_lib()
     if lib is None or not hasattr(lib, "glue_signal_scan"):
         return False
-    bodies = []
-    for r in block:
-        body = getattr(r, "_body", None)
-        if body is None:
-            return False
-        bodies.append(body)
+    if isinstance(block, _BodyBlock):
+        bodies = block.bodies
+    else:
+        bodies = []
+        for r in block:
+            body = getattr(r, "_body", None)
+            if body is None:
+                return False
+            bodies.append(body)
     offs = np.zeros(len(bodies) + 1, np.int64)
     np.cumsum([len(b) for b in bodies], out=offs[1:])
     res = native_glue.signal_scan(
