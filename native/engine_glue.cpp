@@ -1293,28 +1293,105 @@ static const char* ALPHA = "ACGT";
 
 }  // namespace asmN
 
-extern "C" void* glue_asm_run(
-    const uint8_t* blob, const int64_t* offs, int32_t n_reads,
-    const uint8_t* is_pseudo, int32_t wl, int32_t min_coverage,
-    int32_t min_conservative_coverage, int32_t max_assembly_count,
-    int32_t reject_read_reused) {
-  using namespace asmN;
-  auto* ctx = new AsmCtx();
+namespace asmN {
+
+// Key operations: words are 2-bit-packed uint64 when wl <= 31 and the
+// input alphabet is {A,C,G,T,N} (packing preserves lexicographic order
+// since A<C<G<T matches the code order), else std::string. Both paths
+// run the identical algorithm below.
+template <bool PACKED>
+struct KeyOps;
+
+template <>
+struct KeyOps<true> {
+  using Key = uint64_t;
+  int wl;
+  uint64_t sub_mask;
+  explicit KeyOps(int wl_)
+      : wl(wl_), sub_mask(wl_ > 1 ? ((1ull << (2 * (wl_ - 1))) - 1) : 0) {}
+  static int code(char c) {
+    switch (c) {
+      case 'A': return 0;
+      case 'C': return 1;
+      case 'G': return 2;
+      case 'T': return 3;
+    }
+    return -1;
+  }
+  bool enc(const char* s, int n, Key& out) const {
+    uint64_t v = 0;
+    for (int k = 0; k < n; k++) {
+      const int c = code(s[k]);
+      if (c < 0) return false;
+      v = (v << 2) | (uint64_t)c;
+    }
+    out = v;
+    return true;
+  }
+  Key append(const Key& trunk, char c) const {  // trunk: wl-1 chars
+    return (trunk << 2) | (uint64_t)code(c);
+  }
+  Key prepend(char c, const Key& trunk) const {
+    return ((uint64_t)code(c) << (2 * (wl - 1))) | trunk;
+  }
+  Key succ(const Key& w, char c) const {  // drop first char, append c
+    return ((w & sub_mask) << 2) | (uint64_t)code(c);
+  }
+  Key front_trunk(const Key& w) const { return w >> 2; }  // first wl-1
+  std::string str(const Key& w) const {
+    std::string s(wl, 'A');
+    for (int i = 0; i < wl; i++) s[i] = ALPHA[(w >> (2 * (wl - 1 - i))) & 3];
+    return s;
+  }
+};
+
+template <>
+struct KeyOps<false> {
+  using Key = std::string;
+  int wl;
+  explicit KeyOps(int wl_) : wl(wl_) {}
+  bool enc(const char* s, int n, Key& out) const {
+    for (int k = 0; k < n; k++)
+      if (s[k] == 'N') return false;  // "N" not in w; other chars pass
+    out.assign(s, n);
+    return true;
+  }
+  Key append(const Key& trunk, char c) const { return trunk + c; }
+  Key prepend(char c, const Key& trunk) const { return c + trunk; }
+  Key succ(const Key& w, char c) const { return w.substr(1) + c; }
+  Key front_trunk(const Key& w) const { return w.substr(0, wl - 1); }
+  std::string str(const Key& w) const { return w; }
+};
+
+template <bool PACKED>
+static void asm_run_impl(AsmCtx* ctx, const uint8_t* blob,
+                         const int64_t* offs, int32_t n_reads,
+                         const uint8_t* is_pseudo, int32_t wl,
+                         int32_t min_coverage,
+                         int32_t min_conservative_coverage,
+                         int32_t max_assembly_count,
+                         int32_t reject_read_reused) {
+  using Ops = KeyOps<PACKED>;
+  using Key = typename Ops::Key;
+  const Ops ops(wl);
+
+  struct WordT {
+    int32_t count = 0;
+    Bits reads;
+  };
 
   // ---- _kmer_maps ----------------------------------------------------
-  std::map<std::string, Word> words;
+  std::map<Key, WordT> words;
   {
-    std::vector<std::string> per_read;
+    std::vector<Key> per_read;
     for (int32_t r = 0; r < n_reads; r++) {
       const char* s = (const char*)blob + offs[r];
       const int64_t len = offs[r + 1] - offs[r];
       if (len < wl) continue;
       per_read.clear();
       for (int64_t j = 0; j + wl <= len; j++) {
-        bool has_n = false;
-        for (int32_t k = 0; k < wl; k++)
-          if (s[j + k] == 'N') { has_n = true; break; }
-        if (!has_n) per_read.emplace_back(s + j, wl);
+        Key k{};
+        if (ops.enc(s + j, wl, k)) per_read.push_back(std::move(k));
       }
       std::sort(per_read.begin(), per_read.end());
       per_read.erase(std::unique(per_read.begin(), per_read.end()),
@@ -1330,17 +1407,17 @@ extern "C" void* glue_asm_run(
   }
 
   // ---- _repeat_words: iterative Tarjan, sorted roots, ACGT succ ------
-  std::map<std::string, std::array<int32_t, 2>> index_of;
+  std::map<Key, std::array<int32_t, 2>> index_of;
   for (auto& kv : words) index_of[kv.first] = {0, 0};
-  std::set<std::string> repeats;
+  std::set<Key> repeats;
   {
-    std::vector<std::string> stack;
-    std::set<std::string> on_stack;
+    std::vector<Key> stack;
+    std::set<Key> on_stack;
     int32_t counter = 1;
     for (auto& root_kv : index_of) {
-      const std::string& root = root_kv.first;
+      const Key& root = root_kv.first;
       if (index_of[root][0] != 0) continue;
-      std::vector<std::pair<std::string, int32_t>> work;
+      std::vector<std::pair<Key, int32_t>> work;
       work.emplace_back(root, 0);
       index_of[root] = {counter, counter};
       counter++;
@@ -1348,12 +1425,15 @@ extern "C" void* glue_asm_run(
       on_stack.insert(root);
       while (!work.empty()) {
         auto& top = work.back();
-        const std::string w = top.first;
+        const Key w = top.first;
         const int32_t si = top.second;
         if (si < 4) {
           top.second = si + 1;
-          std::string nxt = w.substr(1) + ALPHA[si];
-          if (nxt == w) { repeats.insert(w); continue; }
+          const Key nxt = ops.succ(w, ALPHA[si]);
+          if (nxt == w) {
+            repeats.insert(w);
+            continue;
+          }
           auto it = index_of.find(nxt);
           if (it == index_of.end()) continue;
           if (it->second[0] == 0) {
@@ -1379,10 +1459,9 @@ extern "C" void* glue_asm_run(
             stack.pop_back();
             on_stack.erase(w);
           } else {
-            const bool small =
-                (index_of[stack.back()][0] - iw[0]) <= 50;
+            const bool small = (index_of[stack.back()][0] - iw[0]) <= 50;
             while (true) {
-              std::string rw = stack.back();
+              Key rw = stack.back();
               stack.pop_back();
               on_stack.erase(rw);
               if (small) repeats.insert(rw);
@@ -1394,7 +1473,7 @@ extern "C" void* glue_asm_run(
     }
   }
 
-  std::set<std::string> unused;
+  std::set<Key> unused;
   for (auto& kv : words)
     if (kv.second.count >= min_coverage) unused.insert(kv.first);
 
@@ -1403,24 +1482,29 @@ extern "C" void* glue_asm_run(
   int32_t normal_contig = 0;
   while (!unused.empty() && normal_contig < 2 * max_assembly_count) {
     // first max in sorted order
-    std::string max_word;
+    Key max_word{};
+    bool have_seed = false;
     int32_t max_count = 0;
     for (auto& w : unused) {
       const int32_t c = words[w].count;
-      if (c > max_count) { max_word = w; max_count = c; }
+      if (c > max_count) {
+        max_word = w;
+        max_count = c;
+        have_seed = true;
+      }
     }
+    if (!have_seed) break;  // unreachable (unused only holds count>=min)
     ctx->global_max_count = std::max(ctx->global_max_count, max_count);
 
     // ---- _walk -------------------------------------------------------
     Contig contig;
-    contig.seq = max_word;
+    contig.seq = ops.str(max_word);
     contig.word_length = wl;
     contig.support = words[max_word].reads;
     contig.reject = Bits(n_reads);
     contig.seed_read_count = contig.support.count();
-    contig.support.for_each([&](int rd) {
-      contig.actions.push_back({0, rd, 1});
-    });
+    contig.support.for_each(
+        [&](int rd) { contig.actions.push_back({0, rd, 1}); });
     unused.erase(max_word);
     bool is_repeat_found = false;
 
@@ -1429,21 +1513,20 @@ extern "C" void* glue_asm_run(
       contig.cons_end = wl;
       contig.ending[0] = 1;
       contig.ending[1] = 1;
-      is_repeat_found = true;
-      // note: Python returns the contig here with cons_end NOT
-      // re-derived (it returns before the final adjustment)
+      // the Python path returns before the final cons_end adjustment
       ctx->contigs.push_back(std::move(contig));
       if ((int32_t)ctx->contigs.back().seq.size() > wl) normal_contig++;
       ctx->success = 0;
       continue;
     }
 
-    std::set<std::string> words_in_contig{max_word};
+    std::set<Key> words_in_contig{max_word};
     {
-      const std::string trunk0 = max_word.substr(0, wl - 1);
+      const Key trunk0 = ops.front_trunk(max_word);
+      const char last_c = contig.seq[wl - 1];
       for (int a = 0; a < 4; a++) {
-        if (ALPHA[a] == max_word[wl - 1]) continue;
-        auto it = words.find(trunk0 + ALPHA[a]);
+        if (ALPHA[a] == last_c) continue;
+        auto it = words.find(ops.append(trunk0, ALPHA[a]));
         if (it != words.end()) bits_or(contig.reject, it->second.reads);
       }
     }
@@ -1455,22 +1538,25 @@ extern "C" void* glue_asm_run(
       kmer_index = 0;
       int32_t conservative_off = 0;
       while (true) {
-        const std::string previous_word =
-            at_end ? contig.seq.substr(contig.seq.size() - wl)
-                   : contig.seq.substr(0, wl);
-        const std::string trunk =
-            at_end ? contig.seq.substr(contig.seq.size() - (wl - 1))
-                   : contig.seq.substr(0, wl - 1);
+        const size_t cl = contig.seq.size();
+        // tmp_sym = first char of the trailing wl-window (at_end) or
+        // last char of the leading wl-window
+        const char tmp_sym =
+            at_end ? contig.seq[cl - wl] : contig.seq[wl - 1];
+        Key trunk{};
+        ops.enc(at_end ? contig.seq.data() + (cl - (wl - 1))
+                       : contig.seq.data(),
+                wl - 1, trunk);
         int32_t max_base_count = 0;
         Bits max_contig_word_reads(n_reads), max_word_reads(n_reads);
         bool have_max = false, have_max_wr = false;
-        std::string cur_max_word;
+        Key cur_max_word{};
         char max_base = 'A';
         Bits support_to_remove(n_reads), reject_to_add(n_reads);
 
         for (int a = 0; a < 4; a++) {
-          const std::string new_key =
-              at_end ? trunk + ALPHA[a] : ALPHA[a] + trunk;
+          const Key new_key = at_end ? ops.append(trunk, ALPHA[a])
+                                     : ops.prepend(ALPHA[a], trunk);
           auto it = words.find(new_key);
           if (it == words.end()) continue;
           const Bits& curr_reads = it->second.reads;
@@ -1521,12 +1607,10 @@ extern "C" void* glue_asm_run(
             max_base_count < min_conservative_coverage)
           conservative_off++;
 
-        const char tmp_sym = at_end ? previous_word[0]
-                                    : previous_word[wl - 1];
         for (int a = 0; a < 4; a++) {
           if (ALPHA[a] == tmp_sym) continue;
-          const std::string back_key =
-              at_end ? ALPHA[a] + trunk : trunk + ALPHA[a];
+          const Key back_key = at_end ? ops.prepend(ALPHA[a], trunk)
+                                      : ops.append(trunk, ALPHA[a]);
           if (back_key == cur_max_word) continue;
           auto it = words.find(back_key);
           if (it == words.end()) continue;
@@ -1575,6 +1659,35 @@ extern "C" void* glue_asm_run(
     if ((int32_t)contig.seq.size() > wl) normal_contig++;
     ctx->contigs.push_back(std::move(contig));
   }
+}
+
+}  // namespace asmN
+
+extern "C" void* glue_asm_run(
+    const uint8_t* blob, const int64_t* offs, int32_t n_reads,
+    const uint8_t* is_pseudo, int32_t wl, int32_t min_coverage,
+    int32_t min_conservative_coverage, int32_t max_assembly_count,
+    int32_t reject_read_reused) {
+  using namespace asmN;
+  auto* ctx = new AsmCtx();
+  bool packable = wl <= 31;
+  if (packable) {
+    const int64_t total = offs[n_reads];
+    for (int64_t i = 0; i < total && packable; i++) {
+      switch ((char)blob[i]) {
+        case 'A': case 'C': case 'G': case 'T': case 'N': break;
+        default: packable = false;
+      }
+    }
+  }
+  if (packable)
+    asm_run_impl<true>(ctx, blob, offs, n_reads, is_pseudo, wl,
+                       min_coverage, min_conservative_coverage,
+                       max_assembly_count, reject_read_reused);
+  else
+    asm_run_impl<false>(ctx, blob, offs, n_reads, is_pseudo, wl,
+                        min_coverage, min_conservative_coverage,
+                        max_assembly_count, reject_read_reused);
   return ctx;
 }
 
