@@ -49,6 +49,7 @@ from ..ops import extd2_pallas as epl
 from ..ops.ksw2_ref import NEG_INF, Ez
 from ..ops.seeding import (
     merge_expand_device,
+    merge_expand_device2,
     pack_reads,
     seed_reads,
     seed_reads2,
@@ -80,7 +81,8 @@ from .host_align import (
 # ---- fused device programs (one dispatch each; per-op dispatch latency
 # over a remote-chip link otherwise dominates the batch time) -------------
 
-def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext):
+def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
+                merge=1):
     if front in ("v5", "v5h"):
         # flat front: hits of the whole batch compacted onto one global
         # lane axis (~4x fewer extension lanes than (B, M) padding);
@@ -102,7 +104,8 @@ def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext):
         sb = seed_reads(didx, words, lens, mask, S0=S0, M=M,
                         n_ext_steps=n_ext,
                         ext_mode="slab" if front == "v3" else "steps")
-    es = merge_expand_device(sb, didx, S=S)
+    me = merge_expand_device2 if merge == 2 else merge_expand_device
+    es = me(sb, didx, S=S)
     stats3 = jnp.stack([
         sb.n_overflow,
         es.n_dropped.astype(jnp.int32),
@@ -112,10 +115,11 @@ def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("S0", "S", "M", "front", "n_ext"))
+    jax.jit, static_argnames=("S0", "S", "M", "front", "n_ext", "merge"))
 def _device_front(didx, words, lens, mask, S0, S, M=64, front="v2",
-                  n_ext=10):
-    return _front_body(didx, words, lens, mask, S0, S, M, front, n_ext)
+                  n_ext=10, merge=1):
+    return _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
+                       merge)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -131,14 +135,15 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_front(mesh, S0, S, M, front, n_ext):
+def _sharded_front(mesh, S0, S, M, front, n_ext, merge=1):
     """Data-parallel front over an ICI mesh: read rows sharded on the
     'data' axis, the RdBG index replicated per chip. Per-row outputs come
     back sharded; the engine's host glue is shard-agnostic."""
     from jax.sharding import PartitionSpec as P
 
     def body(didx, words, lens, mask):
-        return _front_body(didx, words, lens, mask, S0, S, M, front, n_ext)
+        return _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
+                           merge)
 
     return jax.jit(_shard_map(
         body, mesh,
@@ -384,6 +389,10 @@ class EngineConfig:
                                  # kept for A/B and CPU deployments
     native_glue: bool = True     # use native/engine_glue.cpp for the
                                  # collect/replay walks when built
+    merge: int = 1               # device merge/expand variant: 1 = gather
+                                 # at run first/last columns, 2 = segmented
+                                 # scans + compaction sort (bit-identical;
+                                 # pick by on-chip A/B)
     pipe_order: str = "late"     # align_stream next-front dispatch point:
                                  # "late" = after this batch's DP,
                                  # "early" = right after its chain program.
@@ -462,6 +471,7 @@ class AlignEngine:
         # wall-clock per engine phase, accumulated across batches; device
         # waits show up in the sync_* rows (dispatches are async)
         self.prof: dict[str, float] = defaultdict(float)
+        self._fallback_warned = False
 
     # ------------------------------------------------------------------
     def align_batch(self, seqs: list[str], oris: list[OriResult]) -> list[SingleEndState]:
@@ -690,14 +700,14 @@ class AlignEngine:
         M = max(cfg.mem_slots, (S0 + 1 + 15) // 16 * 16)
         if self.mesh is not None:
             fr = _sharded_front(self.mesh, S0, cfg.max_seeds, M,
-                                cfg.front, n_ext)
+                                cfg.front, n_ext, cfg.merge)
             es, stats3_dev = fr(self.didx, words, lens2, mask2)
             chain_spec = None
             is_str2 = None
         else:
             es, stats3_dev = _device_front(
                 self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds,
-                M=M, front=cfg.front, n_ext=n_ext,
+                M=M, front=cfg.front, n_ext=n_ext, merge=cfg.merge,
             )
             # the chain is dispatched speculatively in _finish_batch
             # (dispatching here would stall: the tunnel blocks a dispatch
@@ -793,6 +803,24 @@ class AlignEngine:
                 active.remove(i)
         self.prof["host_fallback"] += time.perf_counter() - t
         self.prof["n_fallback"] += len(fallback)
+        self.prof["n_reads"] += n
+        # telemetry threshold: a high fallback rate means the static
+        # shape caps (M/S/K) are undersized for this workload — the
+        # device path silently degrades to host speed, so say so once
+        nr = self.prof["n_reads"]
+        if (not self._fallback_warned and nr >= 4096
+                and self.prof["n_fallback"] > 0.05 * nr):
+            self._fallback_warned = True
+            import sys as _sys
+
+            print(
+                f"[pansvr engine] WARNING: {int(self.prof['n_fallback'])}"
+                f"/{int(nr)} reads ({100 * self.prof['n_fallback'] / nr:.1f}%)"
+                " took the host fallback path (seed-slot overflow/drops)."
+                " Throughput will degrade; consider raising"
+                " EngineConfig.mem_slots / max_seeds for this workload.",
+                file=_sys.stderr,
+            )
 
         if on_dp_dispatched is not None and cfg.pipe_order == "early":
             # "early" pipelining: queue the NEXT batch's device front
