@@ -117,6 +117,7 @@ class LoadedRead:
     xa_num: int
     rc_mapq: int
     rc_chr_id: int
+    rec: object = None  # source record view (for the -D detail channel)
 
 
 def _rec_to_loaded(rec, sv_infos) -> tuple[int, LoadedRead] | None:
@@ -168,6 +169,7 @@ def _rec_to_loaded(rec, sv_infos) -> tuple[int, LoadedRead] | None:
         has_cs=cs is not None,
         ori_unmapped=oa.rstrip(";").endswith("U"),
         xa_num=xa_num, rc_mapq=rc_mapq, rc_chr_id=rc_chr,
+        rec=rec,
     )
 
 
@@ -237,18 +239,24 @@ class SvReadIndex:
         self._rand.close()
 
 
-def read_score_filter(r: LoadedRead) -> bool:
-    """readScoreFilter (SignalAssembly.cpp:163-198) reduced to pass/fail."""
+def read_score_filter_reason(r: LoadedRead) -> str:
+    """readScoreFilter (SignalAssembly.cpp:163-198) with the reference's
+    SCORE_FILTER reason strings (cpp:142-157) — the -D detail channel
+    prints these verbatim."""
     if r.score < r.ori_score:
-        return False
+        return "SMALL_SCORE"
     if r.score == r.ori_score:
-        return False
+        return "SAME_SCORE"
     if r.score < r.ori_score + SCORE_DIFF_L1:
         if r.rc_mapq == 0 and r.xa_num > 2:
-            return False
+            return "XA_BIGGER_2"
         if r.rc_mapq == 0 and r.xa_num == 2 and r.rc_chr_id < 24:
-            return False
-    return True
+            return "XA_2"
+    return "SCORE_PASS"
+
+
+def read_score_filter(r: LoadedRead) -> bool:
+    return read_score_filter_reason(r) == "SCORE_PASS"
 
 
 @dataclass
@@ -420,18 +428,24 @@ class SvCaller:
                 if r.score < rsf_cut.get(r.pos >> 5, 0):
                     continue
                 self._add_depth(depth_counter, r)
-                if not read_score_filter(r):
+                verdict = read_score_filter_reason(r)
+                if o.print_detail:
+                    # the reference renders every read reaching the
+                    # score filter, pass or fail (output_reads call
+                    # site, SignalAssembly.cpp:327,352)
+                    self._print_read_line(r, verdict, info)
+                if verdict != "SCORE_PASS":
                     continue
                 bid = min(max((r.pos) // o.ab_block_size, 0), ab_n - 1)
                 blocks[bid].append((r, is_main))
 
+        if o.print_detail:
+            out = self.detail or sys.stderr
+            print(f"== SV {sv_id} read pileup ==", file=out)
         add_reads(reads, True)
         for other_id, other_reads in cluster_reads:
             if other_id != sv_id:
                 add_reads(other_reads, False)
-
-        if o.print_detail:
-            self._print_read_details(sv_id, blocks)
 
         # ---- per-block assembly + contig handling (DP deferred) --------
         global_depth = _GlobalDepth(sv_len, tseq)
@@ -470,48 +484,67 @@ class SvCaller:
                     global_depth=global_depth, pending=pending, tseq=tseq,
                     depth_counter=depth_counter)
 
-    def _print_read_details(self, sv_id: int, blocks):
-        """The reference's -D pileup rendering (output_reads,
-        SignalAssembly.cpp:200-223): one line per kept read — dashes up
-        to its contig offset, read bases for M, '-' for D/S, nothing for
-        I — followed by pos/offset and the raw sequence."""
+    def _print_read_line(self, r: LoadedRead, verdict: str, info):
+        """The reference's -D per-read rendering, field-for-field
+        (output_reads + print_info, SignalAssembly.cpp:200-223,958-989):
+        dash pileup from the adjusted cigar, then
+        `pos P offset O <SCORE_FILTER> qname tid pos fwd FIR/SEC
+        mapQ:N flag: N score: [AS, OS, CS][OA:..] [MV:..] [XA:..]
+        [RC:..]<cigar>\\t<seq>`."""
         out = self.detail or sys.stderr
-        print(f"== SV {sv_id} read pileup ==", file=out)
-        for blk in blocks:
-            for r, is_main in blk:
-                line = ["-"] * max(r.pos, 0)
-                seq_i = 0
-                off = r.pos
-                for op, ln in r.cigar:
-                    if op == "M":
-                        for _ in range(ln):
-                            if off >= 0:
-                                line.append(r.seq[seq_i]
-                                            if seq_i < len(r.seq) else "?")
-                            seq_i += 1
-                            off += 1
-                    elif op == "I":
-                        seq_i += ln
-                    elif op in ("D",):
-                        for _ in range(ln):
-                            if off >= 0:
-                                line.append("-")
-                            off += 1
-                    elif op == "N":
-                        for _ in range(ln):
-                            if off >= 0:
-                                line.append("N")
-                            seq_i += 1
-                            off += 1
-                    elif op == "S":
-                        for _ in range(ln):
-                            if off >= 0:
-                                line.append("-")
-                            seq_i += 1
-                            off += 1
-                print("".join(line)
-                      + f" pos {r.pos} main {int(is_main)} AS {r.score}"
-                      f" OS {r.ori_score} {r.seq}", file=out)
+        line = ["-"] * max(r.pos, 0)
+        seq_i = 0
+        off = r.pos
+        for op, ln in r.cigar:
+            if op == "M":
+                for _ in range(ln):
+                    if off >= 0:
+                        line.append(r.seq[seq_i]
+                                    if seq_i < len(r.seq) else "?")
+                    seq_i += 1
+                    off += 1
+            elif op == "I":
+                seq_i += ln
+            elif op == "D":
+                for _ in range(ln):
+                    if off >= 0:
+                        line.append("-")
+                    off += 1
+            elif op == "N":
+                for _ in range(ln):
+                    if off >= 0:
+                        line.append("N")
+                    seq_i += 1
+                    off += 1
+            elif op == "S":
+                for _ in range(ln):
+                    if off >= 0:
+                        line.append("-")
+                    seq_i += 1
+                    off += 1
+        bam_pos = info.st_pos - 1 + r.pos
+        rec = r.rec
+        if rec is not None:
+            tag = lambda t: (str(rec.get_tag(t))
+                             if rec.get_tag(t) is not None else "(null)")
+            cs = rec.get_tag("CS")
+            prologue = (
+                f"{rec.name} {rec.tid} {bam_pos} "
+                f"{int(not rec.is_reverse)} "
+                f"{'FIR' if rec.is_read1 else 'SEC'} "
+                f"mapQ:{rec.mapq} flag: {rec.flag} "
+                f"score: [{r.score}, {r.ori_score}, "
+                f"{cs if cs is not None else -1}]"
+                f"[OA:{tag('OA')}] [MV:{tag('MV')}] [XA:{tag('XA')}] "
+                f"[RC:{tag('RC')}]"
+            )
+        else:
+            prologue = (f"? ? {bam_pos} ? ? mapQ:{r.mapq} flag: ? "
+                        f"score: [{r.score}, {r.ori_score}, -1]")
+        cigar_s = "".join(f"{n}{op}" for op, n in r.cigar)
+        print("".join(line)
+              + f"pos {bam_pos} offset {r.pos} {verdict} "
+              + prologue + cigar_s + "\t" + r.seq, file=out)
 
     def _print_depth_detail(self, plan, gd: "_GlobalDepth"):
         """The reference's -d event-matrix dump: per-base event codes
