@@ -126,9 +126,10 @@ def run_pipeline(sv_vcf: str, genome_fa: str, bam: str, workdir: str,
     # ---- S3: signal extraction ------------------------------------------
     signal_fq = os.path.join(workdir, "signal.fq")
     with open(signal_fq, "w") as fh:
-        # depth normalization uses the reference's hardcoded 3.1 Gbp
-        # (HUMAN_GENOME_SIZE, getSignalRead.hpp:31) unless the config
-        # overrides it
+        # depth + isize quantiles come from the StatsManager region
+        # sampling (the reference overwrites its 3.1 Gbp-normalized
+        # depth with the sampled one, getSignalRead.hpp:171);
+        # cfg.genome_size only changes the non-converged fallback
         pre_stats = None
         if cfg.genome_size:
             from .signal.extract import compute_stats

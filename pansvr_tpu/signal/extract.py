@@ -70,9 +70,16 @@ class SignalStats:
 
 
 def compute_stats(bam_path: str, genome_size: float = 3.1e9,
-                  sample_limit: int = 100_000, ref=None) -> SignalStats:
-    """First-pass sampling: read length mode, depth estimate, isize
-    quantiles (1% / 50% / 99%) and the isize pmf between them."""
+                  sample_limit: int = 100_000, ref=None,
+                  use_manta: bool = True) -> SignalStats:
+    """BAM_STAT::sampling_analysis_stat (getSignalRead.hpp:123-174):
+    first-100k scan for the read-length mode and the two-sided-trim l2
+    isize bounds, then the Manta StatsManager region sampling for the
+    isize quantiles, pmf AND the depth estimate — the reference
+    unconditionally overwrites its genome-normalized depth with the
+    sampled spanned-region depth (hpp:171). When the sampling finds no
+    high-confidence pairs (tiny/abnormal inputs), the direct
+    proper-pair quantiles and genome_size-normalized depth stand in."""
     isize_hist = np.zeros(MAX_ISIZE, dtype=np.int64)
     len_hist = np.zeros(4096, dtype=np.int64)
     n = 0
@@ -135,6 +142,26 @@ def compute_stats(bam_path: str, genome_size: float = 3.1e9,
             float(isize_hist[i]) / denom
             for i in range(st.min_isize, st.max_isize)
         ]
+    if use_manta:
+        try:
+            from .stats_manager import StatsManager
+
+            sm = StatsManager().handle_bam(bam_path, ref=ref)
+            frag = sm.tracker.frag
+            hc = sm.tracker.counter.high_confidence_pairs
+            if frag.total > 0 and hc >= 100:
+                st.min_isize = sm.get_insert_len(0.01)
+                st.mid_isize = sm.get_insert_len(0.5)
+                st.max_isize = sm.get_insert_len(0.99)
+                denom = hc + 1
+                st.isize_distribution = [
+                    float(frag.counts.get(i, 0)) / denom
+                    for i in range(st.min_isize, st.max_isize)
+                ]
+                if sm.ave_depth > 0:
+                    st.ave_read_depth = sm.ave_depth
+        except Exception:
+            pass  # CRAM or malformed input: the direct estimates stand
     return st
 
 

@@ -235,14 +235,14 @@ class StatsManager:
         self.tracker = StatsTracker()
         self.ave_depth = 0.0
 
-    def handle_bam(self, bam_path: str):
-        from ..io.bam import BamReader
+    def handle_bam(self, bam_path: str, ref=None):
+        from ..io.alignment import open_alignment
 
         # our BAM layer is streaming, not region-seekable mid-estimation,
         # so the chromosome slices are simulated on the stream: records
         # before each chromosome's 20% start point are skipped, and a
         # BREAK skips records until the next slice start
-        with BamReader(bam_path) as rd:
+        with open_alignment(bam_path, ref=ref) as rd:
             lens = list(rd.header.ref_lens)
             start_at = [int(l * 0.2) for l in lens]
             skip_until: dict[int, int] = {}
