@@ -283,16 +283,32 @@ def _dp_pallas_body(qc, ql, tc, tl, params, W, interpret):
 
 def _dp_pack(ops, packed):
     """Fuse a DP chunk's (ops, packed) into one int8 buffer: one result
-    transfer round trip instead of two."""
+    transfer round trip instead of two. Backward op codes are 2 bits
+    (0=M 1=I 2=D 3=skip/terminal), so four ride per byte — the ops rows
+    are the bulk of the transfer and this link moves 40-75 MB/s."""
     B = ops.shape[0]
+    o = ops.reshape(B, -1).astype(jnp.uint8)
+    L = o.shape[1]
+    if L % 4:
+        o = jnp.concatenate(
+            [o, jnp.full((B, 4 - L % 4), 3, jnp.uint8)], axis=1)
+    o4 = o.reshape(B, -1, 4)
+    pk = (o4[:, :, 0] | (o4[:, :, 1] << 2) | (o4[:, :, 2] << 4)
+          | (o4[:, :, 3] << 6))
     return jnp.concatenate([
-        _b8(packed.astype(jnp.int32)), ops.reshape(B, -1).reshape(-1)
+        _b8(packed.astype(jnp.int32)),
+        jax.lax.bitcast_convert_type(pk.reshape(-1), jnp.int8),
     ])
 
 
 def _dp_unpack(buf: np.ndarray, B: int):
     packed = buf[: 32 * B].view(np.int32).reshape(8, B)
-    ops = buf[32 * B :].reshape(B, -1)
+    pk = buf[32 * B :].view(np.uint8).reshape(B, -1)
+    ops = np.empty((B, pk.shape[1] * 4), np.int8)
+    ops[:, 0::4] = pk & 3
+    ops[:, 1::4] = (pk >> 2) & 3
+    ops[:, 2::4] = (pk >> 4) & 3
+    ops[:, 3::4] = (pk >> 6) & 3
     return ops, packed
 
 
