@@ -39,8 +39,12 @@ def sharded_realign_front(mesh, didx, S0: int, S: int):
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     from ..ops.seeding import merge_expand_device, seed_reads
 
@@ -55,12 +59,15 @@ def sharded_realign_front(mesh, didx, S0: int, S: int):
         total = jax.lax.psum(es.valid.sum(), "data")
         return es, stats3, total
 
-    sharded = shard_map(
-        step, mesh=mesh,
+    kw = dict(
+        mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
         out_specs=(P("data"), P(None, "data"), P()),
-        check_rep=False,
     )
+    try:
+        sharded = shard_map(step, check_rep=False, **kw)
+    except TypeError:  # jax.shard_map dropped check_rep
+        sharded = shard_map(step, **kw)
     return jax.jit(sharded)
 
 
