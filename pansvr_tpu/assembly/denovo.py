@@ -41,6 +41,19 @@ from ..ops import ksw2_ref
 from ..utils import dna
 from .assembler import AssemblyManager
 
+
+def _dp(qseq, tseq, **params):
+    """One DP via the native C++ extd2 kernel when built (bit-identical
+    to ksw2_ref, fuzz-tested), else the Python oracle."""
+    from ..align import native_glue
+
+    lib = native_glue.get_lib()
+    if lib is not None:
+        ez = native_glue.extd2_native(lib, qseq, tseq, **params)
+        if ez is not None:
+            return ez
+    return ksw2_ref.extd2(qseq, tseq, **params)
+
 # RST states (sve.hpp:27-30)
 BEGIN, END, SOLID, UNKNOWN = 0, 1, 2, 3
 SV_TYPES = ("DEL", "DUP", "INS", "INV_1", "INV_2", "TRA", "TRA_INV")
@@ -519,7 +532,7 @@ class DeNovoCaller:
             return None
         q = dna.fill_n(dna.encode(contig.seq))
         t = dna.fill_n(dna.encode(ref_seq))
-        ez = ksw2_ref.extd2(q, t, match=2, mismatch=-12, q=16, e=1,
+        ez = _dp(q, t, match=2, mismatch=-12, q=16, e=1,
                             q2=32, e2=0, w=500, zdrop=-1)
         span_lo = min(bp1, bp2) - 50 - lo
         span_hi = max(bp1, bp2) + 50 - lo
@@ -556,7 +569,7 @@ class DeNovoCaller:
 
         best = pick_sv(ez.cigar)
         if best is None:
-            ez2 = ksw2_ref.extd2((q[::-1] ^ 3), t, match=2, mismatch=-12,
+            ez2 = _dp((q[::-1] ^ 3), t, match=2, mismatch=-12,
                                  q=16, e=1, q2=32, e2=0, w=500, zdrop=-1)
             best = pick_sv(ez2.cigar)
             if best is not None:
@@ -690,18 +703,18 @@ class DeNovoCaller:
                 q = dna.fill_n(dna.encode(contig.seq))
                 t = dna.fill_n(dna.encode(inv_hap))
                 best_inv = max(
-                    ksw2_ref.extd2(q, t, match=2, mismatch=-12, q=16, e=1,
+                    _dp(q, t, match=2, mismatch=-12, q=16, e=1,
                                    q2=32, e2=0, w=500, zdrop=-1).max,
-                    ksw2_ref.extd2((q[::-1] ^ 3), t, match=2, mismatch=-12,
+                    _dp((q[::-1] ^ 3), t, match=2, mismatch=-12,
                                    q=16, e=1, q2=32, e2=0, w=500,
                                    zdrop=-1).max,
                 )
                 ref_hap = left + seg
                 t2 = dna.fill_n(dna.encode(ref_hap))
                 best_ref = max(
-                    ksw2_ref.extd2(q, t2, match=2, mismatch=-12, q=16, e=1,
+                    _dp(q, t2, match=2, mismatch=-12, q=16, e=1,
                                    q2=32, e2=0, w=500, zdrop=-1).max,
-                    ksw2_ref.extd2((q[::-1] ^ 3), t2, match=2, mismatch=-12,
+                    _dp((q[::-1] ^ 3), t2, match=2, mismatch=-12,
                                    q=16, e=1, q2=32, e2=0, w=500,
                                    zdrop=-1).max,
                 )
@@ -894,7 +907,7 @@ class DeNovoCaller:
         if wrong < 6:
             sc = (search - wrong) * self.MATCH - wrong * self.MISMATCH
             return sc, skip_left, skip_right
-        ez = ksw2_ref.extd2(
+        ez = _dp(
             q, contig_codes[st : st + tlen],
             match=self.MATCH, mismatch=-self.MISMATCH,
             q=24, e=2, q2=32, e2=1, w=30, zdrop=62,
