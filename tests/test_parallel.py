@@ -130,6 +130,58 @@ def test_sv_fanout_matches_inline(tmp_path):
     assert inline and fanned == inline
 
 
+def test_multichrom_pipeline_and_fanout(tmp_path):
+    """Multi-chromosome world (the reference shards fc_sv by chromosome,
+    panSVR_run.sh:61-91): calls land on the right chromosomes and the
+    3-shard fan-out reproduces the inline run exactly."""
+    from pansvr_tpu.io.fasta import write_fasta
+    from pansvr_tpu.io.vcf import VCFReader, VCFWriter, minimal_header
+    from pansvr_tpu.parallel.fanout import run_sv_fanout
+    from pansvr_tpu.pipeline import PipelineConfig, run_pipeline
+    from pansvr_tpu.utils.simulate import make_dataset, write_sim_bam
+
+    ds = make_dataset(
+        seed=81, n_sv=6, n_pairs=2400, types=("DEL", "INS"),
+        chrom_lengths={"chr1": 120_000, "chr2": 100_000, "chr3": 90_000},
+        err_rate=0.0,
+    )
+    genome_fa = str(tmp_path / "genome.fa")
+    write_fasta(genome_fa, ds.genome.items(), width=60)
+    vcf = str(tmp_path / "svs.vcf")
+    w = VCFWriter(vcf, minimal_header(
+        [(c, len(s)) for c, s in ds.genome.items()]))
+    for r in ds.vcf_records:
+        w.write(r)
+    w.close()
+    bam = str(tmp_path / "sim.bam")
+    write_sim_bam(ds, bam)
+
+    work = str(tmp_path / "work")
+    inline_vcf = run_pipeline(vcf, genome_fa, bam, work,
+                              PipelineConfig(first_level_bases=11))
+    with VCFReader(inline_vcf) as rd:
+        inline = [(r.chrom, r.pos1, r.ref, tuple(r.alts), r.info)
+                  for r in rd]
+    assert inline, "no calls on the multi-chromosome world"
+    called_chroms = {c for c, *_ in inline}
+    planted_chroms = {s.chrom for s in ds.svs}
+    assert len(called_chroms & planted_chroms) >= 2, (
+        f"calls only on {called_chroms}, planted on {planted_chroms}")
+    # positions must be valid for their chromosome
+    for c, pos1, *_ in inline:
+        assert 0 < pos1 <= len(ds.genome[c])
+
+    merged = run_sv_fanout(
+        f"{work}/anchors.fa", f"{work}/realigned.bam", genome_fa,
+        str(tmp_path / "fanout.vcf"), n_shards=3,
+        status_file=f"{work}/status.txt",
+    )
+    with VCFReader(merged) as rd:
+        fanned = [(r.chrom, r.pos1, r.ref, tuple(r.alts), r.info)
+                  for r in rd]
+    assert fanned == inline
+
+
 def test_region_sharding_covers_all():
     seen = []
     for s in range(5):
