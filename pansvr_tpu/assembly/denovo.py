@@ -610,6 +610,27 @@ class DeNovoCaller:
             alt_allele = anchor + ins_seq
             svlen = ln
             end = bp0
+            # tandem-duplication classification (the reference's DR DUP
+            # sve type, sve.hpp:18-24): an insertion whose sequence
+            # matches the adjacent reference on either side is a DUP of
+            # that segment — emitted as <DUP> spanning it
+            for seg_lo, seg_hi in ((bp0 - ln, bp0), (bp0, bp0 + ln)):
+                if seg_lo < 0:
+                    continue
+                seg = self.genome.fetch(chrom, seg_lo, seg_hi)
+                if len(seg) != ln:
+                    continue
+                mism = sum(1 for a, b in zip(seg, ins_seq) if a != b)
+                if mism <= max(2, ln // 50):
+                    svt = "DUP"
+                    bp0 = seg_lo
+                    anchor0 = max(bp0 - 1, 0)
+                    anchor = self.genome.fetch(
+                        chrom, anchor0, anchor0 + 1) or "N"
+                    ref_allele = anchor
+                    alt_allele = "<DUP>"
+                    end = seg_hi
+                    break
         rec = VCFRecord(
             chrom=chrom, pos1=anchor0 + 1, id=f"nova.{svt}.{anchor0}",
             ref=ref_allele, alts=[alt_allele], qual=".", filter="PASS",
@@ -1058,10 +1079,25 @@ def _dedupe_by_proximity(records: list[VCFRecord]) -> list[VCFRecord]:
     different types."""
     kept: dict[tuple, list[int]] = {}
     out = []
+    dup_spans: dict[str, list[tuple[int, int]]] = {}
+    for r in sorted(records, key=lambda r: (r.chrom, r.pos1)):
+        if r.sv_type == "DUP":
+            try:
+                dup_spans.setdefault(r.chrom, []).append(
+                    (r.pos1, int(r.info.get("END", r.pos1))))
+            except (TypeError, ValueError):
+                pass
     for r in sorted(records, key=lambda r: (r.chrom, r.pos1)):
         key = (r.chrom, r.sv_type)
         positions = kept.setdefault(key, [])
         if positions and abs(positions[-1] - r.pos1) <= 20:
+            continue
+        # an INS at either breakpoint of a kept DUP is the same tandem
+        # event seen from the other side — suppress the echo
+        if r.sv_type == "INS" and any(
+            abs(r.pos1 - lo) <= 20 or abs(r.pos1 - hi) <= 20
+            for lo, hi in dup_spans.get(r.chrom, ())
+        ):
             continue
         positions.append(r.pos1)
         out.append(r)

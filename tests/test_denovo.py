@@ -50,6 +50,37 @@ def test_denovo_genotypes_reported(world):
         assert gt in ("0/1", "1/1", "./.")
 
 
+def test_denovo_classifies_tandem_duplications(tmp_path):
+    """Short tandem DUPs must come back typed DUP (insertion sequence
+    matching the adjacent reference) with the other-breakpoint INS echo
+    suppressed; longer ones may stay clip-truncated INS."""
+    from pansvr_tpu.io.fasta import Faidx, write_fasta
+
+    ds = make_dataset(seed=140, n_sv=4, n_pairs=3000, types=("DUP",),
+                      chrom_lengths={"chr1": 250_000}, err_rate=0.0)
+    genome_fa = str(tmp_path / "genome.fa")
+    write_fasta(genome_fa, ds.genome.items(), width=60)
+    bam = str(tmp_path / "sim.bam")
+    write_sim_bam(ds, bam)
+    recs = DeNovoCaller(Faidx(genome_fa)).call_bam(bam)
+    dups = [r for r in recs if r.sv_type == "DUP"]
+    assert dups, "no DUP-typed calls"
+    hits = 0
+    for sv in ds.svs:
+        for r in dups:
+            if abs(r.pos1 - sv.pos1) <= 20 and abs(r.sv_len - sv.length) <= 10:
+                hits += 1
+                break
+    assert hits >= 1
+    # every planted DUP has SOME call near a breakpoint (DUP or INS)
+    for sv in ds.svs:
+        assert any(
+            abs(r.pos1 - sv.pos1) <= 80
+            or abs(r.pos1 - (sv.pos1 + sv.length)) <= 80
+            for r in recs
+        ), f"nothing near planted DUP at {sv.pos1}"
+
+
 def test_denovo_emits_bnd_for_translocations(tmp_path):
     """Inter-chromosomal discordant pairs must surface as paired-breakend
     BND records (the reference's TRA sve type)."""
