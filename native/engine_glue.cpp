@@ -1751,3 +1751,261 @@ extern "C" void glue_asm_copy(void* vctx, uint8_t* seq_blob,
 }
 
 extern "C" void glue_asm_free(void* vctx) { delete (asmN::AsmCtx*)vctx; }
+
+// ---------------------------------------------------------------------
+// fc_sv record loading: the native form of sv_call._rec_to_loaded
+// (signalSAMLoader.hpp:117-157 semantics) over raw BAM record bodies —
+// tag extraction (AS/OS/CS/SV/OA/RC), cigar_adjust(4, add_blank), the
+// region-2 position shift and the 4-bit seq decode in one pass.
+//
+// sv_meta: (n_sv, 5) int32 rows [st_pos, ed_pos, bp1, bp2, length];
+// sv_types: (n_sv) uint8, 0=INS 1=DEL 2=other.
+// nums: (n, 12) int32 [keep, sv_id, contig_pos, mapq, AS, OS, has_cs,
+//                      ori_unmapped, xa_num, rc_mapq, rc_chr, n_cigar];
+// full=0 fills nums only (the loader's index pass); full=1 also writes
+// the adjusted cigar runs (ops 'MIDNSHP=X' codes) and ASCII seq blobs.
+extern "C" void glue_sv_load(
+    const uint8_t* blob, const int64_t* offs, int32_t n,
+    const int32_t* sv_meta, const uint8_t* sv_types, int32_t n_sv,
+    int32_t min_score, int32_t full, int32_t* nums, uint8_t* cig_ops,
+    int32_t* cig_lens, int64_t* cig_off, uint8_t* seq_blob,
+    int64_t* seq_off) {
+  static const char SEQ16[] = "=ACMGRSVTWYHKDBN";
+  int64_t co = 0, so = 0;
+  for (int32_t i = 0; i < n; i++) {
+    int32_t* c12 = nums + (int64_t)i * 12;
+    std::memset(c12, 0, 12 * sizeof(int32_t));
+    if (full) {
+      cig_off[i] = co;
+      seq_off[i] = so;
+    }
+    const uint8_t* b = blob + offs[i];
+    const uint8_t* end = blob + offs[i + 1];
+    int32_t pos, l_seq, isize;
+    std::memcpy(&pos, b + 4, 4);
+    const int32_t l_name = b[8];
+    const int32_t mapq = b[9];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, b + 12, 2);
+    std::memcpy(&l_seq, b + 16, 4);
+    std::memcpy(&isize, b + 28, 4);
+    const uint8_t* cg = b + 32 + l_name;
+    const uint8_t* sq = cg + 4 * n_cigar;
+    const uint8_t* t = sq + (l_seq + 1) / 2 + l_seq;
+
+    // ---- aux walk --------------------------------------------------
+    int32_t as_v = 0, os_v = 0;
+    bool has_as = false, has_cs = false, has_sv = false;
+    int32_t sv_id = -1;
+    bool oa_unmapped = false;
+    int32_t xa_num = 0, rc_mapq = 60, rc_chr = 0;
+    while (t + 3 <= end) {
+      const uint8_t t0 = t[0], t1 = t[1];
+      const char ty = (char)t[2];
+      t += 3;
+      int64_t adv;
+      int32_t ival = 0;
+      bool is_int = false;
+      switch (ty) {
+        case 'A': adv = 1; break;
+        case 'c': ival = *(const int8_t*)t; is_int = true; adv = 1; break;
+        case 'C': ival = *t; is_int = true; adv = 1; break;
+        case 's': { int16_t v; std::memcpy(&v, t, 2); ival = v;
+                    is_int = true; adv = 2; break; }
+        case 'S': { uint16_t v; std::memcpy(&v, t, 2); ival = v;
+                    is_int = true; adv = 2; break; }
+        case 'i': case 'I': std::memcpy(&ival, t, 4); is_int = true;
+                            adv = 4; break;
+        case 'f': adv = 4; break;
+        case 'Z': case 'H': {
+          const uint8_t* z = t;
+          while (z < end && *z) z++;
+          adv = z - t + 1;
+          break;
+        }
+        case 'B': {
+          if (t + 5 > end) { adv = end - t; break; }
+          uint32_t cnt;
+          std::memcpy(&cnt, t + 1, 4);
+          int32_t esz;
+          switch ((char)t[0]) {
+            case 'c': case 'C': esz = 1; break;
+            case 's': case 'S': esz = 2; break;
+            default: esz = 4; break;
+          }
+          adv = 5 + (int64_t)cnt * esz;
+          break;
+        }
+        default: adv = end - t; break;
+      }
+      if (t0 == 'A' && t1 == 'S' && is_int) { as_v = ival; has_as = true; }
+      else if (t0 == 'O' && t1 == 'S' && is_int) os_v = ival;
+      else if (t0 == 'C' && t1 == 'S') has_cs = true;
+      else if (t0 == 'S' && t1 == 'V' && (ty == 'Z' || ty == 'H')) {
+        has_sv = true;
+        sv_id = 0;
+        for (const uint8_t* z = t; z < end && *z >= '0' && *z <= '9'; z++)
+          sv_id = sv_id * 10 + (*z - '0');
+      } else if (t0 == 'O' && t1 == 'A' && (ty == 'Z' || ty == 'H')) {
+        const uint8_t* z = t;
+        while (z < end && *z) z++;
+        while (z > t && z[-1] == ';') z--;  // rstrip(';')
+        oa_unmapped = (z > t && z[-1] == 'U');
+      } else if (t0 == 'R' && t1 == 'C' && (ty == 'Z' || ty == 'H')) {
+        // split on ',' and int() fields 0/4/6 like the Python
+        // (ValueError on any of the three -> keep all defaults); the
+        // other fields' content is irrelevant. Needs >= 7 fields.
+        const uint8_t* fst[8];
+        const uint8_t* fen[8];
+        int fi = 0;
+        const uint8_t* z = t;
+        fst[0] = z;
+        for (; z < end && *z; z++) {
+          if (*z == ',') {
+            fen[fi++] = z;
+            if (fi >= 8) break;
+            fst[fi] = z + 1;
+          }
+        }
+        if (fi < 8) fen[fi++] = z;
+        if (fi >= 7) {
+          auto to_int = [](const uint8_t* s, const uint8_t* e,
+                           int32_t* out) -> bool {
+            if (s >= e) return false;
+            bool neg = false;
+            if (*s == '-' || *s == '+') { neg = (*s == '-'); s++; }
+            if (s >= e) return false;
+            int64_t acc = 0;
+            for (; s < e; s++) {
+              if (*s < '0' || *s > '9') return false;
+              acc = acc * 10 + (*s - '0');
+            }
+            *out = (int32_t)(neg ? -acc : acc);
+            return true;
+          };
+          int32_t v0, v4, v6;
+          if (to_int(fst[0], fen[0], &v0) && to_int(fst[4], fen[4], &v4)
+              && to_int(fst[6], fen[6], &v6)) {
+            rc_chr = v0;
+            rc_mapq = v4;
+            xa_num = v6;
+          }
+        }
+      }
+      t += adv;
+    }
+    (void)has_as;
+
+    if (!has_sv || (!has_cs && isize == 0) || sv_id >= n_sv || sv_id < 0
+        || as_v < min_score) {
+      continue;  // keep stays 0
+    }
+    if (n_cigar > 512) {  // beyond the fixed scratch: caller redoes in Python
+      c12[0] = 2;
+      c12[1] = sv_id;
+      continue;
+    }
+
+    // ---- cigar_adjust(4, add_blank=true) ---------------------------
+    // ops layout: code 'MIDNSHP=X' index + length
+    constexpr int32_t DST = 4;
+    int32_t op_code[512];
+    int32_t op_len[512];
+    const int32_t nc = n_cigar > 512 ? 512 : n_cigar;
+    for (int32_t k = 0; k < nc; k++) {
+      uint32_t cv;
+      std::memcpy(&cv, cg + 4 * k, 4);
+      op_code[k] = (int32_t)(cv & 0xF);
+      op_len[k] = (int32_t)(cv >> 4);
+    }
+    int32_t cur_n = nc;
+    int32_t position_adjust = 0;
+    {
+      int32_t m_len = 0, stable = 0;
+      for (int32_t k = 0; k < cur_n; k++) {
+        if (op_code[k] == 0) {  // M
+          if (op_len[k] > DST) { stable = k; break; }
+          m_len += op_len[k];
+        }
+      }
+      if (stable != 0) {
+        position_adjust = m_len;
+        int32_t ins = m_len;
+        for (int32_t k = 0; k < stable; k++) {
+          if (op_code[k] == 1) ins += op_len[k];       // I
+          else if (op_code[k] == 2) position_adjust += op_len[k];  // D
+        }
+        int32_t w = 0;
+        if (ins != 0) { op_code[w] = 1; op_len[w] = ins; w++; }
+        for (int32_t k = stable; k < cur_n; k++, w++) {
+          op_code[w] = op_code[k];
+          op_len[w] = op_len[k];
+        }
+        cur_n = w;
+      }
+    }
+    {
+      int32_t m_len = 0, stable = 0;
+      for (int32_t k = cur_n - 1; k >= 0; k--) {
+        if (op_code[k] == 0) {
+          if (m_len + op_len[k] > DST) { stable = k; break; }
+          m_len += op_len[k];
+        }
+      }
+      if (stable != cur_n - 1) {
+        int32_t ins = m_len;
+        for (int32_t k = cur_n - 1; k > stable; k--)
+          if (op_code[k] == 1) ins += op_len[k];
+        cur_n = stable + 1;
+        if (ins != 0) { op_code[cur_n] = 1; op_len[cur_n] = ins; cur_n++; }
+      }
+    }
+    // add_blank: pad with zero-length M back to the original count
+    for (int32_t k = cur_n; k < nc; k++) { op_code[k] = 0; op_len[k] = 0; }
+    cur_n = nc;
+
+    // ---- region-2 shift + contig position --------------------------
+    const int32_t* m5 = sv_meta + (int64_t)sv_id * 5;
+    const int32_t st_pos = m5[0], ed_pos = m5[1], bp1 = m5[2],
+                  bp2 = m5[3], length = m5[4];
+    int32_t p = pos + position_adjust;
+    if (!has_cs && bp2 < p && p < ed_pos) {
+      int32_t adj = 0;
+      if (sv_types[sv_id] == 0)
+        adj = length - (bp1 - st_pos) - (ed_pos - bp2);
+      else if (sv_types[sv_id] == 1)
+        adj = bp1 - bp2;
+      p += adj;
+    }
+
+    c12[0] = 1;
+    c12[1] = sv_id;
+    c12[2] = p - (st_pos - 1);
+    c12[3] = mapq;
+    c12[4] = as_v;
+    c12[5] = os_v;
+    c12[6] = has_cs ? 1 : 0;
+    c12[7] = oa_unmapped ? 1 : 0;
+    c12[8] = xa_num;
+    c12[9] = rc_mapq;
+    c12[10] = rc_chr;
+    c12[11] = cur_n;
+
+    if (full) {
+      for (int32_t k = 0; k < cur_n; k++) {
+        cig_ops[co + k] = (uint8_t)op_code[k];
+        cig_lens[co + k] = op_len[k];
+      }
+      co += cur_n;
+      for (int32_t k = 0; k < l_seq; k++) {
+        const uint8_t code = (k & 1) ? (sq[k >> 1] & 0xF) : (sq[k >> 1] >> 4);
+        seq_blob[so + k] = (uint8_t)SEQ16[code];
+      }
+      so += l_seq;
+    }
+  }
+  if (full) {
+    cig_off[n] = co;
+    seq_off[n] = so;
+  }
+}

@@ -85,6 +85,14 @@ def get_lib():
         except AttributeError:
             pass  # older built library without the signal scan
         try:
+            lib.glue_sv_load.argtypes = [
+                _u8, _i64, ctypes.c_int32, _i32, _u8, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, _i32, _u8, _i32, _i64,
+                _u8, _i64,
+            ]
+        except AttributeError:
+            pass  # older built library without the sv loader
+        try:
             lib.glue_asm_run.restype = ctypes.c_void_p
             lib.glue_asm_run.argtypes = [
                 _u8, _i64, ctypes.c_int32, _u8, ctypes.c_int32,
@@ -170,6 +178,46 @@ def signal_scan(lib, blob: bytes, offs: np.ndarray, *, min_isize: int,
         _p(cols, _i32), _p(mate, _i32), _p(verdict, _i32), _p(reason, _i32),
     )
     return cols, mate, verdict, reason
+
+
+def sv_load(lib, blob: bytes, offs: np.ndarray, sv_meta: np.ndarray,
+            sv_types: np.ndarray, min_score: int, full: bool):
+    """Native fc_sv record conversion (tags + cigar_adjust + seq decode)
+    over raw record bodies. Returns (nums (n,12) int32, cig_ops,
+    cig_lens, cig_off, seq_bytes, seq_off) — the cigar/seq outputs are
+    None when full=False. None when the library predates it."""
+    if not hasattr(lib, "glue_sv_load"):
+        return None
+    n = len(offs) - 1
+    blob_a = np.frombuffer(blob, np.uint8)
+    offs = np.ascontiguousarray(offs, np.int64)
+    nums = np.zeros((max(n, 1), 12), np.int32)
+    if full:
+        total = int(offs[-1])
+        cap_cig = max(total // 4, 1)
+        cap_seq = max(2 * total, 1)
+        cig_ops = np.zeros(cap_cig, np.uint8)
+        cig_lens = np.zeros(cap_cig, np.int32)
+        cig_off = np.zeros(n + 1, np.int64)
+        seq_blob = np.zeros(cap_seq, np.uint8)
+        seq_off = np.zeros(n + 1, np.int64)
+    else:
+        cig_ops = np.zeros(1, np.uint8)
+        cig_lens = np.zeros(1, np.int32)
+        cig_off = np.zeros(max(n + 1, 2), np.int64)
+        seq_blob = np.zeros(1, np.uint8)
+        seq_off = np.zeros(max(n + 1, 2), np.int64)
+    lib.glue_sv_load(
+        _p(blob_a, _u8), _p(offs, _i64), n,
+        _p(np.ascontiguousarray(sv_meta, np.int32), _i32),
+        _p(np.ascontiguousarray(sv_types, np.uint8), _u8),
+        sv_meta.shape[0], min_score, 1 if full else 0,
+        _p(nums, _i32), _p(cig_ops, _u8), _p(cig_lens, _i32),
+        _p(cig_off, _i64), _p(seq_blob, _u8), _p(seq_off, _i64),
+    )
+    if not full:
+        return nums, None, None, None, None, None
+    return nums, cig_ops, cig_lens, cig_off, seq_blob.tobytes(), seq_off
 
 
 def asm_build_contigs(lib, reads: list, is_pseudo: list, wl: int,

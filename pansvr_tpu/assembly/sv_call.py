@@ -120,6 +120,22 @@ class LoadedRead:
     rec: object = None  # source record view (for the -D detail channel)
 
 
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+def _sv_meta_arrays(sv_infos):
+    """Flat per-SV metadata for the native loader (glue_sv_load)."""
+    n = len(sv_infos)
+    meta = np.zeros((max(n, 1), 5), np.int32)
+    types = np.full(max(n, 1), 2, np.uint8)
+    for i, info in enumerate(sv_infos):
+        meta[i] = (info.st_pos, info.ed_pos, info.bp1, info.bp2,
+                   info.length)
+        types[i] = 0 if info.sv_type == "INS" else (
+            1 if info.sv_type == "DEL" else 2)
+    return meta, types
+
+
 def _rec_to_loaded(rec, sv_infos) -> tuple[int, LoadedRead] | None:
     """signalSAMLoader per-record semantics: keep reads with AS >=
     min_score (checked by callers) and an SV tag, cigar_adjust(4,
@@ -197,28 +213,63 @@ class SvReadIndex:
     O(region) instead of O(file) (signalSAMLoader.hpp:79-157 contract)."""
 
     def __init__(self, bam_path: str, sv_infos: list, min_score: int = 50):
+        from ..align import native_glue
         from ..io.bam import BamRandomReader, BamReaderOffsets
 
         self.sv_infos = sv_infos
         self.min_score = min_score
         self.spans: dict[int, list[tuple[int, int]]] = {}
+        self._lib = native_glue.get_lib()
+        if self._lib is not None and not hasattr(self._lib, "glue_sv_load"):
+            self._lib = None
+        self._meta, self._types = _sv_meta_arrays(sv_infos)
         rd = BamReaderOffsets(bam_path)
         try:
-            for uoff, ln, rec in rd.iter_with_spans():
-                if (rec.get_tag("AS") or 0) < min_score:
-                    continue
-                sv_tag = rec.get_tag("SV")
-                if sv_tag is None:
-                    continue
-                if rec.get_tag("CS") is None and rec.isize == 0:
-                    continue
-                sv_id = int(str(sv_tag).split("_")[0])
-                if sv_id >= len(sv_infos):
-                    continue
-                self.spans.setdefault(sv_id, []).append((uoff, ln))
+            if self._lib is not None:
+                self._index_native(rd)
+            else:
+                for uoff, ln, rec in rd.iter_with_spans():
+                    if (rec.get_tag("AS") or 0) < min_score:
+                        continue
+                    sv_tag = rec.get_tag("SV")
+                    if sv_tag is None:
+                        continue
+                    if rec.get_tag("CS") is None and rec.isize == 0:
+                        continue
+                    sv_id = int(str(sv_tag).split("_")[0])
+                    if sv_id >= len(sv_infos):
+                        continue
+                    self.spans.setdefault(sv_id, []).append((uoff, ln))
         finally:
             rd.close()
         self._rand = BamRandomReader(bam_path)
+
+    def _index_native(self, rd, block=100_000):
+        """Index pass over raw bodies in one native call per block."""
+        from ..align import native_glue
+
+        bodies: list[bytes] = []
+        spans: list[tuple[int, int]] = []
+
+        def flush():
+            if not bodies:
+                return
+            offs = np.zeros(len(bodies) + 1, np.int64)
+            np.cumsum([len(b) for b in bodies], out=offs[1:])
+            nums, *_ = native_glue.sv_load(
+                self._lib, b"".join(bodies), offs, self._meta, self._types,
+                self.min_score, full=False)
+            for i in np.nonzero(nums[:, 0])[0]:
+                self.spans.setdefault(int(nums[i, 1]), []).append(spans[i])
+            bodies.clear()
+            spans.clear()
+
+        for uoff, ln, body in rd.iter_bodies_with_spans():
+            bodies.append(body)
+            spans.append((uoff, ln))
+            if len(bodies) >= block:
+                flush()
+        flush()
 
     def sv_ids(self):
         return sorted(self.spans)
@@ -226,13 +277,53 @@ class SvReadIndex:
     def get(self, sv_id: int, default=None):
         if sv_id not in self.spans:
             return default if default is not None else []
-        out = []
-        for uoff, ln in self.spans[sv_id]:
-            rec = self._rand.record_at(uoff, ln)
-            conv = _rec_to_loaded(rec, self.sv_infos)
-            if conv is not None:
-                out.append(conv[1])
+        if self._lib is not None:
+            out = self._get_native(sv_id)
+        else:
+            out = []
+            for uoff, ln in self.spans[sv_id]:
+                rec = self._rand.record_at(uoff, ln)
+                conv = _rec_to_loaded(rec, self.sv_infos)
+                if conv is not None:
+                    out.append(conv[1])
         out.sort(key=lambda r: r.pos)
+        return out
+
+    def _get_native(self, sv_id: int):
+        from ..align import native_glue
+        from ..io.bam import LazyBamRecord
+
+        bodies = [self._rand.read_span(uoff, ln)[4:]
+                  for uoff, ln in self.spans[sv_id]]
+        offs = np.zeros(len(bodies) + 1, np.int64)
+        np.cumsum([len(b) for b in bodies], out=offs[1:])
+        nums, cig_ops, cig_lens, cig_off, seq_bytes, seq_off = \
+            native_glue.sv_load(
+                self._lib, b"".join(bodies), offs, self._meta, self._types,
+                self.min_score, full=True)
+        out = []
+        for i in range(len(bodies)):
+            keep = int(nums[i, 0])
+            if keep == 0:
+                continue
+            if keep == 2:  # >512 cigar ops: exact Python fallback
+                conv = _rec_to_loaded(LazyBamRecord(bodies[i]),
+                                      self.sv_infos)
+                if conv is not None:
+                    out.append(conv[1])
+                continue
+            c0, c1 = int(cig_off[i]), int(cig_off[i + 1])
+            cig = [(_CIGAR_OPS[cig_ops[k]], int(cig_lens[k]))
+                   for k in range(c0, c1)]
+            out.append(LoadedRead(
+                pos=int(nums[i, 2]), cigar=cig,
+                seq=seq_bytes[seq_off[i]:seq_off[i + 1]].decode(),
+                mapq=int(nums[i, 3]), score=int(nums[i, 4]),
+                ori_score=int(nums[i, 5]), has_cs=bool(nums[i, 6]),
+                ori_unmapped=bool(nums[i, 7]), xa_num=int(nums[i, 8]),
+                rc_mapq=int(nums[i, 9]), rc_chr_id=int(nums[i, 10]),
+                rec=LazyBamRecord(bodies[i]),
+            ))
         return out
 
     def close(self):

@@ -624,6 +624,20 @@ class BamReaderOffsets(BamReader):
     stream span, for building tag-keyed record indexes (the loader-side
     analog of signalSAMLoader's region index over BGZF offsets)."""
 
+    def iter_bodies_with_spans(self):
+        """(uoffset, span_len, raw body) per record — for native column
+        scans over the index pass."""
+        while True:
+            uoff = self._r.uoffset
+            szb = self._r.read(4)
+            if len(szb) < 4:
+                return
+            sz = struct.unpack("<I", szb)[0]
+            body = self._r.read(sz)
+            if len(body) < sz:
+                return
+            yield uoff, 4 + sz, body
+
     def iter_with_spans(self):
         while True:
             uoff = self._r.uoffset

@@ -16,6 +16,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the axon sitecustomize can override JAX_PLATFORMS; force CPU after
+# import so the comparison never depends on the (flaky) tunnel
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 PANSVR_BIN = "/tmp/refbuild/Release/panSVR"
 DEBGA_BIN = "/tmp/refbuild/deBGA_release/deBGA"
 
