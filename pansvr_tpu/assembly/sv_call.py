@@ -932,7 +932,11 @@ class SvCaller:
             for v in merged:
                 if v["var_type"] == "INS":
                     ins_by_pos[v["ref_position"]] = v["alt"]
-            for pos in range(bp1, bp2):
+            # the reference walks [break_point1, break_point2-1] with its
+            # break_point2 one past ours — include our bp2 so the ALT
+            # (and SVLEN) match the binary's exactly (the 29 systematic
+            # SVLEN-minus-one diffs of the earlier e2e compare)
+            for pos in range(bp1, bp2 + 1):
                 ei = gd.event_info(pos)
                 if ei in (0, 2, 3, 4, 5, 6):
                     alt_chars.append("ACGT"[gd.max_base(pos)])
@@ -950,7 +954,8 @@ class SvCaller:
 
         anchor_base = "ACGT"[int(gd.ref_base(bp1 - 1))]
         st_pos = info.bp1
-        end_pos = st_pos + len(ref) + 1
+        # endPos = st_pos + ref.size() (SignalAssembly.cpp:646)
+        end_pos = st_pos + len(ref)
         length = len(alt) - len(ref) + 1
         low_depth = (b1["ave_depth"] + b2["ave_depth"]) < 5
         is_het = (depth_bp1 + depth_bp2) / 2 < o.ave_read_depth * 0.45
