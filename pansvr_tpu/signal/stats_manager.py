@@ -145,34 +145,42 @@ class StatsTracker:
 
     # -- record handling ------------------------------------------------
     def handle_basic(self, rec):
+        self.handle_basic_f(rec.flag, rec.mapq)
+
+    def handle_basic_f(self, flag: int, mapq: int):
         self.counter.total += 1
-        if rec.flag & 0x1:
+        if flag & 0x1:
             self.counter.paired += 1
-            if rec.mapq == 0:
+            if mapq == 0:
                 self.counter.paired_low_mapq += 1
         else:
             self.counter.unpaired += 1
 
     @staticmethod
-    def _is_rp(rec) -> bool:
+    def _is_rp_f(flag, tid, mtid, pos, mpos) -> bool:
         """FR ('Rp') orientation: mates on opposite strands with the
         forward mate first."""
-        if not (rec.flag & 0x1) or (rec.flag & 0x4) or (rec.flag & 0x8):
+        if not (flag & 0x1) or (flag & 0x4) or (flag & 0x8):
             return False
-        if rec.tid != rec.mtid:
+        if tid != mtid:
             return False
-        if rec.is_reverse == rec.mate_reverse:
+        rev = flag & 0x10
+        if bool(rev) == bool(flag & 0x20):
             return False
-        if not rec.is_reverse:
-            return rec.pos <= rec.mpos
-        return rec.mpos <= rec.pos
+        if not rev:
+            return pos <= mpos
+        return mpos <= pos
 
     def handle_check(self, rec) -> str:
+        return self.handle_check_f(rec.flag, rec.tid, rec.mtid, rec.pos,
+                                   rec.mpos, rec.isize)
+
+    def handle_check_f(self, flag, tid, mtid, pos, mpos, isize) -> str:
         """RGT_CONTINUE | RGT_BREAK | RGT_NORMAL."""
         if self._converged:
             return "CONTINUE"
-        if self._is_rp(rec):
-            frag = simplified_frag_size(abs(rec.isize))
+        if self._is_rp_f(flag, tid, mtid, pos, mpos):
+            frag = simplified_frag_size(abs(isize))
             self._buf_rp += 1
             if frag >= ABNORMAL_SIZE:
                 self._buf_abnormal += 1
@@ -249,25 +257,54 @@ class StatsManager:
             total_base = 0
             span_lo: dict[int, int] = {}
             span_hi: dict[int, int] = {}
-            for rec in rd:
-                if self.tracker.converged:
-                    break
-                if rec.tid < 0 or rec.tid >= len(lens):
-                    continue
-                if rec.pos < start_at[rec.tid]:
-                    continue
-                if rec.pos < skip_until.get(rec.tid, 0):
-                    continue
-                if rec.is_secondary or rec.is_supplementary:
-                    continue
-                total_base += rec.query_len
-                span_lo.setdefault(rec.tid, rec.pos)
-                span_hi[rec.tid] = max(span_hi.get(rec.tid, 0), rec.pos)
-                self.tracker.handle_basic(rec)
-                r = self.tracker.handle_check(rec)
-                if r == "BREAK":
-                    skip_until[rec.tid] = rec.pos + max(
-                        1, lens[rec.tid] // 100)
+            if hasattr(rd, "iter_bodies"):
+                # fixed-header-only scan over raw record bodies
+                import struct as _struct
+
+                _tp = _struct.Struct("<ii").unpack_from
+                _mid = _struct.Struct("<Hiiii").unpack_from
+                n_lens = len(lens)
+                tr = self.tracker
+                for body in rd.iter_bodies():
+                    if tr._converged:
+                        break
+                    tid, pos = _tp(body, 0)
+                    if tid < 0 or tid >= n_lens:
+                        continue
+                    if pos < start_at[tid]:
+                        continue
+                    if pos < skip_until.get(tid, 0):
+                        continue
+                    flag, l_seq, mtid, mpos, tlen = _mid(body, 14)
+                    if flag & 0x900:  # secondary | supplementary
+                        continue
+                    total_base += l_seq
+                    span_lo.setdefault(tid, pos)
+                    span_hi[tid] = max(span_hi.get(tid, 0), pos)
+                    tr.handle_basic_f(flag, body[9])
+                    r = tr.handle_check_f(flag, tid, mtid, pos, mpos, tlen)
+                    if r == "BREAK":
+                        skip_until[tid] = pos + max(1, lens[tid] // 100)
+            else:
+                for rec in rd:
+                    if self.tracker.converged:
+                        break
+                    if rec.tid < 0 or rec.tid >= len(lens):
+                        continue
+                    if rec.pos < start_at[rec.tid]:
+                        continue
+                    if rec.pos < skip_until.get(rec.tid, 0):
+                        continue
+                    if rec.is_secondary or rec.is_supplementary:
+                        continue
+                    total_base += rec.query_len
+                    span_lo.setdefault(rec.tid, rec.pos)
+                    span_hi[rec.tid] = max(span_hi.get(rec.tid, 0), rec.pos)
+                    self.tracker.handle_basic(rec)
+                    r = self.tracker.handle_check(rec)
+                    if r == "BREAK":
+                        skip_until[rec.tid] = rec.pos + max(
+                            1, lens[rec.tid] // 100)
         self.tracker.finalize()
         span = sum(span_hi.get(t, 0) - span_lo.get(t, 0)
                    for t in span_lo)
