@@ -124,7 +124,7 @@ def test_final_vcf_parity(tmp_path, pansvr_bin, debga_bin):
                       normal_read_len=150),
     )
 
-    matched = pos_exact = 0
+    matched = pos_exact = full_exact = 0
     for rr in ref_calls:
         for r in recs:
             if (r.chrom == rr.chrom and abs(r.pos1 - rr.pos1) <= 20
@@ -132,6 +132,13 @@ def test_final_vcf_parity(tmp_path, pansvr_bin, debga_bin):
                 matched += 1
                 if r.pos1 == rr.pos1:
                     pos_exact += 1
+                    if (r.sv_len == rr.sv_len
+                            and r.info.get("END") == rr.info.get("END")):
+                        full_exact += 1
                 break
     assert matched >= 0.9 * len(ref_calls), f"{matched}/{len(ref_calls)}"
     assert pos_exact >= 0.9 * matched, f"pos-exact {pos_exact}/{matched}"
+    # SVLEN and END must also match the binary's exactly (the two
+    # systematic off-by-ones fixed 2026-08-18 would fail this)
+    assert full_exact >= 0.9 * pos_exact, \
+        f"pos+len+END exact {full_exact}/{pos_exact}"
