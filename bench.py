@@ -52,9 +52,38 @@ def build_world(seed=123, n_sv=64, n_pairs=30_000):
     return ds, idx
 
 
+def _wait_for_backend(max_wait_s: float = 1500.0) -> bool:
+    """The axon tunnel can be down for stretches (probe in a subprocess:
+    a hung backend init would otherwise burn the whole bench timeout).
+    Returns True once a trivial device op succeeds."""
+    import subprocess
+
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np;"
+                 "assert int(np.asarray(jax.numpy.arange(8).sum())) == 28"],
+                timeout=180, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[bench] TPU backend unavailable, retrying "
+              f"({int(time.time() - t0)}s)", file=sys.stderr, flush=True)
+        time.sleep(60)
+    return False
+
+
 def main():
     from pansvr_tpu.align.engine import AlignEngine
     from pansvr_tpu.align.host_align import OriResult
+
+    if not _wait_for_backend():
+        print("[bench] giving up: TPU backend unreachable", file=sys.stderr)
+        sys.exit(1)
 
     ds, idx = build_world()
     eng = AlignEngine(idx, ori_chrom_names=list(ds.genome))
