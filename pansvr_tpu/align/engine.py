@@ -405,6 +405,9 @@ class EngineConfig:
                                  # kept for A/B and CPU deployments
     native_glue: bool = True     # use native/engine_glue.cpp for the
                                  # collect/replay walks when built
+    dp_chunk: int = 2048         # lanes per DP dispatch for the small
+                                 # class (the big class uses 1/4 of it);
+                                 # each chunk pays a dispatch+fetch RTT
     merge: int = 1               # device merge/expand variant: 1 = gather
                                  # at run first/last columns, 2 = segmented
                                  # scans + compaction sort (bit-identical;
@@ -1000,7 +1003,8 @@ class AlignEngine:
         # ---- DP dispatch over size classes -----------------------------
         t = time.perf_counter()
         dp_q, dp_t = cfg.dp_class(read_class)
-        classes = [(96, 128, 128, 2048), (dp_q, dp_t, 256, 512)]
+        classes = [(96, 128, 128, cfg.dp_chunk),
+                   (dp_q, dp_t, 256, max(cfg.dp_chunk // 4, 128))]
         if dp_q <= 96 or dp_t <= 128:
             classes = classes[1:]
         ql_all, tl_all = gb.req_sizes()
@@ -1117,7 +1121,8 @@ class AlignEngine:
                        chunks=[], big=[])
         if not reqs:
             return handles
-        classes = [(96, 128, 128, 2048), (dp_q, dp_t, 256, 512)]
+        classes = [(96, 128, 128, cfg.dp_chunk),
+                   (dp_q, dp_t, 256, max(cfg.dp_chunk // 4, 128))]
         if dp_q <= 96 or dp_t <= 128:
             classes = classes[1:]
         by_class: list[list[int]] = [[] for _ in classes]
