@@ -12,6 +12,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# force CPU after import (the axon sitecustomize can override the env)
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 PANSVR_BIN = "/tmp/refbuild/Release/panSVR"
 DEBGA_BIN = "/tmp/refbuild/deBGA_release/deBGA"
 
