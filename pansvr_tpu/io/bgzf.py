@@ -89,6 +89,7 @@ class BGZFReader:
         self._own = isinstance(path_or_fh, str)
         self._fh = open(path_or_fh, "rb") if self._own else path_or_fh
         self._buf = bytearray()
+        self._carry = b""   # partial compressed block (native chunk path)
         self._eof = False
         self.uoffset = 0   # uncompressed bytes handed out so far
 
@@ -110,6 +111,11 @@ class BGZFReader:
         return True
 
     def read(self, n: int) -> bytes:
+        if self._carry:
+            # un-consume the native chunk path's partial block so the
+            # block-at-a-time path sees a consistent stream
+            self._fh.seek(-len(self._carry), 1)
+            self._carry = b""
         while len(self._buf) < n and not self._eof:
             self._read_block()
         out = bytes(self._buf[:n])
@@ -118,13 +124,67 @@ class BGZFReader:
         return out
 
     def next_chunk(self) -> bytes | None:
-        """Drain the buffered decompressed bytes (or the next block) as
-        one chunk — the zero-compaction path for record streaming
-        (read() pays an O(buffer) bytearray delete per call)."""
-        if not self._buf and not self._read_block():
+        """Drain the buffered decompressed bytes (or the next block(s))
+        as one chunk — the zero-compaction path for record streaming
+        (read() pays an O(buffer) bytearray delete per call). With the
+        native codec built, many blocks decompress per call on a thread
+        pool."""
+        if self._buf:
+            out = bytes(self._buf)
+            self._buf.clear()
+            self.uoffset += len(out)
+            return out
+        from . import native_bgzf
+
+        if native_bgzf.available():
+            while True:
+                out = self._next_chunk_native()
+                if out is None or out:
+                    return out  # EOF or real payload (skip empty blocks)
+        if not self._read_block():
             return None
         out = bytes(self._buf)
         self._buf.clear()
+        self.uoffset += len(out)
+        return out
+
+    def _next_chunk_native(self, target: int = 4 << 20) -> bytes | None:
+        """Read up to ~target compressed bytes of whole blocks and
+        decompress them in parallel via the native codec."""
+        from . import native_bgzf
+
+        data = self._carry + self._fh.read(max(target - len(self._carry),
+                                               65536))
+        if not data:
+            self._eof = True
+            return None
+        offs = []
+        lens = []
+        p = 0
+        n = len(data)
+        while p + 18 <= n:
+            if data[p] != 0x1F or data[p + 1] != 0x8B:
+                raise ValueError("not a BGZF block")
+            bsize = struct.unpack_from("<H", data, p + 16)[0] + 1
+            if p + bsize > n:
+                break
+            offs.append(p)
+            lens.append(bsize)
+            p += bsize
+        self._carry = data[p:]
+        if not offs:
+            if len(self._carry) < 18:
+                self._eof = True
+                return None
+            raise ValueError("oversized/truncated BGZF block")
+        out = native_bgzf.decompress_blocks(data, offs, lens)
+        if out is None:  # codec refused: fall back to the zlib path
+            self._buf += b"".join(
+                zlib.decompress(
+                    data[o + 18 : o + l - 8], -15) for o, l in zip(offs, lens)
+            )
+            out = bytes(self._buf)
+            self._buf.clear()
         self.uoffset += len(out)
         return out
 

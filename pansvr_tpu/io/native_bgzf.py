@@ -36,6 +36,35 @@ def get_lib():
     return _lib
 
 
+def decompress_blocks(data, offs, lens, n_threads: int = 8) -> bytes | None:
+    """Decompress many BGZF blocks (extents into `data`) in parallel;
+    returns the concatenated payload, or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(offs)
+    if n == 0:
+        return b""
+    src = np.frombuffer(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offs, np.int64)
+    lens_a = np.ascontiguousarray(lens, np.int32)
+    dst = np.empty(n * 65536, dtype=np.uint8)
+    dst_lens = np.empty(n, dtype=np.int32)
+    rc = lib.bgzf_decompress_blocks(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(n), ctypes.c_int(n_threads),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        dst_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc < 0:
+        return None
+    out = np.concatenate(
+        [dst[i * 65536 : i * 65536 + dst_lens[i]] for i in range(n)])
+    return out.tobytes()
+
+
 def compress(data: bytes, level: int = 6, n_threads: int = 8,
              block_size: int = 65000) -> bytes | None:
     """Compress a byte buffer into concatenated BGZF blocks in parallel.
