@@ -82,14 +82,14 @@ from .host_align import (
 # over a remote-chip link otherwise dominates the batch time) -------------
 
 def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
-                merge=1):
+                merge=1, nf_mult=10):
     if front in ("v5", "v5h"):
         # flat front: hits of the whole batch compacted onto one global
         # lane axis (~4x fewer extension lanes than (B, M) padding);
         # bit-identical SeedBatch, NF-cap rows flagged for host fallback.
         # v5h probes the open-addressing hash instead of the bisect.
         sb = seed_reads_flat(didx, words, lens, mask, S0=S0, M=M,
-                             n_ext_steps=n_ext,
+                             n_ext_steps=n_ext, nf_mult=nf_mult,
                              probe="hash" if front == "v5h" else "bisect")
     elif front in ("v2", "v4"):
         # v2 = open-addressing hash probe + slab extension;
@@ -115,11 +115,12 @@ def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("S0", "S", "M", "front", "n_ext", "merge"))
+    jax.jit,
+    static_argnames=("S0", "S", "M", "front", "n_ext", "merge", "nf_mult"))
 def _device_front(didx, words, lens, mask, S0, S, M=64, front="v2",
-                  n_ext=10, merge=1):
+                  n_ext=10, merge=1, nf_mult=10):
     return _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
-                       merge)
+                       merge, nf_mult)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -135,7 +136,7 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_front(mesh, S0, S, M, front, n_ext, merge=1):
+def _sharded_front(mesh, S0, S, M, front, n_ext, merge=1, nf_mult=10):
     """Data-parallel front over an ICI mesh: read rows sharded on the
     'data' axis, the RdBG index replicated per chip. Per-row outputs come
     back sharded; the engine's host glue is shard-agnostic."""
@@ -143,7 +144,7 @@ def _sharded_front(mesh, S0, S, M, front, n_ext, merge=1):
 
     def body(didx, words, lens, mask):
         return _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
-                           merge)
+                           merge, nf_mult)
 
     return jax.jit(_shard_map(
         body, mesh,
@@ -405,6 +406,12 @@ class EngineConfig:
                                  # kept for A/B and CPU deployments
     native_glue: bool = True     # use native/engine_glue.cpp for the
                                  # collect/replay walks when built
+    nf_mult: int = 10            # flat-front global lane budget (avg
+                                 # MEM lanes per row; rows over the pool
+                                 # take the host path)
+    retier_threshold: float = 0.25  # fallback rate that triggers doubling
+                                 # the M/S/K caps (repeat-rich workloads)
+    retier_max: int = 128        # cap for the widened shapes
     dp_chunk: int = 2048         # lanes per DP dispatch for the small
                                  # class (the big class uses 1/4 of it);
                                  # each chunk pays a dispatch+fetch RTT
@@ -491,10 +498,43 @@ class AlignEngine:
         # waits show up in the sync_* rows (dispatches are async)
         self.prof: dict[str, float] = defaultdict(float)
         self._fallback_warned = False
+        self._tier_window: list[tuple[int, int]] = []  # (n_fallback, n)
 
     # ------------------------------------------------------------------
     def align_batch(self, seqs: list[str], oris: list[OriResult]) -> list[SingleEndState]:
         return self._finish_batch(self._submit_batch(seqs, oris))
+
+    def _maybe_retier(self):
+        """Workload-adaptive shapes: repeat-rich reads overflow the
+        static per-read caps (M MEM lanes / S expanded seeds / K chain
+        width) and drop to the exact-but-slow host path. When the recent
+        fallback rate crosses the threshold, double the caps (one
+        recompile per tier, bounded by retier_max) — the reference's
+        dynamic arrays have no such caps, so widening preserves its
+        semantics while keeping the device path hot."""
+        cfg = self.cfg
+        if cfg.mem_slots >= cfg.retier_max:
+            return
+        win = self._tier_window[-4:]
+        nf = sum(f for f, _ in win)
+        n = sum(x for _, x in win)
+        if n >= 2048 and nf > cfg.retier_threshold * n:
+            old = (cfg.mem_slots, cfg.max_seeds, cfg.chain_bucket,
+                   cfg.nf_mult)
+            cfg.mem_slots = min(cfg.mem_slots * 2, cfg.retier_max)
+            cfg.max_seeds = min(cfg.max_seeds * 2, cfg.retier_max)
+            cfg.chain_bucket = min(cfg.chain_bucket * 2, cfg.retier_max)
+            cfg.nf_mult = min(cfg.nf_mult * 2, cfg.retier_max)
+            self._k_spec = min(self._k_spec, cfg.max_seeds)
+            self._tier_window.clear()
+            import sys as _sys
+
+            print(
+                f"[pansvr engine] fallback rate {nf}/{n} over the last "
+                f"batches: widening device shapes (M,S,K,nf) {old} -> "
+                f"({cfg.mem_slots}, {cfg.max_seeds}, {cfg.chain_bucket}, "
+                f"{cfg.nf_mult}) (one-time recompile)", file=_sys.stderr,
+            )
 
     def align_stream(self, batches):
         """Pipelined batches: the next batch's device front is dispatched
@@ -719,7 +759,7 @@ class AlignEngine:
         M = max(cfg.mem_slots, (S0 + 1 + 15) // 16 * 16)
         if self.mesh is not None:
             fr = _sharded_front(self.mesh, S0, cfg.max_seeds, M,
-                                cfg.front, n_ext, cfg.merge)
+                                cfg.front, n_ext, cfg.merge, cfg.nf_mult)
             es, stats3_dev = fr(self.didx, words, lens2, mask2)
             chain_spec = None
             is_str2 = None
@@ -727,6 +767,7 @@ class AlignEngine:
             es, stats3_dev = _device_front(
                 self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds,
                 M=M, front=cfg.front, n_ext=n_ext, merge=cfg.merge,
+                nf_mult=cfg.nf_mult,
             )
             # the chain is dispatched speculatively in _finish_batch
             # (dispatching here would stall: the tunnel blocks a dispatch
@@ -823,6 +864,8 @@ class AlignEngine:
         self.prof["host_fallback"] += time.perf_counter() - t
         self.prof["n_fallback"] += len(fallback)
         self.prof["n_reads"] += n
+        self._tier_window.append((len(fallback), n))
+        self._maybe_retier()
         # telemetry threshold: a high fallback rate means the static
         # shape caps (M/S/K) are undersized for this workload — the
         # device path silently degrades to host speed, so say so once
