@@ -165,3 +165,51 @@ def test_engine_long_read_class(world):
         _cmp_states(expect, got[i], f"long{i}")
         n_with += bool(expect.results)
     assert n_with >= 3
+
+
+def test_retier_widens_shapes_on_repeat_rich_reads():
+    """Repeat-rich reads (shared segment across contigs) overflow the
+    default caps; the engine must widen its shapes once the fallback
+    rate crosses the threshold and then keep results identical to the
+    host aligner with the device path active."""
+    from pansvr_tpu.utils.simulate import random_genome
+
+    rng = np.random.default_rng(7)
+    shared = "".join(rng.choice(list("ACGT"), 900))
+    contigs = []
+    for i in range(3):
+        base = "".join(rng.choice(list("ACGT"), 1400))
+        seq = base[:500] + shared + base[500:]
+        contigs.append(
+            (f"{i}_chr1_{1 + i * 4000}_{len(seq)}_DEL_100_200_"
+             f"{(i + 1) * 4000}_sv{i}", seq))
+    idx = build_index(contigs, first_level_bases=10)
+    reads = []
+    for _ in range(3 * 256):
+        _, seq = contigs[int(rng.integers(len(contigs)))]
+        p = int(rng.integers(400, 500 + 900 - 150))
+        reads.append(seq[p : p + 150])
+    oris = [OriResult(unmapped=True)] * len(reads)
+    eng = AlignEngine(idx)
+    # lower the retier gate so the small test batches can trigger it
+    eng.cfg.retier_threshold = 0.25
+    B = 256
+    last_fallback = None
+    for b in range(3):
+        eng._tier_window.append((1024, 1024))  # simulated heavy batches
+        eng._tier_window.append((1024, 1024))
+        states = eng.align_batch(reads[b * B : (b + 1) * B], oris[:B])
+        last_fallback = eng._tier_window[-1][0] if eng._tier_window else 0
+        assert all(s.results for s in states)
+    assert eng.cfg.mem_slots > 32, "retier never triggered"
+    assert last_fallback == 0, f"still {last_fallback} fallbacks after retier"
+    # equality with the host on the widened shapes
+    host = HostAligner(idx)
+    st_e = eng.align_batch(reads[:32], oris[:32])
+    for i in range(32):
+        st_h = host.align_read(reads[i], oris[i])
+        a = [(r.align_score, r.ref_bg, tuple(map(tuple, r.cigar or [])))
+             for r in st_e[i].results]
+        b2 = [(r.align_score, r.ref_bg, tuple(map(tuple, r.cigar or [])))
+              for r in st_h.results]
+        assert a == b2, f"read {i} differs post-retier"
