@@ -57,45 +57,55 @@ def sort_bam(in_path: str, out_path: str,
         if "SO:" in text:
             header.text = text.replace("SO:unsorted", "SO:coordinate")
 
+        import struct as _struct
+
+        _tp = _struct.Struct("<ii").unpack_from
+
+        def body_key(body):
+            tid, pos = _tp(body, 0)
+            return (tid if tid >= 0 else 1 << 30, pos)
+
+        # raw-body sort: records never decode/re-encode — keys read at
+        # fixed offsets, bodies pass straight through to the writer
         if max_records_in_ram is None:
-            recs = list(rd)
-            recs.sort(key=_sort_key)
+            bodies = list(rd.iter_bodies())
+            bodies.sort(key=body_key)
             with BamWriter(out_path, header) as w:
-                for r in recs:
-                    w.write(r)
+                for b in bodies:
+                    w.write_raw(b)
             return
 
         tmpdir = tempfile.mkdtemp(prefix="bamsort_")
         runs = []
         try:
             buf = []
-            for r in rd:
-                buf.append(r)
+            for b in rd.iter_bodies():
+                buf.append(b)
                 if len(buf) >= max_records_in_ram:
-                    buf.sort(key=_sort_key)
+                    buf.sort(key=body_key)
                     p = _os.path.join(tmpdir, f"run{len(runs)}.bam")
                     with BamWriter(p, header) as w:
                         for x in buf:
-                            w.write(x)
+                            w.write_raw(x)
                     runs.append(p)
                     buf = []
-            buf.sort(key=_sort_key)
+            buf.sort(key=body_key)
             if not runs:
                 with BamWriter(out_path, header) as w:
                     for x in buf:
-                        w.write(x)
+                        w.write_raw(x)
                 return
             if buf:
                 p = _os.path.join(tmpdir, f"run{len(runs)}.bam")
                 with BamWriter(p, header) as w:
                     for x in buf:
-                        w.write(x)
+                        w.write_raw(x)
                 runs.append(p)
             readers = [BamReader(p) for p in runs]
-            streams = [iter(rr) for rr in readers]
+            streams = [rr.iter_bodies() for rr in readers]
             with BamWriter(out_path, header) as w:
-                for r in heapq.merge(*streams, key=_sort_key):
-                    w.write(r)
+                for b in heapq.merge(*streams, key=body_key):
+                    w.write_raw(b)
             for rr in readers:
                 rr.close()
         finally:

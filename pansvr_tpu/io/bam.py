@@ -481,6 +481,10 @@ class BamWriter:
     def write(self, r: BamRecord) -> None:
         self._w.write(_encode_record(r))
 
+    def write_raw(self, body: bytes) -> None:
+        """Write an already-encoded record body (no decode round trip)."""
+        self._w.write(struct.pack("<I", len(body)) + body)
+
     def close(self):
         self._w.close()
 
