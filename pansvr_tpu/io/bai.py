@@ -152,44 +152,52 @@ def _voffset(table, uoff: int) -> int:
 
 
 def build_bai(bam_path: str, bai_path: str | None = None) -> str:
-    """Build the .bai for a position-sorted BAM."""
+    """Build the .bai for a position-sorted BAM.
+
+    Streams the file block-by-block (memory O(window), not O(file)),
+    tracking each record's absolute uncompressed offset for the virtual
+    file offsets."""
+    from .bgzf import BGZFReader
+
     bai_path = bai_path or bam_path + ".bai"
     table = _block_table(bam_path)
 
-    # walk records at the uncompressed level to get their start offsets
-    raw = bytearray()
-    for foff, ustart, isize in table:
-        pass
-    with open(bam_path, "rb") as fh:
-        data = fh.read()
-    # decompress all blocks
-    out = bytearray()
-    pos = 0
-    while pos < len(data):
-        bsize = struct.unpack("<H", data[pos + 16 : pos + 18])[0] + 1
-        cdata = data[pos + 18 : pos + bsize - 8]
-        out += zlib.decompress(cdata, -15)
-        pos += bsize
-    buf = bytes(out)
-
-    # header
-    l_text = struct.unpack("<i", buf[4:8])[0]
-    off = 8 + l_text
-    n_ref = struct.unpack("<i", buf[off : off + 4])[0]
-    off += 4
+    rd = BGZFReader(bam_path)
+    if rd.read(4) != b"BAM\1":
+        raise ValueError(f"not a BAM file: {bam_path}")
+    l_text = struct.unpack("<i", rd.read(4))[0]
+    rd.read(l_text)
+    n_ref = struct.unpack("<i", rd.read(4))[0]
     for _ in range(n_ref):
-        l_name = struct.unpack("<i", buf[off : off + 4])[0]
-        off += 4 + l_name + 4
+        l_name = struct.unpack("<i", rd.read(4))[0]
+        rd.read(l_name + 4)
 
     # per-reference indices
     bins: list[dict[int, list]] = [dict() for _ in range(n_ref)]
     linear: list[dict[int, int]] = [dict() for _ in range(n_ref)]
     n_no_coor = 0
-    while off + 4 <= len(buf):
-        rec_u_start = off
-        sz = struct.unpack("<I", buf[off : off + 4])[0]
-        body = buf[off + 4 : off + 4 + sz]
-        off += 4 + sz
+    buf = b""
+    pos = 0
+    base_u = rd.uoffset  # absolute uncompressed offset of buf[0]
+
+    def _ensure(n: int) -> bool:
+        nonlocal buf, pos, base_u
+        while len(buf) - pos < n:
+            nb = rd.next_chunk()
+            if nb is None:
+                return False
+            buf = buf[pos:] + nb
+            base_u += pos
+            pos = 0
+        return True
+
+    while _ensure(4):
+        sz = struct.unpack_from("<I", buf, pos)[0]
+        if not _ensure(4 + sz):
+            break
+        rec_u_start = base_u + pos
+        body = buf[pos + 4 : pos + 4 + sz]
+        pos += 4 + sz
         if len(body) < 32:
             break
         tid, pos_, l_name, _mq, _bin, n_cigar, _flag, l_seq, _mt, _mp, _is = \
@@ -207,7 +215,7 @@ def build_bai(bam_path: str, bai_path: str | None = None) -> str:
                 ref_len += v >> 4
         end = pos_ + max(ref_len, 1)
         v_start = _voffset(table, rec_u_start)
-        v_end = _voffset(table, off)
+        v_end = _voffset(table, base_u + pos)
         b = reg2bin(pos_, end)
         chunks = bins[tid].setdefault(b, [])
         if chunks and chunks[-1][1] == v_start:
@@ -218,6 +226,7 @@ def build_bai(bam_path: str, bai_path: str | None = None) -> str:
             cur = linear[tid].get(win)
             if cur is None or v_start < cur:
                 linear[tid][win] = v_start
+    rd.close()
 
     with open(bai_path, "wb") as out_fh:
         out_fh.write(BAI_MAGIC)
