@@ -34,6 +34,10 @@ except Exception:
     pass
 
 BASELINE_FILE = "/tmp/pansvr_cpu_baseline.json"
+# measured 2026-08-17 by tools/measure_cpu_baseline.py (32-thread CPU
+# reference fc_aln); the repo copy survives /tmp wipes between rounds
+BASELINE_FALLBACK = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tools", "cpu_baseline.json")
 
 
 def build_world(seed=123, n_sv=64, n_pairs=30_000):
@@ -117,9 +121,11 @@ def main():
     reads_per_s = sorted(rates)[1]
 
     vs_baseline = 0.0
-    if os.path.exists(BASELINE_FILE):
+    base_path = BASELINE_FILE if os.path.exists(BASELINE_FILE) \
+        else BASELINE_FALLBACK
+    if os.path.exists(base_path):
         try:
-            base = json.load(open(BASELINE_FILE))
+            base = json.load(open(base_path))
             cpu = float(base.get("cpu_reads_per_s_32t", 0))
             if cpu > 0:
                 vs_baseline = reads_per_s / cpu
