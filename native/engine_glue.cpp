@@ -510,6 +510,24 @@ void glue_req_sizes(void* vctx, int32_t* qlen_out, int32_t* tlen_out) {
   }
 }
 
+// Per-request metadata so the DEVICE can build the DP code matrices from
+// its resident read words + reference (glue_fill_dp semantics, minus the
+// host->device matrix transfer). Layout: 5 x n_req int32 rows —
+// [flat query base = (read + dir*n_pad)*L + read_st, qlen_act,
+//  ref_st clamped at 0, tlen, reversed (TYPE_LEFT)].
+void glue_req_meta(void* vctx, int32_t* out) {
+  Ctx* ctx = (Ctx*)vctx;
+  int64_t n = (int64_t)ctx->reqs.size();
+  for (int64_t k = 0; k < n; k++) {
+    const DpReq& r = ctx->reqs[k];
+    out[k] = (r.read + (r.dir ? ctx->n_pad : 0)) * ctx->L + r.read_st;
+    out[n + k] = r.qlen_act;
+    out[2 * n + k] = (int32_t)(r.ref_st < 0 ? 0 : r.ref_st);
+    out[3 * n + k] = r.tlen;
+    out[4 * n + k] = (r.type == TYPE_LEFT) ? 1 : 0;
+  }
+}
+
 void glue_fill_dp(void* vctx, const int32_t* members, int32_t n_members,
                   int32_t* qc, int32_t* tc, int32_t* ql, int32_t* tl,
                   int32_t cq, int32_t ct) {

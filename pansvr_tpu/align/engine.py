@@ -415,10 +415,11 @@ class EngineConfig:
     dp_chunk: int = 2048         # lanes per DP dispatch for the small
                                  # class (the big class uses 1/4 of it);
                                  # each chunk pays a dispatch+fetch RTT
-    merge: int = 1               # device merge/expand variant: 1 = gather
+    merge: int = 2               # device merge/expand variant: 1 = gather
                                  # at run first/last columns, 2 = segmented
                                  # scans + compaction sort (bit-identical;
-                                 # pick by on-chip A/B)
+                                 # on-chip A/B 2026-08-18: v2 38.8 ms vs
+                                 # v1 87.9 ms per call at B=8192)
     pipe_order: str = "late"     # align_stream next-front dispatch point:
                                  # "late" = after this batch's DP,
                                  # "early" = right after its chain program.

@@ -333,6 +333,17 @@ class GlueBatch:
             self.lib.glue_req_sizes(self.ctx, _p(ql, _i32), _p(tl, _i32))
         return ql, tl
 
+    def req_meta(self):
+        """(5, n_req) int32: flat query base, qlen_act, ref_st (clamped),
+        tlen, reversed — enough for the DEVICE to build the DP code
+        matrices from its resident read words + reference (saves the
+        per-chunk qc/tc transfer over the link)."""
+        out = np.zeros((5, max(self.n_req, 1)), np.int32)
+        if self.n_req and hasattr(self.lib, "glue_req_meta"):
+            self.lib.glue_req_meta(self.ctx, _p(out, _i32))
+            return out
+        return None if self.n_req else out
+
     def fill_dp(self, members: np.ndarray, cq: int, ct: int, B: int):
         """Padded (B, cq)/(B, ct) int32 code matrices for one chunk."""
         qc = np.zeros((B, cq), np.int32)

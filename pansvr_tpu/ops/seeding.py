@@ -540,17 +540,25 @@ def seed_reads_flat(
     row_start = jnp.cumsum(row_take) - row_take         # exclusive (B,)
     total = row_start[-1] + row_take[-1]
     row_fits = row_start + row_take <= NF
-    # map flat slot -> row: scatter row ids at run starts, carry forward
-    rows = jnp.arange(B, dtype=jnp.int32)
-    has = row_take > 0
-    ind = jnp.zeros((NF,), jnp.int32).at[
-        jnp.where(has, jnp.clip(row_start, 0, NF - 1), NF - 1)
-    ].max(jnp.where(has & (row_start < NF), rows + 1, 0))
-    row_of = jax.lax.cummax(ind) - 1                    # (NF,) row id or -1
-    row_c = jnp.clip(row_of, 0, B - 1)
+    # map flat slot -> row: binary search over the inclusive row cumsum
+    # (TPU scatters serialize at ~10 M/s; the 14 dependent gathers of a
+    # bisect over the (B,)-sized table are ~100x cheaper than the
+    # scatter-max + cummax this replaces)
+    cum_take = row_start + row_take                     # inclusive (B,)
     f_idx = jnp.arange(NF, dtype=jnp.int32)
+    lo_r = jnp.zeros((NF,), jnp.int32)
+    hi_r = jnp.full((NF,), B, jnp.int32)
+    # candidates span [0, B] (B+1 values): ceil(log2(B+1)) iterations
+    for _ in range(max(1, B.bit_length())):
+        mid = (lo_r + hi_r) >> 1
+        c = cum_take[jnp.clip(mid, 0, B - 1)]
+        go_right = c <= f_idx
+        active = lo_r < hi_r
+        lo_r = jnp.where(active & go_right, mid + 1, lo_r)
+        hi_r = jnp.where(active & ~go_right, mid, hi_r)
+    row_c = jnp.clip(lo_r, 0, B - 1)
     p = f_idx - row_start[row_c]                        # per-row hit ordinal
-    lane_ok = (row_of >= 0) & (f_idx < total) & (p < row_take[row_c])
+    lane_ok = (f_idx < total) & (p >= 0) & (p < row_take[row_c])
 
     # --- seed-of-lane: in-row upper bound over cum[row, :] ------------------
     cum_flat = cum.reshape(-1)
@@ -631,24 +639,39 @@ def seed_reads_flat(
     length = sk + left_m + right_m
 
     # --- coverage skip (B, S0) ----------------------------------------------
-    per_seed_max_right = (
-        jnp.full((B, S0), -1, jnp.int32)
-        .at[jnp.where(lane_ok, row_c, B), seed_of]
-        .max(jnp.where(lane_ok, right_m, -1), mode="drop")
-    )
+    # per-(row, seed) max of right_m without a scatter: lanes of a group
+    # are contiguous on the flat axis, so a segmented doubling-scan max
+    # keyed by bs propagates the group max to its FIRST lane, and the
+    # first lane of group (b, s) sits at row_start[b] + start[b, s] — a
+    # plain gather
+    right_eff = jnp.where(lane_ok, right_m, -1)
+    seg_max = right_eff
+    s_step = 1
+    while s_step < NF:
+        sh_v = jnp.concatenate(
+            [seg_max[s_step:], jnp.full((s_step,), -1, jnp.int32)])
+        sh_id = jnp.concatenate(
+            [bs[s_step:], jnp.full((s_step,), -1, bs.dtype)])
+        seg_max = jnp.where(sh_id == bs, jnp.maximum(seg_max, sh_v),
+                            seg_max)
+        s_step *= 2
+    grp_first = jnp.clip(row_start[:, None] + start, 0, NF - 1)  # (B, S0)
+    per_seed_max_right = jnp.where(
+        found & (row_take > 0)[:, None], seg_max[grp_first], -1)
     seed_used = _coverage_skip(found, per_seed_max_right, offs, sk, S0, B)
     valid_f = lane_ok & seed_used.reshape(-1)[bs]
 
-    # --- scatter back to the (B, M) SeedBatch layout ------------------------
-    srow = jnp.where(valid_f, row_c, B)   # out-of-range rows are dropped
-    scol = jnp.clip(p, 0, M - 1)
+    # --- gather back to the (B, M) SeedBatch layout --------------------------
+    # the flat->(B, M) map is invertible (lane = row_start[b] + m), so the
+    # writeback is M gathers per row instead of a serialized TPU scatter
+    m_cols = jnp.arange(M, dtype=jnp.int32)[None, :]
+    src_lane = jnp.clip(row_start[:, None] + m_cols, 0, NF - 1)  # (B, M)
+    in_row_bm = m_cols < row_take[:, None]
+
+    valid_bm = in_row_bm & valid_f[src_lane]
 
     def back(vals):
-        return jnp.zeros((B, M), jnp.int32).at[srow, scol].set(
-            vals, mode="drop")
-
-    valid_bm = jnp.zeros((B, M), bool).at[srow, scol].set(
-        valid_f, mode="drop")
+        return jnp.where(valid_bm, vals[src_lane], 0)
     n_overflow = overflow0 + jnp.where(row_fits, 0, FLAT_OVERFLOW)
     return SeedBatch(
         uid=back(uid), read_pos=back(read_pos), uni_pos_off=back(uni_pos_off),
