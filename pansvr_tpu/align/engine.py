@@ -318,6 +318,61 @@ def _device_dp_pallas(qc, ql, tc, tl, params, W, interpret):
     return _dp_pack(*_dp_pallas_body(qc, ql, tc, tl, params, W, interpret))
 
 
+@functools.partial(jax.jit, static_argnames=("L",))
+def _unpack_codes(words, L):
+    """(B2, Wr) packed read words -> flat (B2*L,) uint8 codes on device
+    (row-major, fwd rows then rev rows — the glue's codes layout). Stays
+    on device; feeds the meta-driven DP fill."""
+    u = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    j = np.arange(L, dtype=np.int32)
+    w = u[:, j >> 4]                                     # static col gather
+    sh = jnp.asarray(((15 - (j & 15)) * 2).astype(np.uint32))
+    return ((w >> sh[None, :]) & 3).astype(jnp.uint8).reshape(-1)
+
+
+def _dp_fill_meta(codes_flat, ref_words, qbase, qa, refst, tlen, rev,
+                  tru_len, cq, ct):
+    """Build one DP chunk's code matrices ON DEVICE from the resident
+    flat read codes + packed reference, from per-request metadata
+    (glue_fill_dp semantics: reversed rows for TYPE_LEFT, reference
+    clamped at [0, true_len) with 0 beyond). Replaces the per-chunk
+    int32 qc/tc host->device transfer (~2 MB/chunk over the link)."""
+    rw = jax.lax.bitcast_convert_type(ref_words, jnp.uint32)
+    j_q = jnp.arange(cq, dtype=jnp.int32)[None, :]
+    qidx = qbase[:, None] + jnp.where(rev[:, None] != 0,
+                                      qa[:, None] - 1 - j_q, j_q)
+    qok = j_q < qa[:, None]
+    n_codes = codes_flat.shape[0]
+    qc = jnp.where(
+        qok, codes_flat[jnp.clip(qidx, 0, n_codes - 1)], 0
+    ).astype(jnp.int32)
+    j_t = jnp.arange(ct, dtype=jnp.int32)[None, :]
+    tpos = refst[:, None] + jnp.where(rev[:, None] != 0,
+                                      tlen[:, None] - 1 - j_t, j_t)
+    tok = (j_t < tlen[:, None]) & (tpos < tru_len[0])
+    w = rw[jnp.clip(tpos >> 4, 0, rw.shape[0] - 1)]
+    base = (w >> (((15 - (tpos & 15)) * 2).astype(jnp.uint32))) & 3
+    tc = jnp.where(tok, base.astype(jnp.int32), 0)
+    return qc, qa, tc, tlen
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "W", "interpret", "cq", "ct"))
+def _device_dp_pallas_meta(codes_flat, ref_words, qbase, qa, refst, tlen,
+                           rev, tru_len, params, W, interpret, cq, ct):
+    qc, ql, tc, tl = _dp_fill_meta(
+        codes_flat, ref_words, qbase, qa, refst, tlen, rev, tru_len, cq, ct)
+    return _dp_pack(*_dp_pallas_body(qc, ql, tc, tl, params, W, interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("params", "cq", "ct"))
+def _device_dp_meta(codes_flat, ref_words, qbase, qa, refst, tlen, rev,
+                    tru_len, params, cq, ct):
+    qc, ql, tc, tl = _dp_fill_meta(
+        codes_flat, ref_words, qbase, qa, refst, tlen, rev, tru_len, cq, ct)
+    return _dp_pack(*_dp_scan_body(qc, ql, tc, tl, params, cq + ct))
+
+
 def _dp_scan_body(qc, ql, tc, tl, params, K):
     res = extd2_batch(qc, ql, tc, tl, params=params)
     i0 = jnp.where(~res.zdropped, tl - 1,
@@ -491,6 +546,10 @@ class AlignEngine:
         # the warmup batch compiles the shape the stream will reuse
         self._k_spec = 8
         self._packed_ref = np.ascontiguousarray(self.host.ksw.packed_ref)
+        # true (unpadded) reference length for the device DP fill's
+        # beyond-end zero clamp; dynamic arg so quantized-shape worlds
+        # share compiled programs
+        self._tru_ref_len = np.array([len(self._packed_ref)], np.int32)
         self._chr_starts64 = np.ascontiguousarray(
             self.idx.chr_starts, np.int64)
         self._sv_st_pos = np.array(
@@ -758,6 +817,7 @@ class AlignEngine:
         # overflow counter tallies hits BEFORE the coverage skip, so M
         # must at least cover one hit per seed position)
         M = max(cfg.mem_slots, (S0 + 1 + 15) // 16 * 16)
+        codes_flat = None
         if self.mesh is not None:
             fr = _sharded_front(self.mesh, S0, cfg.max_seeds, M,
                                 cfg.front, n_ext, cfg.merge, cfg.nf_mult)
@@ -765,11 +825,18 @@ class AlignEngine:
             chain_spec = None
             is_str2 = None
         else:
+            # one explicit transfer of the packed reads, shared by the
+            # front and the code-unpack programs
+            words_dev = jax.device_put(words)
             es, stats3_dev = _device_front(
-                self.didx, words, lens2, mask2, S0=S0, S=cfg.max_seeds,
+                self.didx, words_dev, lens2, mask2, S0=S0, S=cfg.max_seeds,
                 M=M, front=cfg.front, n_ext=n_ext, merge=cfg.merge,
                 nf_mult=cfg.nf_mult,
             )
+            if self._glue_lib is not None:
+                # device-resident flat read codes for the meta-driven DP
+                # fill (stays on device; consumed by the DP programs)
+                codes_flat = _unpack_codes(words_dev, L)
             # the chain is dispatched speculatively in _finish_batch
             # (dispatching here would stall: the tunnel blocks a dispatch
             # until its device-array args are materialized)
@@ -777,7 +844,7 @@ class AlignEngine:
             chain_spec = "pending"
         prep = dict(prep)
         prep.update(front=(es, stats3_dev), chain_spec=chain_spec,
-                    is_str2=is_str2, read_class=L)
+                    is_str2=is_str2, read_class=L, codes_flat=codes_flat)
         for k in ("words", "lens2", "mask2"):
             prep.pop(k, None)
         return prep
@@ -1056,11 +1123,41 @@ class AlignEngine:
         for ci, (cq, ct, _, _) in enumerate(classes):
             m = (assigned < 0) & (ql_all <= cq) & (tl_all <= ct)
             assigned[m] = ci
+        # meta-driven device fill: ship 5 int32 per request and build the
+        # code matrices on device from the resident reads + reference
+        # (the qc/tc transfer otherwise costs ~2 MB per chunk over the
+        # link). Unavailable on the mesh path / older native libs.
+        codes_flat = pend.get("codes_flat")
+        meta5 = gb.req_meta() \
+            if codes_flat is not None and self.mesh is None else None
         chunks = []
         for ci, (cq, ct, W, CHUNK) in enumerate(classes):
             members = np.nonzero(assigned == ci)[0].astype(np.int32)
             for c0 in range(0, len(members), CHUNK):
                 mem = members[c0 : c0 + CHUNK]
+                if meta5 is not None:
+                    pad = CHUNK - len(mem)
+
+                    def pm(row, fill=0):
+                        return np.concatenate(
+                            [row[mem], np.full(pad, fill, np.int32)])
+
+                    qb, qa = pm(meta5[0]), pm(meta5[1], 1)
+                    rs, tl_m = pm(meta5[2]), pm(meta5[3], 1)
+                    rv = pm(meta5[4])
+                    if cfg.use_pallas():
+                        buf_dev = _device_dp_pallas_meta(
+                            codes_flat, self.didx.ref_words, qb, qa, rs,
+                            tl_m, rv, self._tru_ref_len,
+                            params=self.dp_params, W=W,
+                            interpret=cfg.dp_interpret, cq=cq, ct=ct)
+                    else:
+                        buf_dev = _device_dp_meta(
+                            codes_flat, self.didx.ref_words, qb, qa, rs,
+                            tl_m, rv, self._tru_ref_len,
+                            params=self.dp_params, cq=cq, ct=ct)
+                    chunks.append((mem, ("fused", buf_dev, CHUNK)))
+                    continue
                 qc, ql, tc, tl = gb.fill_dp(mem, cq, ct, CHUNK)
                 if self.mesh is not None:
                     dp_fn = _sharded_dp(

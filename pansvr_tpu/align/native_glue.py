@@ -54,6 +54,10 @@ def get_lib():
             ctypes.c_void_p, _i32, ctypes.c_int32,
             _i32, _i32, _i32, _i32, ctypes.c_int32, ctypes.c_int32,
         ]
+        try:
+            lib.glue_req_meta.argtypes = [ctypes.c_void_p, _i32]
+        except AttributeError:
+            pass  # older built library without the device-fill meta
         lib.glue_set_dp_chunk.argtypes = [
             ctypes.c_void_p, _i32, ctypes.c_int32,
             _i8, ctypes.c_int32, _i32, ctypes.c_int32, ctypes.c_int32,
