@@ -211,13 +211,12 @@ def _b8(a):
     return jax.lax.bitcast_convert_type(a, jnp.int8).reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def _chain_body_fused(stats3, es, is_str, K):
-    """Chain program whose outputs (plus the front's stats) come back as
-    ONE flat int8 buffer: each result transfer over the remote link pays
-    a round trip, so six fetches become one. The [:, :K] seed slicing
-    happens INSIDE the jit (eager slices on remote arrays each dispatch
-    a mini program over the link). Layout (B rows, K seeds):
+def _chain_fuse(stats3, es, is_str, K):
+    """Chain outputs (plus the front's stats) as ONE flat int8 buffer:
+    each result transfer over the remote link pays a round trip, so six
+    fetches become one. The [:, :K] seed slicing happens INSIDE the jit
+    (eager slices on remote arrays each dispatch a mini program over the
+    link). Layout (B rows, K seeds):
     [stats3 (3,B) i32][p32 (B,K) i32][p16 (3,B,K) i16][p8 (B,K) i8]
     [hits8 (2,B,6) i8][hscore (B,6) i16]."""
     p32, p16, p8, hits8, hscore = _chain_body(
@@ -227,6 +226,28 @@ def _chain_body_fused(stats3, es, is_str, K):
     return jnp.concatenate([
         _b8(stats3), _b8(p32), _b8(p16), _b8(p8), _b8(hits8), _b8(hscore)
     ])
+
+
+_chain_body_fused = jax.jit(_chain_fuse, static_argnames=("K",))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S0", "S", "M", "front", "n_ext", "merge", "nf_mult",
+                     "K"))
+def _device_front_chain(didx, words, lens, mask, is_str2, S0, S, M, front,
+                        n_ext, merge, nf_mult, K):
+    """Front + speculative-K chain in ONE program: dispatched at submit
+    time with host-only args, so the batch pays no blocked chain
+    dispatch (over the remote link a dispatch whose args are
+    unmaterialized device arrays blocks until they materialize). Returns
+    the fused chain buffer plus the device-resident es/stats3 for the
+    rare K-miss re-chain (by then materialized, so the re-dispatch
+    doesn't stall either)."""
+    es, stats3 = _front_body(didx, words, lens, mask, S0, S, M, front,
+                             n_ext, merge, nf_mult)
+    buf = _chain_fuse(stats3, es, is_str2, K)
+    return es, stats3, buf
 
 
 def _chain_unpack(buf: np.ndarray, B: int, K: int):
@@ -475,6 +496,11 @@ class EngineConfig:
                                  # scans + compaction sort (bit-identical;
                                  # on-chip A/B 2026-08-18: v2 38.8 ms vs
                                  # v1 87.9 ms per call at B=8192)
+    fuse_chain: bool = True      # single-device path: run front + the
+                                 # speculative-K chain as ONE device
+                                 # program dispatched at submit time
+                                 # (host-only args), removing the
+                                 # per-batch blocked chain dispatch RTT
     pipe_order: str = "late"     # align_stream next-front dispatch point:
                                  # "late" = after this batch's DP,
                                  # "early" = right after its chain program.
@@ -828,20 +854,29 @@ class AlignEngine:
             # one explicit transfer of the packed reads, shared by the
             # front and the code-unpack programs
             words_dev = jax.device_put(words)
-            es, stats3_dev = _device_front(
-                self.didx, words_dev, lens2, mask2, S0=S0, S=cfg.max_seeds,
-                M=M, front=cfg.front, n_ext=n_ext, merge=cfg.merge,
-                nf_mult=cfg.nf_mult,
-            )
+            is_str2 = np.concatenate([is_str, is_str])
+            if cfg.fuse_chain:
+                K = self._k_spec
+                es, stats3_dev, buf_dev = _device_front_chain(
+                    self.didx, words_dev, lens2, mask2, is_str2, S0=S0,
+                    S=cfg.max_seeds, M=M, front=cfg.front, n_ext=n_ext,
+                    merge=cfg.merge, nf_mult=cfg.nf_mult, K=K,
+                )
+                chain_spec = ("fused", buf_dev, K)
+            else:
+                es, stats3_dev = _device_front(
+                    self.didx, words_dev, lens2, mask2, S0=S0,
+                    S=cfg.max_seeds, M=M, front=cfg.front, n_ext=n_ext,
+                    merge=cfg.merge, nf_mult=cfg.nf_mult,
+                )
+                # the chain is dispatched speculatively in _finish_batch
+                # (dispatching here would stall: the tunnel blocks a
+                # dispatch until its device-array args are materialized)
+                chain_spec = "pending"
             if self._glue_lib is not None:
                 # device-resident flat read codes for the meta-driven DP
                 # fill (stays on device; consumed by the DP programs)
                 codes_flat = _unpack_codes(words_dev, L)
-            # the chain is dispatched speculatively in _finish_batch
-            # (dispatching here would stall: the tunnel blocks a dispatch
-            # until its device-array args are materialized)
-            is_str2 = np.concatenate([is_str, is_str])
-            chain_spec = "pending"
         prep = dict(prep)
         prep.update(front=(es, stats3_dev), chain_spec=chain_spec,
                     is_str2=is_str2, read_class=L, codes_flat=codes_flat)
@@ -871,13 +906,26 @@ class AlignEngine:
         is_str = pend["is_str"]
         cs = pend.get("chain_spec")
         if cs is not None:
-            # single-device path: chain dispatched speculatively at the
-            # previous batch's K; its results (+ the front stats) arrive
-            # in ONE fused buffer — one transfer round trip per batch
-            K = self._k_spec
+            # single-device path: chain speculated at the previous
+            # batch's K; its results (+ the front stats) arrive in ONE
+            # fused buffer — one transfer round trip per batch. With
+            # fuse_chain the buffer comes from the submit-time program;
+            # otherwise dispatch the chain now (its dispatch blocks
+            # until the front materializes over the remote link)
             t = time.perf_counter()
-            buf_dev = _chain_body_fused(stats3_dev, es, pend["is_str2"],
-                                        K=K)
+            if isinstance(cs, tuple):
+                _, buf_dev, K = cs
+                try:
+                    # start the host copy before blocking (issued here,
+                    # AFTER the previous batch's DP results were fetched,
+                    # so it cannot delay them in the tunnel's copy queue)
+                    buf_dev.copy_to_host_async()
+                except (AttributeError, TypeError):
+                    pass
+            else:
+                K = self._k_spec
+                buf_dev = _chain_body_fused(stats3_dev, es,
+                                            pend["is_str2"], K=K)
             buf = np.asarray(buf_dev)
             self.prof["sync_chain"] += time.perf_counter() - t
             B2 = 2 * n_pad
@@ -1178,6 +1226,16 @@ class AlignEngine:
                     )
                     chunks.append((mem, ("fused", buf_dev, CHUNK)))
         big = np.nonzero(assigned < 0)[0]
+        # start all chunk transfers before anything else is enqueued on
+        # the link (each np.asarray otherwise pays its own tunnel round
+        # trip serially, and copies issued after the next batch's front
+        # dispatch would queue behind its compute)
+        for _, payload in chunks:
+            for arr in payload[1:]:
+                try:
+                    arr.copy_to_host_async()
+                except (AttributeError, TypeError):
+                    break
         self.prof["dp_dispatch"] += time.perf_counter() - t
         if on_dp_dispatched is not None:
             on_dp_dispatched()
