@@ -430,7 +430,8 @@ FLAT_OVERFLOW = 1 << 20   # n_overflow marker for rows cut by the NF cap
 
 
 @functools.partial(
-    jax.jit, static_argnames=("S0", "n_ext_steps", "M", "nf_mult", "probe"))
+    jax.jit, static_argnames=("S0", "n_ext_steps", "M", "nf_mult", "probe",
+                              "lane_map", "read_win"))
 def seed_reads_flat(
     didx: DeviceIndex,
     read_words: jnp.ndarray,   # (B, Wr) int32 packed
@@ -441,6 +442,8 @@ def seed_reads_flat(
     M: int = 32,
     nf_mult: int = 10,
     probe: str = "bisect",
+    lane_map: str = "scan",
+    read_win: str = "auto",
 ) -> SeedBatch:
     B, Wr = read_words.shape
     NF = nf_mult * B
@@ -540,23 +543,34 @@ def seed_reads_flat(
     row_start = jnp.cumsum(row_take) - row_take         # exclusive (B,)
     total = row_start[-1] + row_take[-1]
     row_fits = row_start + row_take <= NF
-    # map flat slot -> row: binary search over the inclusive row cumsum
-    # (TPU scatters serialize at ~10 M/s; the 14 dependent gathers of a
-    # bisect over the (B,)-sized table are ~100x cheaper than the
-    # scatter-max + cummax this replaces)
     cum_take = row_start + row_take                     # inclusive (B,)
     f_idx = jnp.arange(NF, dtype=jnp.int32)
-    lo_r = jnp.zeros((NF,), jnp.int32)
-    hi_r = jnp.full((NF,), B, jnp.int32)
-    # candidates span [0, B] (B+1 values): ceil(log2(B+1)) iterations
-    for _ in range(max(1, B.bit_length())):
-        mid = (lo_r + hi_r) >> 1
-        c = cum_take[jnp.clip(mid, 0, B - 1)]
-        go_right = c <= f_idx
-        active = lo_r < hi_r
-        lo_r = jnp.where(active & go_right, mid + 1, lo_r)
-        hi_r = jnp.where(active & ~go_right, mid, hi_r)
-    row_c = jnp.clip(lo_r, 0, B - 1)
+    if lane_map == "scan":
+        # map flat slot -> row. row_c[f] = #rows whose inclusive cumsum
+        # <= f, a step function of the SORTED query axis (f_idx is an
+        # iota): one B-element scatter-add at the row boundaries + one
+        # cumsum over NF replaces the 14-iteration bisect (14 x NF
+        # dependent HBM gathers, ~24 ms/batch on-chip; the scatter is
+        # only B elements — the earlier scatter-max + cummax failure
+        # was an NF-element scatter)
+        bump = (
+            jnp.zeros((NF + 1,), jnp.int32)
+            .at[jnp.minimum(cum_take, NF)]
+            .add(1, mode="drop")
+        )
+        row_c = jnp.minimum(jnp.cumsum(bump)[:NF], B - 1)
+    else:
+        lo_r = jnp.zeros((NF,), jnp.int32)
+        hi_r = jnp.full((NF,), B, jnp.int32)
+        # candidates span [0, B] (B+1 values): ceil(log2(B+1)) iters
+        for _ in range(max(1, B.bit_length())):
+            mid = (lo_r + hi_r) >> 1
+            c = cum_take[jnp.clip(mid, 0, B - 1)]
+            go_right = c <= f_idx
+            active = lo_r < hi_r
+            lo_r = jnp.where(active & go_right, mid + 1, lo_r)
+            hi_r = jnp.where(active & ~go_right, mid, hi_r)
+        row_c = jnp.clip(lo_r, 0, B - 1)
     p = f_idx - row_start[row_c]                        # per-row hit ordinal
     lane_ok = (f_idx < total) & (p >= 0) & (p < row_take[row_c])
 
@@ -593,9 +607,50 @@ def seed_reads_flat(
     uni_u = bc(didx.uni_words)
     nW = uni_u.shape[0]
     uw = lambda j: uni_u[jnp.clip(j, 0, nW - 1)]
-    rtab = _read_win_table(rw_u, S0, sk, NE, Wr)        # (B, S0, 2NE)
-    rtab_flat = rtab.reshape(-1)
-    rbase = bs * (2 * NE)
+    use_slab = read_win == "slab" or (read_win == "auto" and Wr <= 16)
+    if use_slab:
+        # read-side windows from ONE (NF, Wr) row-slab gather + per-step
+        # select trees over the Wr in-register words: replaces the 2*NE
+        # per-lane random rtab gathers (~2.9M HBM gathers/batch, ~29 ms
+        # on-chip) with one slice-contiguous gather plus VPU selects.
+        # Same word-index clipping and shift arithmetic as
+        # _read_win_table, so the windows are bit-identical.
+        rw_lane = jnp.take(rw_u, row_c, axis=0)         # (NF, Wr)
+
+        def _sel_word(idx):
+            acc = rw_lane[:, 0]
+            for kk in range(1, Wr):
+                acc = jnp.where(idx == kk, rw_lane[:, kk], acc)
+            return acc
+
+        w0_f = (o2 >> 4).astype(jnp.int32)
+        shs_f = ((o2 & 15) * 2).astype(jnp.uint32)
+        pr_f = o2 + sk
+        wr0_f = (pr_f >> 4).astype(jnp.int32)
+        shr_f = ((pr_f & 15) * 2).astype(jnp.uint32)
+
+        def _rwin(widx, shv):
+            hi = _sel_word(jnp.clip(widx, 0, Wr - 1))
+            lo = _sel_word(jnp.clip(widx + 1, 0, Wr - 1))
+            lo_part = jnp.where(shv == 0, jnp.uint32(0),
+                                lo >> (jnp.uint32(32) - shv))
+            return (hi << shv) | lo_part
+
+        def rwin_left(step):
+            return _rwin(w0_f - (step + 1), shs_f)
+
+        def rwin_right(step):
+            return _rwin(wr0_f + step, shr_f)
+    else:
+        rtab = _read_win_table(rw_u, S0, sk, NE, Wr)    # (B, S0, 2NE)
+        rtab_flat = rtab.reshape(-1)
+        rbase = bs * (2 * NE)
+
+        def rwin_left(step):
+            return rtab_flat[rbase + step]
+
+        def rwin_right(step):
+            return rtab_flat[rbase + NE + step]
 
     woff = off >> 4
     sh_l = (off & 15).astype(jnp.uint32) * 2
@@ -603,7 +658,7 @@ def seed_reads_flat(
     left_m = jnp.zeros_like(off)
     still = jnp.ones_like(off, dtype=bool)
     for step in range(NE):
-        wr = rtab_flat[rbase + step]
+        wr = rwin_left(step)
         hi_w = uw(woff - (step + 1))
         wu = (hi_w << sh_l) | jnp.where(
             sh_l == 0, jnp.uint32(0), lo_w >> (jnp.uint32(32) - sh_l))
@@ -622,7 +677,7 @@ def seed_reads_flat(
     right_m = jnp.zeros_like(off)
     still = jnp.ones_like(off, dtype=bool)
     for step in range(NE):
-        wr = rtab_flat[rbase + NE + step]
+        wr = rwin_right(step)
         lo_w2 = uw(w0r + step + 1)
         wu = (hi_w << sh_r) | jnp.where(
             sh_r == 0, jnp.uint32(0), lo_w2 >> (jnp.uint32(32) - sh_r))
