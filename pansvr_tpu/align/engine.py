@@ -50,6 +50,7 @@ from ..ops.ksw2_ref import NEG_INF, Ez
 from ..ops.seeding import (
     merge_expand_device,
     merge_expand_device2,
+    merge_expand_device3,
     pack_reads,
     seed_reads,
     seed_reads2,
@@ -104,7 +105,8 @@ def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
         sb = seed_reads(didx, words, lens, mask, S0=S0, M=M,
                         n_ext_steps=n_ext,
                         ext_mode="slab" if front == "v3" else "steps")
-    me = merge_expand_device2 if merge == 2 else merge_expand_device
+    me = {1: merge_expand_device, 2: merge_expand_device2,
+          3: merge_expand_device3}[merge]
     es = me(sb, didx, S=S)
     stats3 = jnp.stack([
         sb.n_overflow,

@@ -37,7 +37,7 @@ _ARRAY_FIELDS = (
     "hash_g", "kmer_g", "off_g", "uni_seqf", "uni_posp", "uni_pos",
     "uni_words", "ref_words",
     "ht_check", "ht_payload", "ent_uid", "ent_off_l", "ent_off_r",
-    "ent_pos_n", "uni_words_pad", "ent_run",
+    "ent_pos_n", "uni_words_pad", "ent_run", "ent_pack",
 )
 _STATIC_FIELDS = (
     "k", "search_k", "first_level_bases", "uni_len", "ref_len",
@@ -47,7 +47,10 @@ _STATIC_FIELDS = (
 # odd mixing constant for the 40-bit bijective multiply (mod 2^40); the
 # top hash bits of key * MIX_C are the table slot (Fibonacci hashing)
 MIX_C = 0x9E3779B97F4A7C15 & ((1 << 40) - 1) | 1
-PAD_WORDS = 64   # zero words padded on BOTH sides of uni_words_pad
+PAD_WORDS = 128  # zero words padded on BOTH sides of uni_words_pad;
+                 # must exceed the largest extension step count (NE = 99
+                 # for the 1600 read class) so ext="rows" window bases
+                 # stay non-negative
 
 
 @dataclass(frozen=True)
@@ -81,6 +84,15 @@ class DeviceIndex:
     ent_pos_n: jnp.ndarray   # occurrence count of the entry's unitig
     ent_run: jnp.ndarray     # equal-key run length starting at the entry
                              # (valid at run starts, i.e. at lower bounds)
+    # packed per-entry record, (n_kmer, 4) int32 rows so one 16-byte row
+    # gather replaces 5 separate table gathers (the TPU gather wall is
+    # descriptor-count-bound, not byte-bound):
+    #   [0] off_g  [1] ent_uid  [2] ent_off_l
+    #   [3] min(ent_off_r, 2047) | min(ent_pos_n, 2^21-1) << 11
+    # the off_r clamp is lossless (its only use is
+    # max_right = min(off_r, read_len - o - sk) with read_len <= 1600);
+    # the pos_n clamp is far above the 8000 abort threshold
+    ent_pack: jnp.ndarray
     uni_words_pad: jnp.ndarray  # uni_words with PAD_WORDS zero words both ends
     ht_bits: int
     ht_probe: int            # static linear-probe bound
@@ -206,6 +218,14 @@ def to_device(idx: RdBGIndex) -> DeviceIndex:
         ent_run = run_len[run_id].astype(np.int32)
     else:
         ent_run = np.zeros(0, np.int32)
+    off_r_c = np.minimum(ent_off_r, 2047).astype(np.int32)
+    pos_n_c = np.minimum(ent_pos_n, (1 << 21) - 1).astype(np.int32)
+    ent_pack = np.stack([
+        _pad_pow2(idx.off_g.astype(np.int32), 0),
+        _pad_pow2(ent_uid.astype(np.int32), 0),
+        _pad_pow2(ent_off_l.astype(np.int32), 0),
+        _pad_pow2((off_r_c | (pos_n_c << 11)).astype(np.int32), 0),
+    ], axis=1)
     uni_words32 = _pad_pow2(pack_u32(packed_uni), 0)
     uni_words_pad = np.concatenate([
         np.zeros(PAD_WORDS, np.int32), uni_words32,
@@ -228,6 +248,7 @@ def to_device(idx: RdBGIndex) -> DeviceIndex:
         ent_off_r=jnp.asarray(_pad_pow2(ent_off_r.astype(np.int32), 0)),
         ent_pos_n=jnp.asarray(_pad_pow2(ent_pos_n.astype(np.int32), 0)),
         ent_run=jnp.asarray(_pad_pow2(ent_run, 0)),
+        ent_pack=jnp.asarray(ent_pack),
         uni_words_pad=jnp.asarray(uni_words_pad),
         max_bucket_bits=mbb,
         k=idx.k,

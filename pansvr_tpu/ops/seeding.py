@@ -431,7 +431,7 @@ FLAT_OVERFLOW = 1 << 20   # n_overflow marker for rows cut by the NF cap
 
 @functools.partial(
     jax.jit, static_argnames=("S0", "n_ext_steps", "M", "nf_mult", "probe",
-                              "lane_map", "read_win"))
+                              "lane_map", "read_win", "ent", "ext", "wb"))
 def seed_reads_flat(
     didx: DeviceIndex,
     read_words: jnp.ndarray,   # (B, Wr) int32 packed
@@ -444,6 +444,15 @@ def seed_reads_flat(
     probe: str = "bisect",
     lane_map: str = "scan",
     read_win: str = "auto",
+    ent: str = "pack",         # entry attrs: "pack" = ONE (NF, 4) row
+                               # gather from didx.ent_pack; "split" = 5
+                               # separate table gathers
+    ext: str = "rows",         # unitig windows: "rows" = 2+ aligned
+                               # 32-word row gathers + in-register barrel
+                               # rotate; "steps" = ~2*NE word gathers
+    wb: str = "slice",         # (B, M) writeback: "slice" = one
+                               # row-contiguous (M, 6) slice per row;
+                               # "gather" = 6 full-size lane gathers
 ) -> SeedBatch:
     B, Wr = read_words.shape
     NF = nf_mult * B
@@ -593,11 +602,21 @@ def seed_reads_flat(
     # --- per-entry attributes (precomputed tables; no searchsorted) --------
     entry = jnp.where(lane_ok, left.reshape(-1)[bs] + h, 0)
     entry_c = jnp.clip(entry, 0, max(didx.n_kmer - 1, 0))
-    off = jnp.where(lane_ok, didx.off_g[entry_c], 0)
-    uid = jnp.where(lane_ok, didx.ent_uid[entry_c], 0)
-    off_l = jnp.where(lane_ok, didx.ent_off_l[entry_c], 0)
-    off_r = jnp.where(lane_ok, didx.ent_off_r[entry_c], 0)
-    pos_n = jnp.where(lane_ok, didx.ent_pos_n[entry_c], 0)
+    if ent == "pack":
+        # one 16-byte row gather instead of 5 table gathers (the gather
+        # wall is descriptor-bound; see DeviceIndex.ent_pack layout)
+        rec = didx.ent_pack[entry_c]                    # (NF, 4)
+        off = jnp.where(lane_ok, rec[:, 0], 0)
+        uid = jnp.where(lane_ok, rec[:, 1], 0)
+        off_l = jnp.where(lane_ok, rec[:, 2], 0)
+        off_r = jnp.where(lane_ok, rec[:, 3] & 2047, 0)
+        pos_n = jnp.where(lane_ok, rec[:, 3] >> 11, 0)
+    else:
+        off = jnp.where(lane_ok, didx.off_g[entry_c], 0)
+        uid = jnp.where(lane_ok, didx.ent_uid[entry_c], 0)
+        off_l = jnp.where(lane_ok, didx.ent_off_l[entry_c], 0)
+        off_r = jnp.where(lane_ok, didx.ent_off_r[entry_c], 0)
+        pos_n = jnp.where(lane_ok, didx.ent_pos_n[entry_c], 0)
 
     rl_f = read_lens[row_c]
     max_left = jnp.minimum(off_l, o2)
@@ -607,6 +626,31 @@ def seed_reads_flat(
     uni_u = bc(didx.uni_words)
     nW = uni_u.shape[0]
     uw = lambda j: uni_u[jnp.clip(j, 0, nW - 1)]
+    woff = off >> 4
+    p0 = off + sk
+    w0r = p0 >> 4
+    if ext == "rows":
+        # fetch the whole per-lane extension window
+        # [woff-NE, woff+NE+2] as n_rows ALIGNED 32-word row gathers from
+        # uni_words_pad (the PAD_WORDS margin keeps every row in bounds),
+        # then barrel-rotate in registers so every step reads a STATIC
+        # window column: ~2*NE+2 HBM descriptors per lane become n_rows
+        # (2 for the 160/256 read classes). Bit-identical windows.
+        from ..index.device import PAD_WORDS
+
+        uni_rows = bc(didx.uni_words_pad).reshape(-1, 32)
+        nR = uni_rows.shape[0]
+        n_rows = (2 * NE + 2 + 31) // 32 + 1
+        base_w = woff - NE + PAD_WORDS          # >= 0 (PAD_WORDS > max NE)
+        r0 = jnp.clip(base_w >> 5, 0, max(nR - n_rows, 0))
+        win = jnp.concatenate(
+            [uni_rows[r0 + rr] for rr in range(n_rows)], axis=1)
+        amt = base_w & 31
+        for kk in (16, 8, 4, 2, 1):
+            rolled = jnp.concatenate([win[:, kk:], win[:, :kk]], axis=1)
+            win = jnp.where(((amt & kk) != 0)[:, None], rolled, win)
+        # win[:, j] == packed unitig word (woff - NE + j), j < 2*NE+3
+        delta_r = w0r - woff                     # 1 or 2 (search_k = 20)
     use_slab = read_win == "slab" or (read_win == "auto" and Wr <= 16)
     if use_slab:
         # read-side windows from ONE (NF, Wr) row-slab gather + per-step
@@ -652,16 +696,21 @@ def seed_reads_flat(
         def rwin_right(step):
             return rtab_flat[rbase + NE + step]
 
-    woff = off >> 4
     sh_l = (off & 15).astype(jnp.uint32) * 2
-    lo_w = uw(woff)
+    sh_r = (p0 & 15).astype(jnp.uint32) * 2
+    lo_w = None if ext == "rows" else uw(woff)
     left_m = jnp.zeros_like(off)
     still = jnp.ones_like(off, dtype=bool)
     for step in range(NE):
         wr = rwin_left(step)
-        hi_w = uw(woff - (step + 1))
+        if ext == "rows":
+            hi_w = win[:, NE - step - 1]
+            lo_cur = win[:, NE - step]
+        else:
+            hi_w = uw(woff - (step + 1))
+            lo_cur = lo_w
         wu = (hi_w << sh_l) | jnp.where(
-            sh_l == 0, jnp.uint32(0), lo_w >> (jnp.uint32(32) - sh_l))
+            sh_l == 0, jnp.uint32(0), lo_cur >> (jnp.uint32(32) - sh_l))
         x = wr ^ wu
         m = jnp.where(x == 0, 16, _ctz32(x) >> 1)
         take = jnp.where(still, jnp.minimum(m, max_left - left_m), 0)
@@ -670,16 +719,20 @@ def seed_reads_flat(
         lo_w = hi_w
     left_m = jnp.minimum(left_m, max_left)
 
-    p0 = off + sk
-    sh_r = (p0 & 15).astype(jnp.uint32) * 2
-    w0r = p0 >> 4
-    hi_w = uw(w0r)
+    hi_w = None if ext == "rows" else uw(w0r)
     right_m = jnp.zeros_like(off)
     still = jnp.ones_like(off, dtype=bool)
     for step in range(NE):
         wr = rwin_right(step)
-        lo_w2 = uw(w0r + step + 1)
-        wu = (hi_w << sh_r) | jnp.where(
+        if ext == "rows":
+            hi_cur = jnp.where(delta_r == 1, win[:, NE + 1 + step],
+                               win[:, NE + 2 + step])
+            lo_w2 = jnp.where(delta_r == 1, win[:, NE + 2 + step],
+                              win[:, NE + 3 + step])
+        else:
+            hi_cur = hi_w
+            lo_w2 = uw(w0r + step + 1)
+        wu = (hi_cur << sh_r) | jnp.where(
             sh_r == 0, jnp.uint32(0), lo_w2 >> (jnp.uint32(32) - sh_r))
         x = wr ^ wu
         m = jnp.where(x == 0, 16, _clz32(x) >> 1)
@@ -720,14 +773,37 @@ def seed_reads_flat(
     # the flat->(B, M) map is invertible (lane = row_start[b] + m), so the
     # writeback is M gathers per row instead of a serialized TPU scatter
     m_cols = jnp.arange(M, dtype=jnp.int32)[None, :]
-    src_lane = jnp.clip(row_start[:, None] + m_cols, 0, NF - 1)  # (B, M)
     in_row_bm = m_cols < row_take[:, None]
+    n_overflow = overflow0 + jnp.where(row_fits, 0, FLAT_OVERFLOW)
+    if wb == "slice":
+        # a row's lanes are CONTIGUOUS on the flat axis, so the writeback
+        # is one (M, 6) dynamic slice per row (B descriptors) instead of
+        # 6 full (B, M) lane gathers; the M-row zero pad absorbs rows at
+        # the NF cap (flagged FLAT_OVERFLOW above)
+        flat6 = jnp.stack(
+            [uid, read_pos, uni_pos_off, length, pos_n,
+             valid_f.astype(jnp.int32)], axis=1)             # (NF, 6)
+        flat6 = jnp.concatenate(
+            [flat6, jnp.zeros((M, 6), jnp.int32)], axis=0)
+        rows_bm = jax.vmap(
+            lambda s_: jax.lax.dynamic_slice(flat6, (s_, 0), (M, 6))
+        )(jnp.clip(row_start, 0, NF))                        # (B, M, 6)
+        valid_bm = in_row_bm & (rows_bm[:, :, 5] != 0)
 
+        def pick(c):
+            return jnp.where(valid_bm, rows_bm[:, :, c], 0)
+
+        return SeedBatch(
+            uid=pick(0), read_pos=pick(1), uni_pos_off=pick(2),
+            length=pick(3), pos_n=pick(4), valid=valid_bm,
+            n_overflow=n_overflow.astype(jnp.int32),
+        )
+
+    src_lane = jnp.clip(row_start[:, None] + m_cols, 0, NF - 1)  # (B, M)
     valid_bm = in_row_bm & valid_f[src_lane]
 
     def back(vals):
         return jnp.where(valid_bm, vals[src_lane], 0)
-    n_overflow = overflow0 + jnp.where(row_fits, 0, FLAT_OVERFLOW)
     return SeedBatch(
         uid=back(uid), read_pos=back(read_pos), uni_pos_off=back(uni_pos_off),
         length=back(length), pos_n=back(pos_n), valid=valid_bm,
@@ -1200,6 +1276,147 @@ def merge_expand_device2(sb: SeedBatch, didx: DeviceIndex, S: int,
     len1_r = (r_a >> 12) & 4095
     len2_r = r_b & 4095
     covv = jnp.take_along_axis(m_cov, src_run, axis=1)
+
+    z = jnp.int32(0)
+    return DeviceSeeds(
+        read_begin=jnp.where(slot_ok, read_begin, z),
+        read_end=jnp.where(slot_ok, read_begin + len1_r - 1, z),
+        ref_begin=jnp.where(slot_ok, ref_begin, z),
+        ref_end=jnp.where(slot_ok, ref_begin + len2_r - 1, z),
+        cov=jnp.where(slot_ok, covv, z),
+        seed_id=jnp.where(slot_ok, src_run, z),
+        valid=slot_ok,
+        n_dropped=jnp.maximum(total - S, 0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def merge_expand_device3(sb: SeedBatch, didx: DeviceIndex, S: int,
+                         sample_seed: jnp.ndarray | int = 0) -> DeviceSeeds:
+    """merge_expand_device2 with the expand-side run-attribute gathers
+    replaced by one-hot masked sums over the tiny M axis: src_run is
+    non-decreasing per row, so its one-hot factors out of the (B, S, M)
+    compare the v2 variant already pays, and each attribute select is a
+    VPU reduce instead of a ~5 ms (B, M) take_along_axis HBM gather.
+    Bit-identical outputs (tested)."""
+    uid, rp, uo, ln, pn, valid = (
+        sb.uid, sb.read_pos, sb.uni_pos_off, sb.length, sb.pos_n, sb.valid
+    )
+    B, M = uid.shape
+
+    # ---- sort MEMs by (uid, read_pos), invalid last (as v2) -------------
+    key1 = jnp.where(valid, uid, jnp.int32(0x7FFFFFFF))
+    pk = (
+        jnp.clip(rp, 0, 4095)
+        | (jnp.clip(ln, 0, 4095) << 12)
+        | (valid.astype(jnp.int32) << 24)
+    )
+    pn_c = jnp.minimum(pn, 16383)
+    key1, rp, uo, pk, pn = jax.lax.sort(
+        (key1, rp, uo, pk, pn_c), dimension=1, num_keys=2, is_stable=True)
+    valid = (pk >> 24) != 0
+    uid = jnp.where(valid, key1, 0)
+    ln = (pk >> 12) & 4095
+
+    # ---- adjacent-linked runs (as v2) -----------------------------------
+    linked = jnp.zeros((B, M), dtype=bool)
+    same = (uid[:, 1:] == uid[:, :-1]) & (uo[:, 1:] > uo[:, :-1]) \
+        & valid[:, 1:] & valid[:, :-1]
+    diff = rp[:, 1:] - rp[:, :-1] - ln[:, :-1]
+    drift = (uo[:, 1:] - uo[:, :-1]) - (rp[:, 1:] - rp[:, :-1])
+    linked = linked.at[:, 1:].set(
+        same & (diff <= WAITING_LEN) & (drift == 0)
+    )
+    is_first = ~linked
+    run_id = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # (B, M)
+
+    contrib = jnp.where(
+        linked & (jnp.pad(diff, ((0, 0), (1, 0))) <= 0),
+        jnp.pad(diff, ((0, 0), (1, 0))) + ln, ln
+    )
+    contrib = jnp.where(valid, contrib, 0)
+    csum = jnp.cumsum(contrib, axis=1)
+
+    # ---- per-lane run attributes via segmented propagation (as v2) ------
+    pk_l = _seg_last(pk, run_id)
+    uo_l = _seg_last(uo, run_id)
+    csum_l = _seg_last(csum, run_id)
+    csum_before = jnp.concatenate(
+        [jnp.zeros((B, 1), csum.dtype), csum[:, :-1]], axis=1)
+    cov_all = csum_l - csum_before
+    rp_l = pk_l & 4095
+    ln_l = (pk_l >> 12) & 4095
+    is_last = jnp.concatenate(
+        [is_first[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    len1 = jnp.where(is_last, ln, rp_l + ln_l - rp)
+    len2 = jnp.where(is_last, ln, uo_l + ln_l - uo)
+
+    # ---- compact run firsts into run slots: ONE payload sort (as v2) ----
+    flag = is_first & valid
+    n_runs = jnp.sum(flag, axis=1)  # (B,)
+    m_cols = jnp.arange(M, dtype=jnp.int32)[None, :]
+    ckey = jnp.where(flag, m_cols, jnp.int32(M))
+    mp_a = (rp & 4095) | ((len1 & 4095) << 12)
+    mp_b = (len2 & 4095) | (pn << 12)   # pn already clamped to 14 bits
+    _, m_uid, m_uo, m_a, m_b, m_cov = jax.lax.sort(
+        (jnp.broadcast_to(ckey, (B, M)), uid, uo, mp_a, mp_b, cov_all),
+        dimension=1, num_keys=1, is_stable=True)
+    m_pn = m_b >> 12
+
+    # ---- expand: one-hot selection instead of per-attribute gathers -----
+    run_slot = jnp.arange(M)[None, :]
+    run_ok = run_slot < n_runs[:, None]
+    over2 = run_ok & (m_pn > POS_N_MAX_LEVEL2)
+    aborted = jnp.cumsum(over2.astype(jnp.int32), axis=1) > 0
+    keep = run_ok & ~aborted
+    occ = jnp.where(
+        keep, jnp.where(m_pn > POS_N_MAX, RANDOM_NUM, m_pn), 0
+    )
+    cum = jnp.cumsum(occ, axis=1)
+    start = cum - occ
+    total = cum[:, -1]
+
+    slot = jnp.arange(S, dtype=jnp.int32)[None, :]
+    # cum is non-decreasing per row, so the upper-bound map slot -> run is
+    # a step function: le[s, m] = cum[m] <= slot[s] is a prefix-of-ones
+    # along M; src_run = popcount of the prefix and its one-hot is the
+    # prefix edge — both fall out of ONE (B, S, M) compare
+    le = cum[:, None, :] <= slot[:, :, None]            # (B, S, M)
+    src_run = jnp.sum(le.astype(jnp.int32), axis=2)
+    src_run = jnp.clip(src_run, 0, M - 1)
+    oh = jnp.concatenate(
+        [jnp.ones((B, S, 1), bool), le[:, :, :-1]], axis=2) & ~le
+
+    def sel(a):  # (B, M) -> (B, S) masked-sum one-hot select
+        return jnp.sum(jnp.where(oh, a[:, None, :], 0), axis=2)
+
+    within = slot - sel(start)
+    slot_ok = slot < jnp.minimum(total[:, None], S)
+
+    r_uid = sel(m_uid)
+    r_a = sel(m_a)
+    r_b = sel(m_b)
+    r_uo = sel(m_uo)
+    covv = sel(m_cov)
+    r_pn = r_b >> 12
+    sampled = r_pn > POS_N_MAX
+    h = (
+        (slot.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        ^ (jnp.uint32(sample_seed) if isinstance(sample_seed, int)
+           else sample_seed.astype(jnp.uint32))
+        ^ (r_uid.astype(jnp.uint32) * jnp.uint32(2654435761))
+    )
+    pick_within = jnp.where(
+        sampled,
+        (h % jnp.maximum(r_pn, 1).astype(jnp.uint32)).astype(jnp.int32),
+        within,
+    )
+    base = didx.uni_posp[jnp.clip(r_uid, 0, max(didx.n_uni - 1, 0))]
+    occ_idx = jnp.clip(base + pick_within, 0, didx.uni_pos.shape[0] - 1)
+    ref_begin = didx.uni_pos[occ_idx] + r_uo
+    read_begin = r_a & 4095
+    len1_r = (r_a >> 12) & 4095
+    len2_r = r_b & 4095
 
     z = jnp.int32(0)
     return DeviceSeeds(

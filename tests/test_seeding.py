@@ -177,11 +177,16 @@ def test_seed_reads_flat_matches_v1(world):
     v5 = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32, nf_mult=32)
     v5h = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32, nf_mult=32,
                           probe="hash")
-    for f in ("uid", "read_pos", "uni_pos_off", "length", "pos_n",
-              "valid", "n_overflow"):
-        assert np.array_equal(np.asarray(getattr(v5, f)),
-                              np.asarray(getattr(v5h, f))), \
-            f"hash probe differs in {f}"
+    # round-3 gather variants must be bit-identical to the legacy lanes
+    v5_legacy = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32,
+                                nf_mult=32, ent="split", ext="steps",
+                                wb="gather")
+    for variant, name in ((v5h, "hash probe"), (v5_legacy, "legacy lanes")):
+        for f in ("uid", "read_pos", "uni_pos_off", "length", "pos_n",
+                  "valid", "n_overflow"):
+            assert np.array_equal(np.asarray(getattr(v5, f)),
+                                  np.asarray(getattr(variant, f))), \
+                f"{name} differs in {f}"
     assert not (np.asarray(v5.n_overflow) >= FLAT_OVERFLOW).any()
     assert np.array_equal(np.asarray(v1.n_overflow),
                           np.asarray(v5.n_overflow))
@@ -208,7 +213,8 @@ def test_merge_expand_device2_matches_v1(world):
     real seed batches and on adversarial random ones (mixed validity,
     sampled and aborted pos_n tiers)."""
     from pansvr_tpu.ops.seeding import (
-        SeedBatch, merge_expand_device, merge_expand_device2)
+        SeedBatch, merge_expand_device, merge_expand_device2,
+        merge_expand_device3)
 
     idx, didx, contigs = world
     rng = np.random.default_rng(36)
@@ -234,11 +240,14 @@ def test_merge_expand_device2_matches_v1(world):
     for batch in (sb, sb_rand):
         for S in (32, 64):
             e1 = merge_expand_device(batch, didx, S=S)
-            e2 = merge_expand_device2(batch, didx, S=S)
-            for f in e1._fields:
-                assert np.array_equal(
-                    np.asarray(getattr(e1, f)), np.asarray(getattr(e2, f))
-                ), f"S={S} field {f} differs"
+            for name, me in (("v2", merge_expand_device2),
+                             ("v3", merge_expand_device3)):
+                e2 = me(batch, didx, S=S)
+                for f in e1._fields:
+                    assert np.array_equal(
+                        np.asarray(getattr(e1, f)),
+                        np.asarray(getattr(e2, f))
+                    ), f"{name} S={S} field {f} differs"
 
 
 def test_seed_reads2_matches_oracle(world):

@@ -68,6 +68,45 @@ def main():
         return jax.lax.sort((k1, k2, p1, p2, p3), dimension=0, num_keys=2,
                             is_stable=True)
 
+    # ---- round-3 candidates ------------------------------------------------
+    # aligned row windows for MEM extension: 2 gathers of a 32-word row
+    # + barrel rotate by (woff & 31), replacing ~20 per-step word gathers
+    rows32 = table32[: (nw // 32) * 32].reshape(-1, 32)
+    idx_r = jnp.minimum(idx >> 5, nw // 32 - 2)
+
+    @jax.jit
+    def rows2_rotate(t, i, woff):
+        w = jnp.concatenate([t[i], t[i + 1]], axis=1)      # (NF, 64)
+        amt = woff & 31
+        for k in (16, 8, 4, 2, 1):
+            rolled = jnp.roll(w, -k, axis=1)
+            w = jnp.where((amt & k)[:, None] != 0, rolled, w)
+        return w[:, :24]
+
+    # writeback: per-row contiguous (M, C) slice from a flat (NF, C) table
+    C = 6
+    flat6 = table32[: NF * C].reshape(NF, C)
+    row_starts = jnp.asarray(
+        np.sort(rng.integers(0, NF - M, B).astype(np.int32)))
+
+    @jax.jit
+    def slice_rows(t, s):
+        return jax.vmap(
+            lambda s_: jax.lax.dynamic_slice(t, (s_, 0), (M, C)))(s)
+
+    # in-row gather as one-hot masked sum (src_run is over the tiny M axis)
+    S = 32
+
+    @jax.jit
+    def onehot_inrow(a, c):
+        oh = c[:, :, None] == jnp.arange(M, dtype=jnp.int32)[None, None, :]
+        return jnp.sum(jnp.where(oh, a[:, None, :], 0), axis=2)
+
+    # one 4-wide entry row vs 4 separate takes (same indices)
+    @jax.jit
+    def take4x1(t, i):
+        return t[i], t[i + 1], t[i + 2], t[i + 3]
+
     k1 = idx
     k2 = jnp.flip(idx)
     res = {}
@@ -79,13 +118,18 @@ def main():
     except Exception as e:  # pragma: no cover
         res["slice4"] = float("nan")
         print("slice4 failed:", e)
+    res["take4x1"] = timeit(take4x1, table32, idx)
+    res["rows2_rotate"] = timeit(rows2_rotate, rows32, idx_r, idx)
+    res["slice_rows(M,6)"] = timeit(slice_rows, flat6, row_starts)
     res["ta_inrow(B,M)"] = timeit(ta_inrow, bm, cols)
+    res["onehot_inrow"] = timeit(onehot_inrow, bm, cols)
     res["sort_nf"] = timeit(sort_nf, k1, k2, idx, idx, idx)
 
     print(f"NF={NF}  table={mb} MB  backend={jax.default_backend()}")
     for k, v in res.items():
-        n_elem = B * M if "B,M" in k else NF
-        print(f"  {k:14s} {v * 1e3:8.3f} ms   "
+        n_elem = B * M if ("B,M" in k or "onehot" in k or "M,6" in k) \
+            else NF
+        print(f"  {k:16s} {v * 1e3:8.3f} ms   "
               f"{n_elem / v / 1e6:8.1f} M idx/s")
 
 
