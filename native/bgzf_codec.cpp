@@ -134,4 +134,23 @@ int bgzf_decompress_blocks(const uint8_t* src, const int64_t* src_offsets,
   return 0;
 }
 
+// Decompress directly at caller-computed destination offsets (from the
+// per-block ISIZE trailers), so Python neither over-allocates a
+// 65536-strided scratch nor re-concatenates per-block slices — the
+// 65536-strided variant cost ~0.25 s/4 MB on record-per-block BAMs.
+int bgzf_decompress_blocks_at(const uint8_t* src, const int64_t* src_offsets,
+                              const int32_t* src_lens, int n_blocks,
+                              int n_threads, uint8_t* dst,
+                              const int64_t* dst_offsets) {
+  std::atomic<int> bad{0};
+  parallel_for(n_blocks, n_threads, [&](int i) {
+    const int cap =
+        static_cast<int>(dst_offsets[i + 1] - dst_offsets[i]);
+    const int got = decompress_one(src + src_offsets[i], src_lens[i],
+                                   dst + dst_offsets[i], cap);
+    if (got != cap) bad.store(1);
+  });
+  return bad.load() ? -1 : 0;
+}
+
 }  // extern "C"

@@ -32,12 +32,14 @@
 
 #include <algorithm>
 #include <array>
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <map>
 #include <set>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -1017,7 +1019,8 @@ struct SigRec {
 void glue_signal_scan(const uint8_t* blob, const int64_t* offs, int32_t n,
                       int32_t min_isize, int32_t max_isize,
                       int32_t max_tid, int32_t discard_full,
-                      int32_t not_using_filter, int32_t* cols,
+                      int32_t not_using_filter, int32_t lowq_cutoff,
+                      int32_t* cols,
                       int32_t* mate, int32_t* verdict, int32_t* reason) {
   constexpr int32_t MATCH = 2, MISMATCH = 12;
   constexpr int32_t GO = 16, GE = 1, GO2 = 32, GE2 = 0;
@@ -1063,11 +1066,13 @@ void glue_signal_scan(const uint8_t* blob, const int64_t* offs, int32_t n,
     r.soft_left = soft_l;
     r.clip_sum = soft_l + soft_r;
 
-    // qual: count bases below '/' (raw phred < 14); 0xff = missing
+    // qual: raw phred below the cutoff; 0xff = missing. The reference
+    // compares the '/' char literal (47) against RAW phred
+    // (bam_file.c:673-684), so 47 reproduces its behavior
     const uint8_t* q = cg + 4 * n_cigar + (r.l_seq + 1) / 2;
     int32_t lowq = 0;
     if (r.l_seq > 0 && q[0] != 0xFF) {
-      for (int32_t k = 0; k < r.l_seq; k++) lowq += (q[k] < 14);
+      for (int32_t k = 0; k < r.l_seq; k++) lowq += (q[k] < lowq_cutoff);
     }
     r.lowq = lowq;
 
@@ -2026,4 +2031,490 @@ extern "C" void glue_sv_load(
     cig_off[n] = co;
     seq_off[n] = so;
   }
+}
+
+// ---------------------------------------------------------------------
+// fc_signal native FASTQ renderer: parse raw record bodies, pair mates
+// (positional in-block, mode 0, or adjacent-by-name for the phase-2
+// leftovers, mode 1), run the 7-rule filter, and render the signal-pair
+// FASTQ entries — comment contract of getSignalRead.cpp:158-249 exactly
+// as signal/extract.py's _pair_comment/_fastq_entry produce it
+// (byte-identical, tested). Record parse and pair render run on
+// std::thread workers; pairing and counters stay sequential.
+
+namespace sigr {
+
+struct Rec {
+  int32_t tid, pos, mapq, flag, l_seq, mtid, mpos, isize;
+  const uint8_t* name;   // NUL-terminated
+  int32_t l_name;        // including the NUL
+  const uint8_t* cigar;  // n_cigar uint32 ops
+  int32_t n_cigar;
+  const uint8_t* seq4;   // 4-bit packed, (l_seq+1)/2 bytes
+  const uint8_t* qual;   // l_seq raw phred bytes (0xff = missing)
+  const uint8_t* xa; int32_t xa_len;   // Z-tag payloads (w/o NUL), or null
+  const uint8_t* mc; int32_t mc_len;
+  const uint8_t* sa; int32_t sa_len;
+  int32_t nm; bool has_nm;
+  int32_t score, soft_left, clip_sum, lowq, xa_n;
+};
+
+constexpr int32_t MATCH = 2, MISMATCH = 12;
+constexpr int32_t GO = 16, GE = 1, GO2 = 32, GE2 = 0;
+const char kCigChr[16] = {'M','I','D','N','S','H','P','=','X','?','?','?','?','?','?','?'};
+const char kNib16[16] = {'=','A','C','M','G','R','S','V','T','W','Y','H','K','D','B','N'};
+
+inline void parse_rec(const uint8_t* b, int64_t blen, Rec& r,
+                      int32_t lowq_cutoff) {
+  std::memcpy(&r.tid, b + 0, 4);
+  std::memcpy(&r.pos, b + 4, 4);
+  r.l_name = b[8];
+  r.mapq = b[9];
+  uint16_t n_cigar, flag16;
+  std::memcpy(&n_cigar, b + 12, 2);
+  std::memcpy(&flag16, b + 14, 2);
+  r.flag = flag16;
+  r.n_cigar = n_cigar;
+  std::memcpy(&r.l_seq, b + 16, 4);
+  std::memcpy(&r.mtid, b + 20, 4);
+  std::memcpy(&r.mpos, b + 24, 4);
+  std::memcpy(&r.isize, b + 28, 4);
+  r.name = b + 32;
+  r.cigar = b + 32 + r.l_name;
+
+  int32_t score = 0, gap = 0, soft_l = 0, soft_r = 0;
+  for (int32_t k = 0; k < r.n_cigar; k++) {
+    uint32_t cv;
+    std::memcpy(&cv, r.cigar + 4 * k, 4);
+    const int32_t ln = (int32_t)(cv >> 4);
+    const int32_t op = (int32_t)(cv & 0xF);
+    if (op == 0 || op == 7) {
+      score += ln * MATCH;
+    } else if (op == 1 || op == 2 || op == 4 || op == 5) {
+      if (op == 1 || op == 2) gap += ln;
+      score -= std::min(GO + ln * GE, GO2 + ln * GE2);
+    }
+    if (op == 4 || op == 5) {
+      if (k == 0) soft_l = ln;
+      if (k == r.n_cigar - 1) soft_r = ln;
+    }
+  }
+  r.soft_left = soft_l;
+  r.clip_sum = soft_l + soft_r;
+
+  r.seq4 = r.cigar + 4 * r.n_cigar;
+  r.qual = r.seq4 + (r.l_seq + 1) / 2;
+  int32_t lowq = 0;
+  if (r.l_seq > 0 && r.qual[0] != 0xFF) {
+    // raw phred < cutoff; the reference compares '/' (47) against RAW
+    // phred (bam_file.c:673-684) — 47 reproduces its behavior
+    for (int32_t k = 0; k < r.l_seq; k++) lowq += (r.qual[k] < lowq_cutoff);
+  }
+  r.lowq = lowq;
+
+  const uint8_t* t = r.qual + r.l_seq;
+  const uint8_t* end = b + blen;
+  r.nm = 0; r.has_nm = false;
+  r.xa = r.mc = r.sa = nullptr;
+  r.xa_len = r.mc_len = r.sa_len = 0;
+  int32_t xa_semi = -1;
+  while (t + 3 <= end) {
+    const uint8_t t0 = t[0], t1 = t[1];
+    const char ty = (char)t[2];
+    t += 3;
+    int64_t adv;
+    switch (ty) {
+      case 'A': adv = 1; break;
+      case 'c': case 'C': adv = 1; break;
+      case 's': case 'S': adv = 2; break;
+      case 'i': case 'I': adv = 4; break;
+      case 'f': adv = 4; break;
+      case 'Z': case 'H': {
+        const uint8_t* z = t;
+        while (z < end && *z) z++;
+        adv = z - t + 1;
+        break;
+      }
+      case 'B': {
+        if (t + 5 > end) { adv = end - t; break; }
+        uint32_t cnt;
+        std::memcpy(&cnt, t + 1, 4);
+        int32_t esz;
+        switch ((char)t[0]) {
+          case 'c': case 'C': esz = 1; break;
+          case 's': case 'S': esz = 2; break;
+          default: esz = 4; break;
+        }
+        adv = 5 + (int64_t)cnt * esz;
+        break;
+      }
+      default: adv = end - t; break;
+    }
+    if (t0 == 'N' && t1 == 'M') {
+      r.has_nm = true;
+      switch (ty) {
+        case 'c': r.nm = *(const int8_t*)t; break;
+        case 'C': r.nm = *t; break;
+        case 's': { int16_t v; std::memcpy(&v, t, 2); r.nm = v; break; }
+        case 'S': { uint16_t v; std::memcpy(&v, t, 2); r.nm = v; break; }
+        case 'i': case 'I': std::memcpy(&r.nm, t, 4); break;
+        default: r.has_nm = false; break;
+      }
+    } else if ((ty == 'Z' || ty == 'H')) {
+      const uint8_t* z = t;
+      int32_t zl = 0;
+      while (z + zl < end && z[zl]) zl++;
+      if (t0 == 'X' && t1 == 'A') {
+        r.xa = t; r.xa_len = zl;
+        xa_semi = 0;
+        for (int32_t k2 = 0; k2 < zl; k2++) xa_semi += (t[k2] == ';');
+      } else if (t0 == 'M' && t1 == 'C') {
+        r.mc = t; r.mc_len = zl;
+      } else if (t0 == 'S' && t1 == 'A') {
+        r.sa = t; r.sa_len = zl;
+      }
+    }
+    t += adv;
+  }
+  score -= (MISMATCH + MATCH) * (r.nm - gap);
+  r.score = std::max(0, score);
+  r.xa_n = (r.mapq > 0) ? 0 : (xa_semi < 0 ? 6 : xa_semi);
+}
+
+// classify_pair (signal/extract.py:289-346). Returns verdict
+// (1 signal, 0 filtered, -1 full-match discard) and sets reason.
+inline int32_t classify(const Rec& r1, const Rec& r2, int32_t min_isize,
+                        int32_t max_isize, int32_t max_tid,
+                        int32_t discard_full, int32_t not_using_filter,
+                        int32_t* reason_out) {
+  const int32_t isize = std::abs(r1.isize);
+  const bool unm1 = r1.flag & 0x4, unm2 = r2.flag & 0x4;
+  *reason_out = 0;
+  if (discard_full) {
+    const int32_t min_score =
+        (r1.l_seq + r2.l_seq) * MATCH - 4 * (MATCH + MISMATCH);
+    const bool near_full = r1.score + r2.score >= min_score;
+    const bool isize_ok =
+        isize != 0 && min_isize < isize && isize < max_isize;
+    if (near_full && isize_ok && r1.tid == r2.tid && r1.tid <= max_tid &&
+        r2.tid <= max_tid)
+      return -1;
+  }
+  bool d0 = !(r1.flag & 0x10), d1 = !(r2.flag & 0x10);
+  if (r1.pos > r2.pos) std::swap(d0, d1);
+  if (isize == r1.l_seq && isize == r2.l_seq && !d0 && d1) std::swap(d0, d1);
+  int32_t clip[2] = {r1.clip_sum, r2.clip_sum};
+  int32_t lowq[2] = {r1.lowq, r2.lowq};
+  int32_t indel[2] = {r1.nm, r2.nm};
+  for (int32_t k = 0; k < 2; k++) {
+    clip[k] -= lowq[k];
+    if (clip[k] < 0) { lowq[k] = -clip[k]; clip[k] = 0; }
+    lowq[k] >>= 1;
+    indel[k] -= lowq[k];
+    if (indel[k] < 0) indel[k] = 0;
+  }
+  int32_t rs = 0;
+  if (r1.mapq < 10 && r2.mapq < 10) rs += 1;
+  if (unm1 || unm2) rs += 2;
+  if (isize > 1000) rs += 4;
+  if (!d0 || d1) rs += 8;
+  if (indel[0] + indel[1] > 15) rs += 16;
+  if (clip[0] + clip[1] > 10) rs += 32;
+  if (r1.tid != r2.tid || r1.tid > max_tid || r2.tid > max_tid) rs += 64;
+  *reason_out = rs;
+  return (rs != 0 || not_using_filter) ? 1 : 0;
+}
+
+inline void put_i(std::string& s, int64_t v) {
+  char tmp[24];
+  int n = std::snprintf(tmp, sizeof tmp, "%lld", (long long)v);
+  s.append(tmp, n);
+}
+
+// one mate's FASTQ entry (extract._pair_comment + _fastq_entry)
+inline void render_one(const Rec& a, const Rec& b, int32_t abs_isize1,
+                       bool with_stat, int32_t st_rl, int32_t st_min,
+                       int32_t st_mid, int32_t st_max, std::string& out) {
+  out.push_back('@');
+  out.append((const char*)a.name, a.l_name > 0 ? a.l_name - 1 : 0);
+  out.push_back(' ');
+  put_i(out, a.tid); out.push_back('_');
+  put_i(out, a.pos); out.push_back('_');
+  put_i(out, a.soft_left); out.push_back('_');
+  put_i(out, a.score); out.push_back('_');
+  put_i(out, a.mapq); out.push_back('_');
+  put_i(out, b.mapq); out.push_back('_');
+  put_i(out, a.xa_n); out.push_back('_');
+  put_i(out, b.xa_n); out.push_back('_');
+  put_i(out, abs_isize1); out.push_back('_');
+  for (const Rec* r : {&a, &b}) {
+    out.push_back((r->flag & 0x10) ? 'R' : 'F');
+    out.push_back((r->flag & 0x4) ? 'Y' : 'N');
+    out.push_back(r->nm > 8 ? 'Y' : 'N');
+    out.push_back(r->clip_sum > 10 ? 'Y' : 'N');
+    out.push_back('_');
+  }
+  if (with_stat) {
+    out.append("STAT_");
+    put_i(out, st_rl); out.push_back('_');
+    put_i(out, st_min); out.push_back('_');
+    put_i(out, st_mid); out.push_back('_');
+    put_i(out, st_max); out.push_back('_');
+  }
+  out.append("FLAG_");
+  put_i(out, a.flag); out.push_back('_');
+  put_i(out, a.mapq); out.append("_CIGAR_");
+  for (int32_t k = 0; k < a.n_cigar; k++) {
+    uint32_t cv;
+    std::memcpy(&cv, a.cigar + 4 * k, 4);
+    put_i(out, (int64_t)(cv >> 4));
+    out.push_back(kCigChr[cv & 0xF]);
+  }
+  out.append("_MATE_");
+  put_i(out, a.mtid); out.push_back('_');
+  put_i(out, a.mpos); out.push_back('_');
+  put_i(out, a.isize); out.append("_TAG_");
+  if (a.xa) { out.append("XA:Z:"); out.append((const char*)a.xa, a.xa_len); out.push_back('_'); }
+  if (a.mc) { out.append("MC:Z:"); out.append((const char*)a.mc, a.mc_len); out.push_back('_'); }
+  if (a.sa) { out.append("SA:Z:"); out.append((const char*)a.sa, a.sa_len); out.push_back('_'); }
+  if (a.has_nm) { out.append("NM:i:"); put_i(out, a.nm); out.push_back('_'); }
+  out.push_back('\n');
+
+  // sequence (nib16 decode; revcomp when mapped & reverse — the
+  // complement maps every non-ACGT nib16 char to 'N', matching
+  // utils/dna.py revcomp's encode/complement/decode chain)
+  const bool rc = !(a.flag & 0x4) && (a.flag & 0x10);
+  const size_t seq_at = out.size();
+  out.resize(seq_at + a.l_seq);
+  char* sp = &out[seq_at];
+  if (rc) {
+    for (int32_t k = 0; k < a.l_seq; k++) {
+      const int32_t src = a.l_seq - 1 - k;
+      const uint8_t nib = (src & 1) ? (a.seq4[src >> 1] & 0xF)
+                                    : (a.seq4[src >> 1] >> 4);
+      const char c = kNib16[nib];
+      sp[k] = (c == 'A') ? 'T' : (c == 'C') ? 'G' : (c == 'G') ? 'C'
+              : (c == 'T') ? 'A' : 'N';
+    }
+  } else {
+    for (int32_t k = 0; k < a.l_seq; k++) {
+      const uint8_t nib = (k & 1) ? (a.seq4[k >> 1] & 0xF)
+                                  : (a.seq4[k >> 1] >> 4);
+      sp[k] = kNib16[nib];
+    }
+  }
+  out.append("\n+\n");
+  const size_t q_at = out.size();
+  out.resize(q_at + a.l_seq);
+  char* qp = &out[q_at];
+  const bool q_missing = a.l_seq == 0 || a.qual[0] == 0xFF;
+  if (q_missing) {
+    std::memset(qp, 'I', a.l_seq);
+  } else if (rc) {
+    for (int32_t k = 0; k < a.l_seq; k++) {
+      const uint8_t q = a.qual[a.l_seq - 1 - k];
+      qp[k] = (char)((q > 93 ? 93 : q) + 33);
+    }
+  } else {
+    for (int32_t k = 0; k < a.l_seq; k++) {
+      const uint8_t q = a.qual[k];
+      qp[k] = (char)((q > 93 ? 93 : q) + 33);
+    }
+  }
+  out.push_back('\n');
+}
+
+struct RenderCtx {
+  std::string fq;
+};
+
+}  // namespace sigr
+
+// mode 0: positional in-block pairing; mode 1: adjacent-by-name pairing
+// of pre-sorted phase-2 leftovers. Returns a handle to fetch/free the
+// rendered FASTQ via glue_signal_fq_fetch.
+extern "C" void* glue_signal_render(
+    const uint8_t* blob, const int64_t* offs, const int32_t* lens,
+    int32_t n, int32_t mode, int32_t min_isize, int32_t max_isize,
+    int32_t max_tid, int32_t discard_full, int32_t not_using_filter,
+    int32_t lowq_cutoff,
+    int32_t emit_stat, int32_t st_rl, int32_t st_min, int32_t st_mid,
+    int32_t st_max, int32_t n_threads, int64_t* out_fq_len,
+    int32_t* out_n_pairs, int32_t* out_n_signal, int32_t* out_stat_emitted,
+    int32_t* leftover_idx, int32_t* out_n_leftover,
+    int64_t* reason_counts /* 1024, += */) {
+  using sigr::Rec;
+  std::vector<Rec> rec(n);
+  {
+    std::atomic<int32_t> next{0};
+    auto work = [&]() {
+      for (;;) {
+        const int32_t i = next.fetch_add(256);
+        if (i >= n) return;
+        const int32_t e = std::min(i + 256, n);
+        for (int32_t k = i; k < e; k++)
+          sigr::parse_rec(blob + offs[k], lens[k], rec[k], lowq_cutoff);
+      }
+    };
+    if (n_threads > 1 && n > 512) {
+      std::vector<std::thread> ts;
+      for (int t = 0; t < n_threads; t++) ts.emplace_back(work);
+      for (auto& t : ts) t.join();
+    } else {
+      work();
+    }
+  }
+
+  // ---- pairing ----------------------------------------------------------
+  std::vector<int32_t> mate(n, -1);
+  std::vector<std::pair<int32_t, int32_t>> pairs;  // (r1 idx, r2 idx)
+  int32_t n_leftover = 0;
+  if (mode == 0) {
+    std::unordered_map<int32_t, std::vector<int32_t>> by_pos;
+    by_pos.reserve((size_t)n * 2);
+    for (int32_t k = 0; k < n; k++) by_pos[rec[k].pos].push_back(k);
+    for (int32_t i = 0; i < n; i++) {
+      if (mate[i] >= 0) continue;
+      const Rec& r = rec[i];
+      if (r.tid != r.mtid) continue;
+      if (r.tid == -1) {
+        for (int32_t d = 0; d < 2; d++) {
+          const int32_t k = (d == 0) ? i + 1 : i - 1;
+          if (k >= 0 && k < n && mate[k] < 0 &&
+              std::strcmp((const char*)rec[k].name, (const char*)r.name) == 0) {
+            mate[i] = k;
+            mate[k] = i;
+            break;
+          }
+        }
+        continue;
+      }
+      auto it = by_pos.find(r.mpos);
+      if (it == by_pos.end()) continue;
+      for (const int32_t k : it->second) {
+        const Rec& m = rec[k];
+        if (k != i && m.mpos == r.pos && mate[k] < 0 &&
+            std::strcmp((const char*)m.name, (const char*)r.name) == 0) {
+          mate[i] = k;
+          mate[k] = i;
+          break;
+        }
+      }
+    }
+    for (int32_t i = 0; i < n; i++)
+      if (mate[i] < 0) leftover_idx[n_leftover++] = i;
+    for (int32_t i = 0; i < n; i++) {
+      if (mate[i] < 0) continue;
+      if (!(rec[i].flag & 0x40)) continue;
+      if (rec[mate[i]].flag & 0x40) continue;
+      pairs.push_back({i, mate[i]});
+    }
+  } else {
+    int32_t i = 0;
+    while (i + 1 < n) {
+      if (std::strcmp((const char*)rec[i].name,
+                      (const char*)rec[i + 1].name) == 0) {
+        int32_t a = i, c = i + 1;
+        if (!(rec[a].flag & 0x40)) std::swap(a, c);
+        pairs.push_back({a, c});
+        i += 2;
+      } else {
+        i += 1;
+      }
+    }
+  }
+  *out_n_leftover = n_leftover;
+
+  // ---- classify (sequential: counters + STAT position) -------------------
+  std::vector<int32_t> emit;   // indices into `pairs` marked signal
+  int32_t n_pairs = 0;
+  for (size_t p = 0; p < pairs.size(); p++) {
+    const Rec& r1 = rec[pairs[p].first];
+    const Rec& r2 = rec[pairs[p].second];
+    n_pairs++;
+    int32_t rs = 0;
+    const int32_t v = sigr::classify(r1, r2, min_isize, max_isize, max_tid,
+                                     discard_full, not_using_filter, &rs);
+    if (v == -1) continue;
+    reason_counts[rs & 1023]++;
+    if (v == 1) emit.push_back((int32_t)p);
+  }
+  *out_n_pairs = n_pairs;
+  *out_n_signal = (int32_t)emit.size();
+  *out_stat_emitted = (emit_stat && !emit.empty()) ? 1 : 0;
+
+  // ---- render (parallel over contiguous emit ranges) ---------------------
+  auto* ctx = new sigr::RenderCtx();
+  const int32_t ne = (int32_t)emit.size();
+  const int T = (n_threads > 1 && ne > 64)
+                    ? std::min<int>(n_threads, 8) : 1;
+  std::vector<std::string> parts(T);
+  {
+    std::vector<std::thread> ts;
+    auto work = [&](int t) {
+      const int32_t lo = (int32_t)((int64_t)ne * t / T);
+      const int32_t hi = (int32_t)((int64_t)ne * (t + 1) / T);
+      std::string& o = parts[t];
+      for (int32_t e = lo; e < hi; e++) {
+        const auto& pr = pairs[emit[e]];
+        const Rec& r1 = rec[pr.first];
+        const Rec& r2 = rec[pr.second];
+        const int32_t ai = std::abs(r1.isize);
+        const bool ws = emit_stat && e == 0;
+        sigr::render_one(r1, r2, ai, ws, st_rl, st_min, st_mid, st_max, o);
+        sigr::render_one(r2, r1, ai, false, st_rl, st_min, st_mid, st_max, o);
+      }
+    };
+    if (T > 1) {
+      for (int t = 0; t < T; t++) ts.emplace_back(work, t);
+      for (auto& t : ts) t.join();
+    } else {
+      work(0);
+    }
+  }
+  size_t total = 0;
+  for (auto& s : parts) total += s.size();
+  ctx->fq.reserve(total);
+  for (auto& s : parts) ctx->fq += s;
+  *out_fq_len = (int64_t)ctx->fq.size();
+  return ctx;
+}
+
+extern "C" void glue_signal_fq_fetch(void* vctx, uint8_t* dst) {
+  auto* ctx = (sigr::RenderCtx*)vctx;
+  std::memcpy(dst, ctx->fq.data(), ctx->fq.size());
+  delete ctx;
+}
+
+// Record-boundary scan over a decompressed BAM byte stream: walks the
+// int32 size prefixes and emits per-record (body offset, body length,
+// tid, pos, flag, l_seq, tlen) columns so Python's streaming passes
+// (fc_signal blocking, stats histograms) are pure NumPy over columns
+// instead of a per-record interpreter loop. Returns the record count;
+// *consumed is the byte length of complete records (the tail beyond it
+// carries into the next chunk).
+extern "C" int32_t glue_bam_scan(const uint8_t* data, int64_t len,
+                                 int32_t max_records, int64_t* consumed,
+                                 int64_t* offs, int32_t* lens,
+                                 int32_t* tid, int32_t* pos, int32_t* flag,
+                                 int32_t* l_seq, int32_t* tlen) {
+  int64_t p = 0;
+  int32_t n = 0;
+  while (n < max_records && p + 4 <= len) {
+    uint32_t sz;
+    std::memcpy(&sz, data + p, 4);
+    if (p + 4 + (int64_t)sz > len) break;
+    const uint8_t* b = data + p + 4;
+    offs[n] = p + 4;
+    lens[n] = (int32_t)sz;
+    std::memcpy(&tid[n], b, 4);
+    std::memcpy(&pos[n], b + 4, 4);
+    flag[n] = (int32_t)b[14] | ((int32_t)b[15] << 8);
+    std::memcpy(&l_seq[n], b + 16, 4);
+    std::memcpy(&tlen[n], b + 28, 4);
+    p += 4 + sz;
+    n++;
+  }
+  *consumed = p;
+  return n;
 }

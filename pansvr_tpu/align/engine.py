@@ -493,11 +493,13 @@ class EngineConfig:
     dp_chunk: int = 2048         # lanes per DP dispatch for the small
                                  # class (the big class uses 1/4 of it);
                                  # each chunk pays a dispatch+fetch RTT
-    merge: int = 2               # device merge/expand variant: 1 = gather
+    merge: int = 3               # device merge/expand variant: 1 = gather
                                  # at run first/last columns, 2 = segmented
-                                 # scans + compaction sort (bit-identical;
-                                 # on-chip A/B 2026-08-18: v2 38.8 ms vs
-                                 # v1 87.9 ms per call at B=8192)
+                                 # scans + compaction sort, 3 = v2 with the
+                                 # expand-side gathers as one-hot masked
+                                 # sums (bit-identical; on-chip A/B
+                                 # 2026-08-19 at B=8192: v3 10.9 ms vs
+                                 # v2 38.7 ms vs v1 87.9 ms per call)
     fuse_chain: bool = True      # single-device path: run front + the
                                  # speculative-K chain as ONE device
                                  # program dispatched at submit time

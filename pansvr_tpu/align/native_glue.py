@@ -83,11 +83,32 @@ def get_lib():
             lib.glue_signal_scan.argtypes = [
                 _u8, _i64, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 _i32, _i32, _i32, _i32,
             ]
         except AttributeError:
             pass  # older built library without the signal scan
+        try:
+            lib.glue_bam_scan.restype = ctypes.c_int32
+            lib.glue_bam_scan.argtypes = [
+                _u8, ctypes.c_int64, ctypes.c_int32, _i64,
+                _i64, _i32, _i32, _i32, _i32, _i32, _i32,
+            ]
+        except AttributeError:
+            pass  # older built library without the boundary scan
+        try:
+            lib.glue_signal_render.restype = ctypes.c_void_p
+            lib.glue_signal_render.argtypes = [
+                _u8, _i64, _i32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                _i64, _i32, _i32, _i32, _i32, _i32, _i64,
+            ]
+            lib.glue_signal_fq_fetch.argtypes = [ctypes.c_void_p, _u8]
+        except AttributeError:
+            pass  # older built library without the FASTQ renderer
         try:
             lib.glue_sv_load.argtypes = [
                 _u8, _i64, ctypes.c_int32, _i32, _u8, ctypes.c_int32,
@@ -161,7 +182,7 @@ def extd2_native(lib, query: np.ndarray, target: np.ndarray, *,
 
 def signal_scan(lib, blob: bytes, offs: np.ndarray, *, min_isize: int,
                 max_isize: int, max_tid: int, discard_full: bool,
-                not_using_filter: bool):
+                not_using_filter: bool, lowq_cutoff: int = 47):
     """One fc_signal block scanned natively: per-record score/clip/NM/XA
     columns, greedy in-block mate pairing, and the 7-rule pair filter.
     Returns (cols (n,8) int32, mate (n,), verdict (n,), reason (n,)) or
@@ -179,9 +200,81 @@ def signal_scan(lib, blob: bytes, offs: np.ndarray, *, min_isize: int,
         _p(blob_a, _u8), _p(offs, _i64), n,
         min_isize, max_isize, max_tid,
         1 if discard_full else 0, 1 if not_using_filter else 0,
+        lowq_cutoff,
         _p(cols, _i32), _p(mate, _i32), _p(verdict, _i32), _p(reason, _i32),
     )
     return cols, mate, verdict, reason
+
+
+def bam_scan(lib, data):
+    """Record boundaries + fixed-header columns of a decompressed BAM
+    byte stream (complete records only). Returns (n, consumed, offs,
+    lens, tid, pos, flag, l_seq, tlen) or None when the library predates
+    the scan. `data` may be bytes or a NumPy/bytearray buffer."""
+    if not hasattr(lib, "glue_bam_scan"):
+        return None
+    buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else data
+    cap = len(buf) // 36 + 2
+    offs = np.empty(cap, np.int64)
+    lens = np.empty(cap, np.int32)
+    tid = np.empty(cap, np.int32)
+    pos = np.empty(cap, np.int32)
+    flag = np.empty(cap, np.int32)
+    l_seq = np.empty(cap, np.int32)
+    tlen = np.empty(cap, np.int32)
+    consumed = np.zeros(1, np.int64)
+    n = lib.glue_bam_scan(
+        _p(buf, _u8), len(buf), cap, _p(consumed, _i64),
+        _p(offs, _i64), _p(lens, _i32), _p(tid, _i32), _p(pos, _i32),
+        _p(flag, _i32), _p(l_seq, _i32), _p(tlen, _i32),
+    )
+    return (n, int(consumed[0]), offs[:n], lens[:n], tid[:n], pos[:n],
+            flag[:n], l_seq[:n], tlen[:n])
+
+
+def signal_render(lib, blob, offs: np.ndarray, lens: np.ndarray, *,
+                  mode: int, min_isize: int, max_isize: int, max_tid: int,
+                  discard_full: bool, not_using_filter: bool,
+                  emit_stat: bool, st_read_len: int, st_min: int,
+                  st_mid: int, st_max: int, n_threads: int = 4,
+                  lowq_cutoff: int = 47,
+                  reason_counts: np.ndarray | None = None):
+    """One fc_signal block parsed, paired, classified AND rendered to
+    FASTQ bytes natively (mode 0 = positional in-block pairing, mode 1 =
+    adjacent-name pairing of name-sorted phase-2 leftovers).
+    Returns (fq_bytes, n_pairs, n_signal, stat_emitted, leftover_idx) or
+    None when the built library predates the renderer. reason_counts
+    (int64[1024]) is accumulated in place when given."""
+    if not hasattr(lib, "glue_signal_render"):
+        return None
+    n = len(lens)
+    blob_a = np.frombuffer(blob, np.uint8)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    if reason_counts is None:
+        reason_counts = np.zeros(1024, np.int64)
+    fq_len = np.zeros(1, np.int64)
+    n_pairs = np.zeros(1, np.int32)
+    n_signal = np.zeros(1, np.int32)
+    stat_emitted = np.zeros(1, np.int32)
+    leftover = np.zeros(max(n, 1), np.int32)
+    n_leftover = np.zeros(1, np.int32)
+    h = lib.glue_signal_render(
+        _p(blob_a, _u8), _p(offs, _i64), _p(lens, _i32), n, mode,
+        min_isize, max_isize, max_tid,
+        1 if discard_full else 0, 1 if not_using_filter else 0,
+        lowq_cutoff,
+        1 if emit_stat else 0, st_read_len, st_min, st_mid, st_max,
+        n_threads,
+        _p(fq_len, _i64), _p(n_pairs, _i32), _p(n_signal, _i32),
+        _p(stat_emitted, _i32), _p(leftover, _i32), _p(n_leftover, _i32),
+        _p(reason_counts, _i64),
+    )
+    fq = np.empty(int(fq_len[0]), np.uint8)
+    lib.glue_signal_fq_fetch(ctypes.c_void_p(h), _p(fq, _u8))
+    return (fq.tobytes(), int(n_pairs[0]), int(n_signal[0]),
+            bool(stat_emitted[0]), leftover[: int(n_leftover[0])])
 
 
 def sv_load(lib, blob: bytes, offs: np.ndarray, sv_meta: np.ndarray,

@@ -37,7 +37,7 @@ _ARRAY_FIELDS = (
     "hash_g", "kmer_g", "off_g", "uni_seqf", "uni_posp", "uni_pos",
     "uni_words", "ref_words",
     "ht_check", "ht_payload", "ent_uid", "ent_off_l", "ent_off_r",
-    "ent_pos_n", "uni_words_pad", "ent_run", "ent_pack",
+    "ent_pos_n", "uni_words_pad", "ent_run", "ent_pack", "ht_pack",
 )
 _STATIC_FIELDS = (
     "k", "search_k", "first_level_bases", "uni_len", "ref_len",
@@ -93,6 +93,10 @@ class DeviceIndex:
     # max_right = min(off_r, read_len - o - sk) with read_len <= 1600);
     # the pos_n clamp is far above the 8000 abort threshold
     ent_pack: jnp.ndarray
+    # (size, 2) int32 [check, payload] rows of the open-addressing hash:
+    # one 8-byte row gather per probe step instead of a check gather plus
+    # a payload gather
+    ht_pack: jnp.ndarray
     uni_words_pad: jnp.ndarray  # uni_words with PAD_WORDS zero words both ends
     ht_bits: int
     ht_probe: int            # static linear-probe bound
@@ -249,6 +253,7 @@ def to_device(idx: RdBGIndex) -> DeviceIndex:
         ent_pos_n=jnp.asarray(_pad_pow2(ent_pos_n.astype(np.int32), 0)),
         ent_run=jnp.asarray(_pad_pow2(ent_run, 0)),
         ent_pack=jnp.asarray(ent_pack),
+        ht_pack=jnp.asarray(np.stack([ht_check, ht_pay], axis=1)),
         uni_words_pad=jnp.asarray(uni_words_pad),
         max_bucket_bits=mbb,
         k=idx.k,

@@ -511,6 +511,15 @@ class BamReader:
             lens.append(struct.unpack("<i", self._r.read(4))[0])
         self.header = BamHeader(text=text, ref_names=names, ref_lens=lens)
 
+    def iter_chunks(self):
+        """Yield whole decompressed chunks after the header — for native
+        column scans (glue_bam_scan) that find record boundaries in C++."""
+        while True:
+            nb = self._r.next_chunk()
+            if nb is None:
+                return
+            yield nb
+
     def iter_bodies(self):
         """Yield raw record bodies (bytes) by slicing whole decompressed
         BGZF chunks: one buffer splice per ~64 KB block instead of two

@@ -32,6 +32,8 @@ def get_lib():
             return None
         lib.bgzf_compress_blocks.restype = ctypes.c_int
         lib.bgzf_decompress_blocks.restype = ctypes.c_int
+        if hasattr(lib, "bgzf_decompress_blocks_at"):
+            lib.bgzf_decompress_blocks_at.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -48,6 +50,32 @@ def decompress_blocks(data, offs, lens, n_threads: int = 8) -> bytes | None:
     src = np.frombuffer(data, dtype=np.uint8)
     offsets = np.ascontiguousarray(offs, np.int64)
     lens_a = np.ascontiguousarray(lens, np.int32)
+    if hasattr(lib, "bgzf_decompress_blocks_at"):
+        # destination offsets from the ISIZE trailers (last 4 bytes of
+        # each block): exact-size output, zero re-concatenation — the
+        # strided variant below over-allocates 64 KiB per block, which
+        # is pathological on record-per-block writers
+        tail = (offsets + lens_a - 4).astype(np.int64)
+        isz = (
+            src[tail].astype(np.int64)
+            | (src[tail + 1].astype(np.int64) << 8)
+            | (src[tail + 2].astype(np.int64) << 16)
+            | (src[tail + 3].astype(np.int64) << 24)
+        )
+        dst_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(isz, out=dst_offs[1:])
+        dst = np.empty(int(dst_offs[-1]), dtype=np.uint8)
+        rc = lib.bgzf_decompress_blocks_at(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lens_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int(n), ctypes.c_int(n_threads),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            dst_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rc < 0:
+            return None
+        return dst.tobytes()
     dst = np.empty(n * 65536, dtype=np.uint8)
     dst_lens = np.empty(n, dtype=np.int32)
     rc = lib.bgzf_decompress_blocks(

@@ -450,9 +450,12 @@ def seed_reads_flat(
     ext: str = "rows",         # unitig windows: "rows" = 2+ aligned
                                # 32-word row gathers + in-register barrel
                                # rotate; "steps" = ~2*NE word gathers
-    wb: str = "slice",         # (B, M) writeback: "slice" = one
-                               # row-contiguous (M, 6) slice per row;
-                               # "gather" = 6 full-size lane gathers
+    wb: str = "gather",        # (B, M) writeback: "gather" = 6 full-size
+                               # lane gathers; "slice" = one (M, 6)
+                               # contiguous slice per row (measured
+                               # SLOWER on-chip 2026-08-19: the stack
+                               # breaks XLA's fusion of the where-masks
+                               # into the gathers; 137 vs 106 ms/front)
 ) -> SeedBatch:
     B, Wr = read_words.shape
     NF = nf_mult * B
@@ -490,9 +493,10 @@ def seed_reads_flat(
     win_b = _static_windows(offs_np + fl)
 
     if probe == "hash":
-        # exact open-addressing probe over the (check, payload) tables
-        # (same tables as seed_reads2): ~ht_probe+1 gathers per seed vs
-        # 2 * max_bucket_bits dependent gathers for the bisect
+        # exact open-addressing probe over the packed (check, payload)
+        # row table: ht_probe INDEPENDENT 8-byte row gathers per seed
+        # (they pipeline; the bisect's max_bucket_bits gathers are
+        # address-dependent and serialize), payload rides for free
         lb = 2 * resid_bases
         bucket_u = win_a >> jnp.uint32(32 - 2 * fl)
         residue_u = win_b >> jnp.uint32(32 - lb)
@@ -500,15 +504,16 @@ def seed_reads_flat(
         size_mask = (1 << didx.ht_bits) - 1
         found_h = jnp.zeros((B, S0), bool)
         done = jnp.zeros((B, S0), bool)
-        fslot = jnp.zeros((B, S0), jnp.int32)
+        payload = jnp.zeros((B, S0), jnp.int32)
         for pstep in range(didx.ht_probe):
             sl = (slot0 + pstep) & size_mask
-            c = didx.ht_check[sl]
+            rec2 = didx.ht_pack[sl]                  # (B, S0, 2)
+            c = rec2[:, :, 0]
             hit = (c == check) & ~done
-            fslot = jnp.where(hit, sl, fslot)
+            payload = jnp.where(hit, rec2[:, :, 1], payload)
             found_h = found_h | hit
             done = done | hit | (c == -1)
-        payload = jnp.where(found_h, didx.ht_payload[fslot], 0)
+        payload = jnp.where(found_h, payload, 0)
         left = payload & ((1 << 27) - 1)
         count = jnp.where(found_h, (payload >> 27) + 1, 0)
         found = seed_ok & found_h & (count <= UNI_POS_N_MAX)
@@ -800,6 +805,25 @@ def seed_reads_flat(
         )
 
     src_lane = jnp.clip(row_start[:, None] + m_cols, 0, NF - 1)  # (B, M)
+    if wb == "rowgather":
+        # ONE row gather of a stacked (NF, 6) table instead of 6 lane
+        # gathers: same descriptor count as one gather, 6x fewer total
+        # (each (B, M) gather measured ~4 ms on-chip; rows are 24
+        # contiguous bytes)
+        flat6 = jnp.stack(
+            [uid, read_pos, uni_pos_off, length, pos_n,
+             valid_f.astype(jnp.int32)], axis=1)             # (NF, 6)
+        rows_bm = flat6[src_lane]                            # (B, M, 6)
+        valid_bm = in_row_bm & (rows_bm[:, :, 5] != 0)
+
+        def pick(c):
+            return jnp.where(valid_bm, rows_bm[:, :, c], 0)
+
+        return SeedBatch(
+            uid=pick(0), read_pos=pick(1), uni_pos_off=pick(2),
+            length=pick(3), pos_n=pick(4), valid=valid_bm,
+            n_overflow=n_overflow.astype(jnp.int32),
+        )
     valid_bm = in_row_bm & valid_f[src_lane]
 
     def back(vals):

@@ -41,7 +41,11 @@ class PipelineConfig:
         if self.anchor is None:
             self.anchor = AnchorConfig()
         if self.signal is None:
-            self.signal = SignalOptions()
+            # the reference driver runs `signal -D -U` (panSVR_run.sh:51):
+            # dump every pair EXCEPT full-match proper pairs — the 7-rule
+            # filter is bypassed in the production pipeline
+            self.signal = SignalOptions(discard_both_full_match=True,
+                                        not_using_filter=True)
 
 
 def parse_signal_comment(comment: str):

@@ -85,9 +85,38 @@ def compute_stats(bam_path: str, genome_size: float = 3.1e9,
     n = 0
     import struct as _struct
 
+    from ..align import native_glue
+
+    lib = None if _DISABLE_NATIVE else native_glue.get_lib()
+    scan_ok = lib is not None and hasattr(lib, "glue_bam_scan")
     _unpack = _struct.Struct("<Hiiii").unpack_from  # flag,l_seq,mtid,mpos,tlen
     with open_alignment(bam_path, ref=ref) as rd:
-        if hasattr(rd, "iter_bodies"):
+        if scan_ok and hasattr(rd, "iter_chunks"):
+            # column scan: boundaries in C++, histograms in NumPy
+            carry = b""
+            for chunk in rd.iter_chunks():
+                data = carry + chunk if carry else chunk
+                nr, consumed, _, _, _, _, flag, l_seq, tlen = \
+                    native_glue.bam_scan(lib, data)
+                carry = data[consumed:]
+                if nr == 0:
+                    continue
+                keep = (flag & 0x900) == 0
+                take = min(int(keep.sum()), sample_limit - n)
+                if take < int(keep.sum()):
+                    ki = np.nonzero(keep)[0][:take]
+                    l_seq, tlen = l_seq[ki], tlen[ki]
+                else:
+                    l_seq, tlen = l_seq[keep], tlen[keep]
+                n += take
+                isz = np.abs(tlen)
+                good = (isz > 0) & (isz < MAX_ISIZE)
+                isize_hist += np.bincount(isz[good], minlength=MAX_ISIZE)
+                ls = l_seq[l_seq < 4096]
+                len_hist += np.bincount(ls, minlength=4096)
+                if n >= sample_limit:
+                    break
+        elif hasattr(rd, "iter_bodies"):
             # fixed-header-only scan: flag/l_seq/isize live at static
             # offsets, so the stats pass skips record-object construction
             for body in rd.iter_bodies():
@@ -203,12 +232,28 @@ def _clips(rec: BamRecord) -> tuple[int, int]:
     return sl, sr
 
 
-def _low_quality_len(rec: BamRecord, qual_cut: str = "/") -> int:
-    """get_bam_low_quality_num: bases with qual below the cutoff char."""
+def _low_quality_len(rec: BamRecord, cutoff: int = 47) -> int:
+    """get_bam_low_quality_num (bam_file.c:673-684): bases whose RAW
+    phred value is below `cutoff`.
+
+    The reference passes the char literal '/' (ASCII 47) but compares it
+    against bam_get_qual's RAW phred values, not +33 ASCII — so with
+    typical Illumina quals (phred <= 41) EVERY base counts as low
+    quality, which neuters the NM/clip filter rules via the
+    low-quality adjustment (getSignalRead.cpp:178-182). The intended
+    semantics was presumably phred < 14 ('/' in ASCII encoding); the
+    `-L` flag that would disable the adjustment is parsed but never
+    read (dead flag). Default 47 reproduces the reference's actual
+    behavior (golden-tested); pass cutoff=14 for the intended rule."""
     if not rec.qual:
         return 0
-    cut = ord(qual_cut)
-    return sum(1 for q in rec.qual if ord(q) < cut)
+    return sum(1 for q in rec.qual if ord(q) - 33 < cutoff)
+
+
+# test hooks: force the pure-Python scan (_DISABLE_NATIVE) or the
+# column-scan path without the native FASTQ renderer (_DISABLE_RENDER)
+_DISABLE_NATIVE = False
+_DISABLE_RENDER = False
 
 
 @dataclass
@@ -216,6 +261,10 @@ class SignalOptions:
     discard_both_full_match: bool = True   # -U
     not_using_filter: bool = False         # -D (dump all)
     max_tid: int = 24
+    # raw-phred cutoff of the low-quality adjustment (see
+    # _low_quality_len): 47 = the reference's actual behavior,
+    # 14 = the intended ASCII-'/' rule
+    lowq_phred_cutoff: int = 47
 
 
 def _pair_comment(b, i, stats: SignalStats, emit_stat: bool,
@@ -316,7 +365,7 @@ class SignalExtractor:
             direction[0], direction[1] = direction[1], direction[0]
 
         clip = [sum(_clips(x)) for x in b]
-        lowq = [_low_quality_len(x) for x in b]
+        lowq = [_low_quality_len(x, o.lowq_phred_cutoff) for x in b]
         indel_nm = [_indel_nm(x) for x in b]
         for k in range(2):
             clip[k] -= lowq[k]
@@ -379,10 +428,118 @@ def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
     from ..align import native_glue
 
     lib = native_glue.get_lib()
-    native_ok = lib is not None and hasattr(lib, "glue_signal_scan")
+    native_ok = (not _DISABLE_NATIVE and lib is not None
+                 and hasattr(lib, "glue_signal_scan"))
+
+    use_render = (native_ok and not _DISABLE_RENDER
+                  and hasattr(lib, "glue_signal_render"))
+    reason_arr = np.zeros(1024, np.int64) if use_render else None
+
+    def _render_blob(blob, offs_a, lens_a, mode):
+        """Native parse+pair+classify+FASTQ-render for one block; returns
+        the leftover indices (mode 0) for phase 2."""
+        fq, n_pairs, n_signal, stat_emitted, leftover = \
+            native_glue.signal_render(
+                lib, blob, offs_a, lens_a, mode=mode,
+                min_isize=ex.stats.min_isize, max_isize=ex.stats.max_isize,
+                max_tid=ex.opts.max_tid,
+                discard_full=ex.opts.discard_both_full_match,
+                not_using_filter=ex.opts.not_using_filter,
+                lowq_cutoff=ex.opts.lowq_phred_cutoff,
+                emit_stat=not ex._stat_emitted,
+                st_read_len=ex.stats.read_len, st_min=ex.stats.min_isize,
+                st_mid=ex.stats.mid_isize, st_max=ex.stats.max_isize,
+                reason_counts=reason_arr,
+            )
+        out_fq.write(fq.decode("ascii"))
+        ex.n_pairs += n_pairs
+        ex.n_signal += n_signal
+        if stat_emitted:
+            ex._stat_emitted = True
+        return leftover
+
+    def _render_block(bodies_l, mode):
+        blob = b"".join(bodies_l)
+        lens_a = np.fromiter((len(b) for b in bodies_l), np.int64,
+                             count=len(bodies_l))
+        offs_a = np.zeros(len(bodies_l), np.int64)
+        np.cumsum(lens_a[:-1], out=offs_a[1:])
+        return _render_blob(blob, offs_a, lens_a.astype(np.int32), mode)
+
+    use_chunks = (use_render and hasattr(lib, "glue_bam_scan"))
 
     with open_alignment(bam_path, ref=ref) as rd:
-        if native_ok and hasattr(rd, "iter_bodies"):
+        if use_chunks and hasattr(rd, "iter_chunks"):
+            # fully native streaming: record boundaries + columns in C++,
+            # block segmentation in NumPy, pair/classify/render in C++ —
+            # no per-record Python at all
+            blockbuf = bytearray()
+            offs_parts: list[np.ndarray] = []
+            lens_parts: list[np.ndarray] = []
+            count = 0
+            tid0 = pos0 = 0
+
+            def flush_chunked():
+                nonlocal blockbuf, offs_parts, lens_parts, count
+                if count:
+                    blob = bytes(blockbuf)
+                    offs_a = np.concatenate(offs_parts)
+                    lens_a = np.concatenate(lens_parts)
+                    if count < 2:
+                        unpaired.append(LazyBamRecord(
+                            blob[int(offs_a[0]):int(offs_a[0] + lens_a[0])]))
+                    else:
+                        for i in _render_blob(blob, offs_a, lens_a, 0):
+                            o, l = int(offs_a[i]), int(lens_a[i])
+                            unpaired.append(LazyBamRecord(blob[o : o + l]))
+                blockbuf = bytearray()
+                offs_parts, lens_parts = [], []
+                count = 0
+
+            carry = b""
+            for chunk in rd.iter_chunks():
+                data = carry + chunk if carry else chunk
+                nr, consumed, offs_c, lens_c, tid_c, pos_c, flag_c, _, _ = \
+                    native_glue.bam_scan(lib, data)
+                carry = data[consumed:]
+                if nr == 0:
+                    continue
+                keep = (flag_c & 0x900) == 0
+                offs_k = offs_c[keep]
+                lens_k = lens_c[keep]
+                tid_k = tid_c[keep]
+                pos_k = pos_c[keep]
+                nk = len(offs_k)
+                i = 0
+                while i < nk:
+                    if count == 0:
+                        tid0 = int(tid_k[i])
+                        pos0 = int(pos_k[i])
+                    # run end within this chunk for the open block: first
+                    # index with a tid change, a pos gap beyond the search
+                    # region, or the record-count cap (the same boundary
+                    # rule as the per-record loop below)
+                    seg_t = tid_k[i:]
+                    diff = np.nonzero(seg_t != tid0)[0]
+                    j_tid = int(diff[0]) if len(diff) else nk - i
+                    gap = pos_k[i : i + j_tid] > pos0 + SEARCH_REGION_MAX
+                    j_pos = int(np.argmax(gap)) if gap.any() else j_tid
+                    j = i + min(j_pos, SAM_LOAD_BUFF_SIZE - count)
+                    if j > i:
+                        base = len(blockbuf)
+                        first = int(offs_k[i])
+                        last = int(offs_k[j - 1] + lens_k[j - 1])
+                        blockbuf += data[first:last]
+                        offs_parts.append(offs_k[i:j] - first + base)
+                        lens_parts.append(lens_k[i:j])
+                        count += j - i
+                    if j < nk:
+                        flush_chunked()  # next record starts a new block
+                        if j == i:
+                            continue  # cap hit exactly: re-enter with i
+                    i = j
+            flush_chunked()
+        elif native_ok and hasattr(rd, "iter_bodies"):
             # raw-body streaming: block boundaries read tid/pos/flag at
             # fixed offsets; record objects exist only for signal pairs
             # and phase-2 leftovers
@@ -395,6 +552,10 @@ def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
             def flush_bodies():
                 if len(bodies) < 2:
                     unpaired.extend(LazyBamRecord(b) for b in bodies)
+                    return
+                if use_render:
+                    for i in _render_block(bodies, 0):
+                        unpaired.append(LazyBamRecord(bodies[i]))
                     return
                 block = _BodyBlock(bodies)
                 if not _pair_block_native(block, ex, out_fq, unpaired):
@@ -441,16 +602,27 @@ def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
 
     # phase 2: name-sorted pairing of the leftovers (getSignalRead.cpp:436-488)
     unpaired.sort(key=lambda r: (r.name, not r.is_read1))
-    i = 0
-    while i + 1 < len(unpaired):
-        if unpaired[i].name == unpaired[i + 1].name:
-            a, c = unpaired[i], unpaired[i + 1]
-            if not a.is_read1:
-                a, c = c, a
-            ex.emit_pair(a, c, out_fq)
-            i += 2
+    if use_render and unpaired:
+        bodies2 = [r._body for r in unpaired]
+        if all(b is not None for b in bodies2):
+            _render_block(bodies2, 1)
         else:
-            i += 1
+            use_render = False
+    if not use_render:
+        i = 0
+        while i + 1 < len(unpaired):
+            if unpaired[i].name == unpaired[i + 1].name:
+                a, c = unpaired[i], unpaired[i + 1]
+                if not a.is_read1:
+                    a, c = c, a
+                ex.emit_pair(a, c, out_fq)
+                i += 2
+            else:
+                i += 1
+    if reason_arr is not None:
+        for r in np.nonzero(reason_arr)[0]:
+            ex.reason_counter[int(r)] = (
+                ex.reason_counter.get(int(r), 0) + int(reason_arr[r]))
     stats.reason_flag_counter = ex.reason_counter
     return stats
 
@@ -507,6 +679,7 @@ def _pair_block_native(block, ex: SignalExtractor, out_fq, unpaired) -> bool:
         min_isize=ex.stats.min_isize, max_isize=ex.stats.max_isize,
         max_tid=ex.opts.max_tid, discard_full=ex.opts.discard_both_full_match,
         not_using_filter=ex.opts.not_using_filter,
+        lowq_cutoff=ex.opts.lowq_phred_cutoff,
     )
     if res is None:
         return False

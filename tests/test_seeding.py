@@ -181,7 +181,10 @@ def test_seed_reads_flat_matches_v1(world):
     v5_legacy = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32,
                                 nf_mult=32, ent="split", ext="steps",
                                 wb="gather")
-    for variant, name in ((v5h, "hash probe"), (v5_legacy, "legacy lanes")):
+    v5_rg = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32,
+                            nf_mult=32, probe="hash", wb="rowgather")
+    for variant, name in ((v5h, "hash probe"), (v5_legacy, "legacy lanes"),
+                          (v5_rg, "rowgather writeback")):
         for f in ("uid", "read_pos", "uni_pos_off", "length", "pos_n",
                   "valid", "n_overflow"):
             assert np.array_equal(np.asarray(getattr(v5, f)),

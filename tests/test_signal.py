@@ -92,16 +92,25 @@ def test_native_scan_matches_python(sim_bam):
     for opts in (SignalOptions(discard_both_full_match=True),
                  SignalOptions(discard_both_full_match=False,
                                not_using_filter=True)):
-        out_n, out_p = io.StringIO(), io.StringIO()
-        st_n = extract_signal(p, out_n, opts=opts)
+        out_r, out_n, out_p = io.StringIO(), io.StringIO(), io.StringIO()
+        st_r = extract_signal(p, out_r, opts=opts)  # native FASTQ renderer
         orig = ext._pair_block_native
-        ext._pair_block_native = lambda *a: False  # force the Python path
+        ext._DISABLE_RENDER = True
         try:
-            st_p = extract_signal(p, out_p, opts=opts)
+            st_n = extract_signal(p, out_n, opts=opts)  # native column scan
+            ext._pair_block_native = lambda *a: False
+            ext._DISABLE_NATIVE = True
+            st_p = extract_signal(p, out_p, opts=opts)  # pure Python
         finally:
             ext._pair_block_native = orig
+            ext._DISABLE_RENDER = False
+            ext._DISABLE_NATIVE = False
+        assert out_r.getvalue() == out_p.getvalue()
         assert out_n.getvalue() == out_p.getvalue()
+        assert st_r.reason_flag_counter == st_p.reason_flag_counter
         assert st_n.reason_flag_counter == st_p.reason_flag_counter
+        assert (st_r.read_len, st_r.min_isize, st_r.max_isize) == \
+            (st_p.read_len, st_p.min_isize, st_p.max_isize)
 
 
 def test_extract_all_dump(sim_bam):

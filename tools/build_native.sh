@@ -5,6 +5,6 @@ cd "$(dirname "$0")/.."
 mkdir -p native/build
 g++ -O3 -fPIC -shared -o native/build/libpansvr_bgzf.so \
     native/bgzf_codec.cpp -lz -lpthread
-g++ -O3 -fPIC -shared -std=c++17 -o native/build/libpansvr_glue.so \
+g++ -O3 -fPIC -shared -std=c++17 -pthread -o native/build/libpansvr_glue.so \
     native/engine_glue.cpp
 echo "built native/build/libpansvr_bgzf.so libpansvr_glue.so"
