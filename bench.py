@@ -1,10 +1,15 @@
-"""Benchmark: reads realigned per second per chip through the batched
-device engine (seeding + chaining + banded DP + CIGAR assembly).
+"""Benchmark: reads realigned per second per chip through the FULL
+fc_aln stage — signal-FASTQ in, realigned BAM out, including original-
+alignment parsing, seeding + chaining + banded DP + CIGAR on device,
+PE rescoring and BAM record emission. This is the same work the
+reference `fc_aln` stage does end to end (read_realignment.cpp:26-176),
+so vs_baseline compares equal stages.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the reference CPU panSVR fc_aln when a
-baseline measurement file exists (tools/measure_cpu_baseline.py writes
-it); 0.0 until then.
+vs_baseline divides by the 32-thread reference fc_aln rate measured by
+tools/measure_cpu_baseline.py on the IDENTICAL signal FASTQ (committed
+in tools/cpu_baseline.json; /tmp copy preferred when fresher). Details
+(per-pass rates, engine phase split, device-only rate) go to stderr.
 """
 
 import json
@@ -24,9 +29,6 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 # the axon sitecustomize imports jax before this module runs, so the env
 # vars above are too late on that runtime — enable the cache via config
 try:
-    import sys as _sys
-
-    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pansvr_tpu.utils.jaxcache import enable_cache as _ec
 
     _ec()
@@ -34,13 +36,16 @@ except Exception:
     pass
 
 BASELINE_FILE = "/tmp/pansvr_cpu_baseline.json"
-# measured 2026-08-17 by tools/measure_cpu_baseline.py (32-thread CPU
-# reference fc_aln); the repo copy survives /tmp wipes between rounds
 BASELINE_FALLBACK = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "tools", "cpu_baseline.json")
 
+# bump when the world recipe changes (baseline must be re-measured)
+WORLD_VERSION = "v4-250k-e2"
+WORLD_DIR = f"/tmp/pansvr_bench_world_{WORLD_VERSION}"
+
 
 def build_world(seed=123, n_sv=64, n_pairs=30_000):
+    """Small in-memory world (kept for tools/profile_front.py A/Bs)."""
     from pansvr_tpu.anchor.builder import AnchorConfig, build_anchor_contigs
     from pansvr_tpu.index.builder import build_index
     from pansvr_tpu.utils.simulate import DictGenome, make_dataset
@@ -54,6 +59,66 @@ def build_world(seed=123, n_sv=64, n_pairs=30_000):
     )
     idx = build_index([(c.name, c.seq) for c in contigs], first_level_bases=12)
     return ds, idx
+
+
+def build_bench_world(n_pairs=250_000, seed=123, n_sv=64,
+                      err_rate=0.02):
+    """Fully materialized stage inputs on disk, cached under WORLD_DIR:
+    genome/svs/BAM, anchors, our RdBG index pickle, header/status files
+    and the signal FASTQ produced with the reference driver's flags
+    (-D -U, panSVR_run.sh:51). Both this bench and the CPU-baseline tool
+    consume the SAME signal.fq, so the two sides of vs_baseline measure
+    identical work."""
+    import pickle
+
+    done = os.path.join(WORLD_DIR, ".done")
+    if os.path.exists(done):
+        return WORLD_DIR
+    from pansvr_tpu.anchor.builder import AnchorConfig, build_anchor_contigs
+    from pansvr_tpu.index.builder import build_index
+    from pansvr_tpu.io.fasta import write_fasta
+    from pansvr_tpu.io.vcf import VCFWriter, minimal_header
+    from pansvr_tpu.signal.extract import (
+        SignalOptions, compute_stats, extract_signal)
+    from pansvr_tpu.utils.simulate import (
+        DictGenome, make_dataset, write_sim_bam)
+
+    os.makedirs(WORLD_DIR, exist_ok=True)
+    ds = make_dataset(
+        seed=seed, n_sv=n_sv, n_pairs=n_pairs, types=("DEL", "INS"),
+        chrom_lengths={"chr1": 2_000_000}, err_rate=err_rate,
+    )
+    write_fasta(f"{WORLD_DIR}/genome.fa", ds.genome.items(), width=60)
+    w = VCFWriter(f"{WORLD_DIR}/svs.vcf",
+                  minimal_header([(c, len(s)) for c, s in ds.genome.items()]))
+    for r in ds.vcf_records:
+        w.write(r)
+    w.close()
+    write_sim_bam(ds, f"{WORLD_DIR}/sim.bam")
+
+    contigs = list(build_anchor_contigs(
+        ds.vcf_records, DictGenome(ds.genome), AnchorConfig()))
+    with open(f"{WORLD_DIR}/anchors.fa", "w") as fh:
+        for c in contigs:
+            fh.write(f">{c.name}\n{c.seq}\n")
+    idx = build_index([(c.name, c.seq) for c in contigs],
+                      first_level_bases=12)
+    with open(f"{WORLD_DIR}/rdbg.pkl", "wb") as fh:
+        pickle.dump(idx, fh)
+
+    with open(f"{WORLD_DIR}/header.sam", "w") as fh:
+        fh.write("@HD\tVN:1.6\tSO:coordinate\n")
+        for c, s in ds.genome.items():
+            fh.write(f"@SQ\tSN:{c}\tLN:{len(s)}\n")
+    stats = compute_stats(f"{WORLD_DIR}/sim.bam")
+    with open(f"{WORLD_DIR}/status.sam", "w") as fh:
+        fh.write(stats.status_file_text())
+    with open(f"{WORLD_DIR}/signal.fq", "w") as fh:
+        extract_signal(f"{WORLD_DIR}/sim.bam", fh, stats=stats,
+                       opts=SignalOptions(discard_both_full_match=True,
+                                          not_using_filter=True))
+    open(done, "w").write(WORLD_VERSION)
+    return WORLD_DIR
 
 
 def _wait_for_backend(max_wait_s: float = 1500.0) -> bool:
@@ -81,44 +146,93 @@ def _wait_for_backend(max_wait_s: float = 1500.0) -> bool:
     return False
 
 
-def main():
-    from pansvr_tpu.align.engine import AlignEngine
-    from pansvr_tpu.align.host_align import OriResult
+def _run_fc_aln(work: str, out_bam: str, batch: int = 8192):
+    """The full fc_aln stage, in-process (same path as
+    `python -m pansvr_tpu fc_aln`). Returns (n_reads, wall_s, engine)."""
+    import pickle
 
+    from pansvr_tpu.align.engine import AlignEngine
+    from pansvr_tpu.align.host_align import PEScorer
+    from pansvr_tpu.align.bam_out import min_filter_score
+    from pansvr_tpu.cli.main import _run_aln_stream
+    from pansvr_tpu.io.bam import BamHeader, BamWriter
+    from pansvr_tpu.pipeline import parse_signal_comment, read_signal_fastq
+    from pansvr_tpu.signal.extract import SignalStats
+
+    with open(os.path.join(work, "rdbg.pkl"), "rb") as fh:
+        idx = pickle.load(fh)
+    header = BamHeader.from_sam_text(open(f"{work}/header.sam").read())
+    stats = SignalStats.parse_status_text(open(f"{work}/status.sam").read())
+    eng = AlignEngine(idx, ori_chrom_names=header.ref_names)
+    pe = PEScorer(eng.host, stats.max_isize or 600, stats.min_isize or 200,
+                  stats.read_len or 150)
+    filt = min_filter_score(stats.read_len or 150)
+
+    records = list(read_signal_fastq(f"{work}/signal.fq"))
+    records = records[: len(records) // 2 * 2]
+
+    def run_once(recs, out_path):
+        import itertools
+
+        writer = BamWriter(out_path, header)
+        step = 2 * (batch // 2)
+
+        def chunk_stream():
+            for b0 in range(0, len(recs), step):
+                chunk = recs[b0 : b0 + step]
+                if len(chunk) >= 2:
+                    yield chunk[: len(chunk) // 2 * 2]
+
+        chunks_a, chunks_b = itertools.tee(chunk_stream())
+
+        def batch_stream():
+            for chunk in chunks_b:
+                yield ([p[1] for p in chunk],
+                       [parse_signal_comment(p[3])[0] for p in chunk])
+
+        t0 = time.perf_counter()
+        _run_aln_stream(chunks_a, eng, pe, writer, None, header, filt,
+                        batch_stream)
+        return time.perf_counter() - t0
+
+    # warm-up: compile every shape on a prefix (the persistent cache
+    # makes later processes cheap, but in-run timing must exclude it)
+    run_once(records[: 4 * batch], out_bam + ".warmup.bam")
+    eng.prof.clear()
+    wall = run_once(records, out_bam)
+    return len(records), wall, eng
+
+
+def main():
     if not _wait_for_backend():
         print("[bench] giving up: TPU backend unreachable", file=sys.stderr)
         sys.exit(1)
 
-    ds, idx = build_world()
-    eng = AlignEngine(idx, ori_chrom_names=list(ds.genome))
-
-    seqs = []
-    for r in ds.reads:
-        seqs.append(r.seq1)
-        seqs.append(r.seq2)
-    oris = [OriResult(unmapped=True)] * len(seqs)
-
-    # measured on-chip: 3.9k reads/s at B=4096, 5.4k at B=8192,
-    # 4.6k at B=16384 (host phases grow superlinearly) -> 8192
-    batch = 8192
-    n_batches = len(seqs) // batch
-    # warm-up/compile on one batch (same shapes as the measured runs)
-    eng.align_batch(seqs[:batch], oris[:batch])
+    work = build_bench_world()
+    n_reads = sum(1 for _ in open(f"{work}/signal.fq")) // 4
+    print(f"[bench] world {WORLD_VERSION}: {n_reads} signal reads",
+          file=sys.stderr, flush=True)
 
     # the TPU is reached over a SHARED tunnel whose load swings run-to-run
-    # throughput by +-30%: report the median of three passes
+    # throughput by +-30%: report the median of three full-stage passes
     rates = []
-    for _pass in range(3):
-        n_done = 0
-        t0 = time.time()
-        stream = (
-            (seqs[b * batch : (b + 1) * batch], oris[:batch])
-            for b in range(1, n_batches)
-        )
-        for _states in eng.align_stream(stream):
-            n_done += batch
-        rates.append(n_done / (time.time() - t0))
+    eng = None
+    for p in range(3):
+        n, wall, eng = _run_fc_aln(work, f"/tmp/pansvr_bench_out_{p}.bam")
+        rates.append(n / wall)
+        print(f"[bench] pass {p}: {n / wall:.0f} reads/s ({wall:.1f}s)",
+              file=sys.stderr, flush=True)
     reads_per_s = sorted(rates)[1]
+
+    # device-only rate from the engine phase profile of the last pass
+    # (sync_* rows are device execution + result transfer waits)
+    prof = {k: round(v, 3) for k, v in (eng.prof or {}).items()
+            if isinstance(v, float)}
+    dev_wait = prof.get("sync_chain", 0) + prof.get("sync_dp", 0)
+    if dev_wait > 0:
+        print(f"[bench] engine phases (s): {prof}", file=sys.stderr)
+        print(f"[bench] device-wait-bound rate: {n_reads / dev_wait:.0f} "
+              f"reads/s", file=sys.stderr)
 
     vs_baseline = 0.0
     base_path = BASELINE_FILE if os.path.exists(BASELINE_FILE) \
@@ -126,6 +240,10 @@ def main():
     if os.path.exists(base_path):
         try:
             base = json.load(open(base_path))
+            if base.get("world") not in (None, WORLD_VERSION):
+                print(f"[bench] WARNING: baseline world "
+                      f"{base.get('world')} != {WORLD_VERSION}",
+                      file=sys.stderr)
             cpu = float(base.get("cpu_reads_per_s_32t", 0))
             if cpu > 0:
                 vs_baseline = reads_per_s / cpu

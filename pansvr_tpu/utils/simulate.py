@@ -148,6 +148,8 @@ class SimRead:
     pos0_1: int       # true fwd-read leftmost position on its haplotype
     pos0_2: int
     from_alt: bool
+    n_err1: int = 0   # introduced sequencing errors (-> the NM tag)
+    n_err2: int = 0
 
 
 def simulate_read_pairs(
@@ -186,8 +188,8 @@ def simulate_read_pairs(
         s2_fwd = seq[p2 : p2 + read_len]
         if len(s1) < read_len or len(s2_fwd) < read_len:
             continue
-        s1 = _add_errors(rng, s1, err_rate)
-        s2_fwd = _add_errors(rng, s2_fwd, err_rate)
+        s1, ne1 = _add_errors_n(rng, s1, err_rate)
+        s2_fwd, ne2 = _add_errors_n(rng, s2_fwd, err_rate)
         s2 = dna.revcomp(s2_fwd)
         q = "I" * read_len
         reads.append(
@@ -195,21 +197,28 @@ def simulate_read_pairs(
                 name=f"{name_prefix}.{i}",
                 seq1=s1, qual1=q, seq2=s2, qual2=q,
                 chrom=c, pos0_1=p, pos0_2=p2, from_alt=from_alt,
+                n_err1=ne1, n_err2=ne2,
             )
         )
     return reads
 
 
 def _add_errors(rng: np.random.Generator, seq: str, rate: float) -> str:
+    s, _ = _add_errors_n(rng, seq, rate)
+    return s
+
+
+def _add_errors_n(rng: np.random.Generator, seq: str,
+                  rate: float) -> tuple[str, int]:
     if rate <= 0:
-        return seq
+        return seq, 0
     codes = dna.encode(seq)
     mask = rng.random(len(codes)) < rate
     if not mask.any():
-        return seq
+        return seq, 0
     codes = codes.copy()
     codes[mask] = (codes[mask] + rng.integers(1, 4, size=mask.sum())) & 3
-    return dna.decode(codes)
+    return dna.decode(codes), int(mask.sum())
 
 
 @dataclass
@@ -343,7 +352,9 @@ def sim_bam_records(ds: "SimDataset", read_len: int = 150):
                 name=rd.name, flag=flag, tid=tid,
                 seq=seq if not strand_rev else dna.revcomp(seq),
                 qual=qual if not strand_rev else qual[::-1], mapq=60,
-                tags=[("NM", "i", 0)],
+                # NM = introduced sequencing errors (an upstream aligner
+                # would report these as mismatches for clean-cigar reads)
+                tags=[("NM", "i", rd.n_err1 if k == 0 else rd.n_err2)],
             )
             if m is None:
                 r.flag |= FUNMAP

@@ -1,12 +1,19 @@
-"""Measure the reference CPU panSVR realignment throughput on synthetic
-data, for bench.py's vs_baseline ratio.
+"""Measure the reference CPU panSVR realignment throughput for
+bench.py's vs_baseline ratio — on the SAME signal FASTQ bench.py times.
 
-Builds a synthetic dataset, produces the anchor reference + deBGA index
-with the reference binaries, extracts signal reads with OUR extractor
-(format-compatible comments; the reference's own fc_signal segfaults in
-its phase-2 unpaired handling on small BAMs), then times the reference
-`fc_aln` at several thread counts on the same signal FASTQ our engine is
-benchmarked on. Writes /tmp/pansvr_cpu_baseline.json.
+Uses bench.build_bench_world() (cached under /tmp): genome + BAM +
+anchors + signal.fq produced with the reference driver's flags (-D -U).
+The reference side gets its own deBGA index over the same anchors
+(built by the reference binaries), then `panSVR fc_aln` is timed at
+1/4/8/32 threads, full stage (FASTQ -> BAM) — identical work to what
+bench.py times on the TPU side.
+
+NOTE: this host has 4 physical cores, so the "32-thread" rate is the
+4-core saturation rate (32 threads cannot exceed it); we report every
+tier so the saturation point is visible in the data.
+
+Writes /tmp/pansvr_cpu_baseline.json; copy to tools/cpu_baseline.json
+to commit it as the fallback.
 
 Usage: PYTHONPATH=/root/repo python tools/measure_cpu_baseline.py
 Requires tools/build_reference.sh to have been run.
@@ -14,6 +21,7 @@ Requires tools/build_reference.sh to have been run.
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -22,75 +30,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PANSVR = "/tmp/refbuild/Release/panSVR"
 DEBGA = "/tmp/refbuild/deBGA_release/deBGA"
-WORK = "/tmp/pansvr_baseline"
 OUT = "/tmp/pansvr_cpu_baseline.json"
 
 
 def main():
-    from bench import build_world
-    from pansvr_tpu.anchor.builder import AnchorConfig, build_anchor_contigs
-    from pansvr_tpu.io.fasta import Faidx, write_fasta
-    from pansvr_tpu.io.vcf import VCFWriter, minimal_header
-    from pansvr_tpu.signal.extract import SignalOptions, extract_signal
-    from pansvr_tpu.utils.simulate import DictGenome, write_sim_bam
+    from bench import WORLD_VERSION, build_bench_world
 
-    os.makedirs(WORK, exist_ok=True)
-    # large read volume so fixed startup (index load) doesn't dominate
-    ds, idx = build_world(n_pairs=25_000)
-    genome_fa = f"{WORK}/genome.fa"
-    write_fasta(genome_fa, ds.genome.items(), width=60)
-    vcf = f"{WORK}/svs.vcf"
-    w = VCFWriter(vcf, minimal_header([(c, len(s)) for c, s in ds.genome.items()]))
-    for r in ds.vcf_records:
-        w.write(r)
-    w.close()
-    bam = f"{WORK}/sim.bam"
-    write_sim_bam(ds, bam)
+    work = build_bench_world()
+    n_reads = sum(1 for _ in open(f"{work}/signal.fq")) // 4
+    print(f"world {WORLD_VERSION}: {n_reads} signal reads")
 
-    # anchor ref + deBGA index via the reference binaries
-    for f in (f"{genome_fa}.fai",):
-        if os.path.exists(f):
-            os.unlink(f)
-    with open(f"{WORK}/anchors.fa", "w") as fh:
-        subprocess.run([PANSVR, "fc_anchor_ref", genome_fa, vcf],
-                       stdout=fh, stderr=subprocess.DEVNULL, check=True)
-    idx_dir = f"{WORK}/idx/"
-    os.makedirs(idx_dir, exist_ok=True)
-    subprocess.run([DEBGA, "index", "-k", "22", f"{WORK}/anchors.fa", idx_dir],
-                   check=True, capture_output=True)
+    # reference-built anchor FASTA + deBGA index over the same genome/VCF
+    ref_dir = f"{work}/refside"
+    if not os.path.exists(f"{ref_dir}/.done"):
+        shutil.rmtree(ref_dir, ignore_errors=True)
+        os.makedirs(f"{ref_dir}/idx", exist_ok=True)
+        for f in (f"{work}/genome.fa.fai",):
+            if os.path.exists(f):
+                os.unlink(f)
+        with open(f"{ref_dir}/anchors.fa", "w") as fh:
+            subprocess.run(
+                [PANSVR, "fc_anchor_ref", f"{work}/genome.fa",
+                 f"{work}/svs.vcf"],
+                stdout=fh, stderr=subprocess.DEVNULL, check=True)
+        subprocess.run(
+            [DEBGA, "index", "-k", "22", f"{ref_dir}/anchors.fa",
+             f"{ref_dir}/idx/"],
+            check=True, capture_output=True)
+        open(f"{ref_dir}/.done", "w").write("ok")
 
-    # signal FASTQ with our extractor (dump mode to maximize read volume)
-    signal_fq = f"{WORK}/signal.fq"
-    with open(signal_fq, "w") as fh:
-        extract_signal(bam, fh, opts=SignalOptions(
-            discard_both_full_match=False, not_using_filter=True))
-    n_reads = sum(1 for _ in open(signal_fq)) // 4
-    with open(f"{WORK}/header.sam", "w") as fh:
-        fh.write("@HD\tVN:1.6\tSO:coordinate\n")
-        for c, s in ds.genome.items():
-            fh.write(f"@SQ\tSN:{c}\tLN:{len(s)}\n")
-
-    results = {}
-    for threads in (1, 8, 32):
+    res = {"world": WORLD_VERSION, "n_reads": n_reads,
+           "host_cores": os.cpu_count()}
+    for threads in (1, 4, 8, 32):
         t0 = time.time()
-        res = subprocess.run(
+        r = subprocess.run(
             [PANSVR, "fc_aln", "-t", str(threads),
-             "-o", f"{WORK}/aln_t{threads}.bam", idx_dir, signal_fq,
-             f"{WORK}/header.sam"],
-            capture_output=True, timeout=1800,
-        )
+             "-o", f"{ref_dir}/aln_t{threads}.bam", f"{ref_dir}/idx/",
+             f"{work}/signal.fq", "--", f"{work}/header.sam"],
+            capture_output=True, cwd=ref_dir)
         dt = time.time() - t0
-        if res.returncode != 0:
-            print(f"fc_aln -t {threads} FAILED: {res.stderr.decode()[-400:]}")
+        if r.returncode != 0:
+            print(f"t={threads}: FAILED rc={r.returncode}\n"
+                  f"{r.stderr.decode()[-500:]}")
             continue
-        results[f"cpu_reads_per_s_{threads}t"] = round(n_reads / dt, 1)
-        print(f"threads={threads}: {n_reads} reads in {dt:.1f}s "
-              f"-> {n_reads/dt:.0f} reads/s")
+        rate = n_reads / dt
+        res[f"cpu_reads_per_s_{threads}t"] = round(rate, 1)
+        print(f"t={threads}: {dt:.1f}s  {rate:.0f} reads/s")
 
-    results["n_reads"] = n_reads
-    with open(OUT, "w") as fh:
-        json.dump(results, fh)
-    print(f"wrote {OUT}: {results}")
+    json.dump(res, open(OUT, "w"), indent=1)
+    print(f"wrote {OUT}; copy to tools/cpu_baseline.json to commit")
 
 
 if __name__ == "__main__":
