@@ -129,6 +129,54 @@ def test_sv_fanout_matches_inline(tmp_path):
                   for r in rd]
     assert inline and fanned == inline
 
+    # elasticity: kill shard 0's FIRST attempt — the fan-out must
+    # re-dispatch it and still deliver the complete merged VCF (the
+    # reference's bash driver would silently drop the chromosome,
+    # panSVR_run.sh:78-91)
+    from pansvr_tpu.parallel import fanout as fo
+
+    real_spawn = fo._spawn
+    sabotaged = {"done": False}
+
+    def killing_spawn(cmd, env):
+        pr = real_spawn(cmd, env)
+        if not sabotaged["done"]:
+            sabotaged["done"] = True
+            pr.kill()
+        return pr
+
+    fo._spawn = killing_spawn
+    try:
+        merged2 = run_sv_fanout(
+            f"{work}/anchors.fa", f"{work}/realigned.bam", genome_fa,
+            str(tmp_path / "fanout_retry.vcf"), n_shards=2,
+            status_file=f"{work}/status.txt",
+        )
+    finally:
+        fo._spawn = real_spawn
+    assert sabotaged["done"]
+    with VCFReader(merged2) as rd:
+        fanned2 = [(r.chrom, r.pos1, r.ref, tuple(r.alts), r.info)
+                   for r in rd]
+    assert fanned2 == inline
+
+    # a shard that KEEPS failing must raise, not silently drop calls
+    import sys as _sys
+
+    fo._spawn = lambda cmd, env: real_spawn(
+        [_sys.executable, "-c", "raise SystemExit(3)"], env)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="after 2 attempts"):
+            run_sv_fanout(
+                f"{work}/anchors.fa", f"{work}/realigned.bam", genome_fa,
+                str(tmp_path / "fanout_fail.vcf"), n_shards=2,
+                status_file=f"{work}/status.txt",
+            )
+    finally:
+        fo._spawn = real_spawn
+
 
 def test_multichrom_pipeline_and_fanout(tmp_path):
     """Multi-chromosome world (the reference shards fc_sv by chromosome,
