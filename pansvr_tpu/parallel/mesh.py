@@ -13,6 +13,9 @@ fan-out, SURVEY.md §2.2); the TPU-native scale-out replaces it with:
 Multi-host execution uses the same shard_map program under
 jax.distributed initialization; this module only fixes the shardings
 so collectives ride ICI (reads never cross hosts; only scalar stats do).
+Validated by tests/test_distributed.py: two OS processes under
+jax.distributed form one 4-device CPU mesh and run the engine's sharded
+front with per-shard parity against a single-device reference.
 """
 
 from __future__ import annotations
