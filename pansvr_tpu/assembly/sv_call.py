@@ -583,9 +583,12 @@ class SvCaller:
         mapQ:N flag: N score: [AS, OS, CS][OA:..] [MV:..] [XA:..]
         [RC:..]<cigar>\\t<seq>`."""
         out = self.detail or sys.stderr
-        line = ["-"] * max(r.pos, 0)
+        # the reference's offset is bam_pos - st_pos (SignalAssembly.cpp
+        # :69,201,219) = our loader-relative r.pos minus 1
+        off0 = r.pos - 1
+        line = ["-"] * max(off0, 0)
         seq_i = 0
-        off = r.pos
+        off = off0
         for op, ln in r.cigar:
             if op == "M":
                 for _ in range(ln):
@@ -634,7 +637,7 @@ class SvCaller:
                         f"score: [{r.score}, {r.ori_score}, -1]")
         cigar_s = "".join(f"{n}{op}" for op, n in r.cigar)
         print("".join(line)
-              + f"pos {bam_pos} offset {r.pos} {verdict} "
+              + f"pos {bam_pos} offset {off0} {verdict} "
               + prologue + cigar_s + "\t" + r.seq, file=out)
 
     def _print_depth_detail(self, plan, gd: "_GlobalDepth"):
@@ -1114,7 +1117,8 @@ def _merge_variations(variations: list[dict], gd: _GlobalDepth) -> list[dict]:
 
 def run_sv_calling(bam_path: str, sf: SVRefSequence,
                    opts: SvCallOptions | None = None,
-                   dp: ContigDpBatcher | None = None):
+                   dp: ContigDpBatcher | None = None,
+                   detail_out=None):
     """Full fc_sv pass over a realigned BAM: returns (verdicts, vcf_records).
 
     With a device ContigDpBatcher, every SV region is planned first
@@ -1126,7 +1130,7 @@ def run_sv_calling(bam_path: str, sf: SVRefSequence,
     # -> _scalar_contig_dp): measured FASTER than the batched device path
     # at fc_sv scale (dispatch round trips dominate ~2k small problems);
     # callers can still pass ContigDpBatcher(device=True) explicitly
-    caller = SvCaller(sf, o, dp=dp)
+    caller = SvCaller(sf, o, dp=dp, detail_out=detail_out)
     index = SvReadIndex(bam_path, sf.sv_info, min_score=o.min_score)
     # chromosome-range sharding (the reference's -S/-E resumability
     # contract, generateVCFoptions.hpp:80-83): only SVs whose original
