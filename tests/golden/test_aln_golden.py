@@ -68,9 +68,20 @@ def test_fc_aln_parity(tmp_path, pansvr_bin, debga_bin):
     )
 
     ref_new = {}
+    n_tie = 0
     with BamReader(f"{W}/ref_aln.bam") as rd:
         for rec in rd:
             if rec.get_tag("CS") is not None:
+                # zero-gain records (AS == the ori score echoed in OS)
+                # are decided by the reference's rand() reservoir
+                # sampling over equal-score pairings (set_score,
+                # read_realignment.hpp:548-557: on a tie the incumbent
+                # is replaced with probability 1/max_same) — ours
+                # deterministically keeps the original alignment, so
+                # the tie class carries no parity signal and is skipped
+                if rec.get_tag("AS") <= (rec.get_tag("OS") or 0):
+                    n_tie += 1
+                    continue
                 ref_new[(rec.name, bool(rec.flag & 0x40))] = (
                     rec.pos, rec.get_tag("AS"), rec.cigar_string()
                 )
