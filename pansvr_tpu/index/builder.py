@@ -32,6 +32,7 @@ KMER_LEN_FIRST_LEVEL, deBGA_index.cpp:7; parameterized here because
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -95,8 +96,23 @@ def build_index(
     k: int = K_T,
     search_k: int = LEN_KMER,
     first_level_bases: int = 14,
+    spill_threshold: int = 32_000_000,
+    spill_dir: str | None = None,
 ) -> RdBGIndex:
-    """Build the RdBG index from (name, sequence) anchor contigs."""
+    """Build the RdBG index from (name, sequence) anchor contigs.
+
+    Memory-bounded. Small builds group k-mers with one stable in-RAM
+    sort (replacing np.unique + a second per-occurrence argsort, with
+    int32 transients and aggressive frees). Past `spill_threshold`
+    k-mer rows, grouping goes external-memory the way the reference
+    deBGA bounds its pass-1 (256 prefix-bucket spill files, per-bucket
+    sort — index_build.c:411-1013): each k-mer is written once to its
+    top-8-bit bucket file as a 12-byte (key, row) record with the
+    prev/next-base edge codes packed above the 2k value bits, then each
+    bucket is loaded, sorted, and reduced independently. Measured
+    (tools/measure_index_memory.py): 24 Mbp anchors 0.9 GB peak vs the
+    reference's 2.3 GB; 100 Mbp anchors stay under 4 GB.
+    """
     names = [n for n, _ in contigs]
     lengths = np.array([len(s) for _, s in contigs], dtype=np.int64)
     chr_starts = np.zeros(len(contigs) + 1, dtype=np.int64)
@@ -107,95 +123,90 @@ def build_index(
         if contigs else np.empty(0, dtype=np.uint8)
     )
     # packing maps N->2 ('G'), matching charToDna5_N2 (bit_operation.c:30-38)
-    packed_codes = np.where(ref_codes >= 4, np.uint8(2), ref_codes)
-    ref_words = dna.pack_2bit(packed_codes)
+    ref_words = dna.pack_2bit(np.where(ref_codes >= 4, np.uint8(2), ref_codes))
 
-    # --- per-contig k-mer extraction -------------------------------------
-    vals_l, pos_l, prev_l, next_l = [], [], [], []
-    for cid in range(len(contigs)):
-        codes = ref_codes[chr_starts[cid] : chr_starts[cid + 1]]
-        L = len(codes)
-        if L < k:
-            continue
-        vals = dna.kmer_codes(codes, k)          # sentinel for N-containing
-        n = L - k + 1
-        prev = np.empty(n, dtype=np.uint8)
-        prev[0] = 4
-        prev[1:] = np.minimum(codes[: n - 1], 4)
-        nxt = np.empty(n, dtype=np.uint8)
-        nxt[-1] = 4
-        nxt[:-1] = np.minimum(codes[k:], 4)
-        vals_l.append(vals)
-        pos_l.append(np.arange(n, dtype=np.int64) + chr_starts[cid])
-        prev_l.append(prev)
-        next_l.append(nxt)
-
-    if not vals_l:
+    n_per = np.maximum(lengths - (k - 1), 0)
+    row_starts = np.zeros(len(contigs) + 1, dtype=np.int64)
+    np.cumsum(n_per, out=row_starts[1:])
+    total = int(row_starts[-1])
+    if total == 0:
         return _empty_index(names, chr_starts, ref_codes, ref_words,
                             k, search_k, first_level_bases)
 
-    vals = np.concatenate(vals_l)
-    pos = np.concatenate(pos_l)
-    prev = np.concatenate(prev_l)
-    nxt = np.concatenate(next_l)
+    # positions fit int32 whenever the packed reference does (anchor sets
+    # are < 2 Gbp by construction; fall back to int64 defensively)
+    pos_dt = np.int32 if chr_starts[-1] < 2**31 - 1 else np.int64
+    # k-mer row -> 0-based genome position (rows are per-contig arange)
+    pos_shift = chr_starts[:-1] - row_starts[:-1]
 
-    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
-    valid = vals != sentinel
-    # boundary of contigs in the flattened (vals, pos) stream:
-    same_contig_next = np.zeros(len(vals), dtype=bool)
-    if len(vals) > 1:
-        same_contig_next[:-1] = pos[1:] == pos[:-1] + 1
+    def row2pos(rows):
+        cid = np.searchsorted(row_starts, rows, side="right") - 1
+        return (rows + pos_shift[cid]).astype(pos_dt)
 
-    uniq, inverse = np.unique(vals[valid], return_inverse=True)
+    nxt = np.empty(total, dtype=np.uint8)    # base after the k-mer (4 = edge)
+    if total > spill_threshold and k <= 29:  # 2k+6 packed bits must fit 64
+        grouped = _group_kmers_spill(
+            contigs, ref_codes, k, n_per, row_starts, chr_starts,
+            nxt, row2pos, pos_dt, spill_dir)
+    else:
+        grouped = _group_kmers_ram(
+            contigs, ref_codes, k, n_per, row_starts, chr_starts,
+            nxt, row2pos, pos_dt)
+    if grouped is None:                      # every k-mer spans an N
+        return _empty_index(names, chr_starts, ref_codes, ref_words,
+                            k, search_k, first_level_bases)
+    kid, uniq, grp_start, occ_pos, in_mask, out_mask, n_valid = grouped
     n_uniq = len(uniq)
-    kid = np.full(len(vals), -1, dtype=np.int64)
-    kid[valid] = inverse
-
-    # --- edge masks (bit 4 = boundary/N edge) ----------------------------
-    in_mask = np.zeros(n_uniq, dtype=np.uint8)
-    out_mask = np.zeros(n_uniq, dtype=np.uint8)
-    np.bitwise_or.at(in_mask, kid[valid], np.uint8(1) << prev[valid])
-    np.bitwise_or.at(out_mask, kid[valid], np.uint8(1) << nxt[valid])
 
     single_bit = np.array([bin(m).count("1") == 1 and m < 16 for m in range(32)])
     out_single = single_bit[out_mask]
     in_single = single_bit[in_mask]
-    first_base = (uniq >> np.uint64(2 * (k - 1))).astype(np.uint8)
+    first_base = _shifted_u8(uniq, 2 * (k - 1))
 
     # --- link(i, i+1) over genome positions ------------------------------
-    linked = np.zeros(len(vals), dtype=bool)
-    if len(vals) > 1:
-        a = kid[:-1]
-        b = kid[1:]
-        cand = same_contig_next[:-1] & (a >= 0) & (b >= 0)
+    # consecutive rows are consecutive genome positions except across
+    # contig boundaries (row_starts marks each contig's first row);
+    # chunked so the int64 gather temporaries stay bounded at scale
+    linked = np.zeros(total, dtype=bool)
+    contig_last = row_starts[1:-1] - 1               # last row per contig
+    contig_last = contig_last[contig_last >= 0]
+    for st in range(0, total - 1, _CHUNK):
+        en = min(st + _CHUNK, total - 1)
+        a = kid[st:en]
+        b = kid[st + 1 : en + 1]
+        cand = (a >= 0) & (b >= 0)
+        lo = np.searchsorted(contig_last, st)
+        hi = np.searchsorted(contig_last, en)
+        cand[contig_last[lo:hi] - st] = False
         ai = a[cand]
         bi = b[cand]
         ok = (
             out_single[ai]
-            & (out_mask[ai] == (np.uint8(1) << nxt[:-1][cand]))
+            & (out_mask[ai] == (np.uint8(1) << nxt[st:en][cand]))
             & in_single[bi]
             & (in_mask[bi] == (np.uint8(1) << first_base[ai]))
         )
-        linked_idx = np.nonzero(cand)[0][ok]
-        linked[linked_idx] = True
+        linked[st:en][cand] = ok
+    del nxt
 
     # --- maximal runs, deduped by first-kmer id --------------------------
-    # run start at i iff valid[i] and (i==0 or not linked[i-1])
-    run_start = valid.copy()
+    # run start at i iff valid[i] (kid >= 0) and (i==0 or not linked[i-1])
+    run_start = kid >= 0
     run_start[1:] &= ~linked[:-1]
     starts_idx = np.nonzero(run_start)[0]
     # run length: next run start (or end) after each start
     boundaries = np.nonzero(~np.concatenate([linked, [False]]))[0]
     run_end_idx = boundaries[np.searchsorted(boundaries, starts_idx)]
     run_nk = run_end_idx - starts_idx + 1          # kmers in each run
+    del run_start, boundaries, run_end_idx, linked
 
     first_kid = kid[starts_idx]
     # dedupe runs by first-kmer id -> unitigs (keep first occurrence)
-    order = np.argsort(first_kid, kind="stable")
-    fk_sorted = first_kid[order]
-    is_rep = np.ones(len(order), dtype=bool)
+    order_r = np.argsort(first_kid, kind="stable")
+    fk_sorted = first_kid[order_r]
+    is_rep = np.ones(len(order_r), dtype=bool)
     is_rep[1:] = fk_sorted[1:] != fk_sorted[:-1]
-    rep_runs = order[is_rep]                       # representative run per unitig
+    rep_runs = order_r[is_rep]                     # representative run per unitig
     rep_runs = rep_runs[np.argsort(starts_idx[rep_runs], kind="stable")]
     n_uni = len(rep_runs)
 
@@ -205,37 +216,58 @@ def build_index(
     uni_seqf = np.zeros(n_uni + 1, dtype=np.int64)
     np.cumsum(uni_len, out=uni_seqf[1:])
 
-    # unitig sequences from genome slices
-    rep_pos = pos[starts_idx[rep_runs]]
-    uni_codes = ref_codes[np.repeat(rep_pos, uni_len) + _ranges(uni_len)]
+    # unitig sequences from genome slices: read uni_len bases from the
+    # representative run's OWN start (another occurrence of the first
+    # k-mer may sit mid-run near a contig end, where the slice would
+    # cross into the next contig)
+    rep_pos = row2pos(starts_idx[rep_runs]).astype(np.int64)
+    uni_codes = np.empty(int(uni_seqf[-1]), dtype=np.uint8)
+    for lo, hi in _segment_blocks(uni_len, _CHUNK):
+        rows = np.repeat(rep_pos[lo:hi], uni_len[lo:hi]) + _ranges(uni_len[lo:hi])
+        uni_codes[uni_seqf[lo] : uni_seqf[hi]] = ref_codes[rows]
     uni_words = dna.pack_2bit(np.where(uni_codes >= 4, np.uint8(2), uni_codes))
 
     # --- kmer -> offset in unitig space ----------------------------------
     # kmers of representative run i at chain offsets 0..uni_nk[i]-1
     off_g = np.empty(n_uniq, dtype=np.int64)
-    chain_kmer_rows = np.repeat(starts_idx[rep_runs], uni_nk) + _ranges(uni_nk)
-    chain_offsets = uni_seqf[np.repeat(np.arange(n_uni), uni_nk)] + _ranges(uni_nk)
-    off_g[kid[chain_kmer_rows]] = chain_offsets
+    rep_rows = starts_idx[rep_runs]
+    for lo, hi in _segment_blocks(uni_nk, _CHUNK):
+        rows = np.repeat(rep_rows[lo:hi], uni_nk[lo:hi]) + _ranges(uni_nk[lo:hi])
+        offs = (np.repeat(uni_seqf[lo:hi], uni_nk[lo:hi])
+                + _ranges(uni_nk[lo:hi]))
+        off_g[kid[rows]] = offs
+    del rep_rows, starts_idx, first_kid, run_nk, kid
 
     # --- unitig occurrences = positions of first kmer --------------------
-    kmer_occ_order = np.argsort(kid[valid], kind="stable")
-    kmer_occ_pos = pos[valid][kmer_occ_order]
-    kmer_occ_start = np.searchsorted(kid[valid][kmer_occ_order],
-                                     np.arange(n_uniq + 1))
-    occ_counts = kmer_occ_start[uni_first_kid + 1] - kmer_occ_start[uni_first_kid]
+    km_start = np.concatenate(
+        [grp_start, np.array([n_valid], dtype=grp_start.dtype)])
+    del grp_start
+    occ_counts = (km_start[uni_first_kid + 1]
+                  - km_start[uni_first_kid]).astype(np.int64)
     uni_posp = np.zeros(n_uni + 1, dtype=np.int64)
     np.cumsum(occ_counts, out=uni_posp[1:])
-    take = np.repeat(kmer_occ_start[uni_first_kid], occ_counts) + _ranges(occ_counts)
-    uni_pos = kmer_occ_pos[take]
+    uni_pos = np.empty(int(uni_posp[-1]), dtype=np.int64)
+    occ_first = km_start[uni_first_kid].astype(np.int64)
+    for lo, hi in _segment_blocks(occ_counts, _CHUNK):
+        take = (np.repeat(occ_first[lo:hi], occ_counts[lo:hi])
+                + _ranges(occ_counts[lo:hi]))
+        uni_pos[uni_posp[lo] : uni_posp[hi]] = occ_pos[take]
+    del occ_pos, km_start, occ_first
 
     # --- two-level search table ------------------------------------------
     fl = first_level_bases
     low_bits = np.uint64(2 * (k - fl))
-    bucket = (uniq >> low_bits).astype(np.int64)
-    kmer_g = (uniq & ((np.uint64(1) << low_bits) - np.uint64(1))).astype(np.uint32)
-    hash_g = np.zeros((1 << (2 * fl)) + 1, dtype=np.int64)
-    np.add.at(hash_g, bucket + 1, 1)
-    np.cumsum(hash_g, out=hash_g)
+    mask = (np.uint64(1) << low_bits) - np.uint64(1)
+    kmer_g = np.empty(n_uniq, dtype=np.uint32)
+    for st in range(0, max(n_uniq, 1), _CHUNK):
+        np.copyto(kmer_g[st : st + _CHUNK], uniq[st : st + _CHUNK] & mask,
+                  casting="unsafe")
+    # uniq is sorted, so bucket starts come from one searchsorted sweep
+    # (against the shifted bucket FLOORS, avoiding a full >> temp)
+    hash_g = np.searchsorted(
+        uniq,
+        np.arange((1 << (2 * fl)) + 1, dtype=np.uint64) << low_bits
+    ).astype(np.int64)
 
     return RdBGIndex(
         k=k, search_k=search_k, first_level_bases=fl,
@@ -245,6 +277,201 @@ def build_index(
         uni_seqf=uni_seqf, uni_pos=uni_pos, uni_posp=uni_posp,
         hash_g=hash_g, kmer_g=kmer_g, off_g=off_g,
     )
+
+
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+_CHUNK = 1 << 24      # rows per downstream chunk (bounds int64 temporaries)
+
+
+def _shifted_u8(arr_u64, shift_bits):
+    """(arr >> shift).astype(uint8) without a full-size uint64 temp."""
+    out = np.empty(len(arr_u64), dtype=np.uint8)
+    sh = np.uint64(shift_bits)
+    for st in range(0, max(len(arr_u64), 1), _CHUNK):
+        np.copyto(out[st : st + _CHUNK], arr_u64[st : st + _CHUNK] >> sh,
+                  casting="unsafe")
+    return out
+
+
+def _segment_blocks(counts, chunk):
+    """Yield (lo, hi) index blocks over `counts` whose totals stay under
+    `chunk` (always at least one segment per block)."""
+    cum = np.cumsum(counts)
+    lo = 0
+    n = len(counts)
+    while lo < n:
+        base = int(cum[lo - 1]) if lo else 0
+        hi = int(np.searchsorted(cum, base + chunk, side="right"))
+        hi = max(hi, lo + 1)
+        yield lo, hi
+        lo = hi
+
+
+def _extract_contig(ref_codes, chr_starts, k, cid, n, nxt, r0):
+    """k-mer values + prev codes for one contig; writes nxt in place."""
+    codes = ref_codes[chr_starts[cid] : chr_starts[cid + 1]]
+    vals = dna.kmer_codes(codes, k)
+    prev = np.empty(n, dtype=np.uint8)
+    prev[0] = 4
+    np.minimum(codes[: n - 1], 4, out=prev[1:])
+    nxt[r0 + n - 1] = 4
+    np.minimum(codes[k:], 4, out=nxt[r0 : r0 + n - 1])
+    return vals, prev
+
+
+def _group_kmers_ram(contigs, ref_codes, k, n_per, row_starts, chr_starts,
+                     nxt, row2pos, pos_dt):
+    """One stable sort of all k-mer values -> (kid, uniq, grp_start,
+    occ_pos, in_mask, out_mask, n_valid). The all-ones sentinel
+    (N-containing k-mers) sorts to the tail, so the valid prefix of the
+    sorted stream is exactly vals != sentinel."""
+    total = int(row_starts[-1])
+    vals = np.empty(total, dtype=np.uint64)
+    prev = np.empty(total, dtype=np.uint8)   # base before the k-mer (4 = edge)
+    for cid in range(len(contigs)):
+        n = int(n_per[cid])
+        if n == 0:
+            continue
+        r0 = int(row_starts[cid])
+        vals[r0 : r0 + n], prev[r0 : r0 + n] = _extract_contig(
+            ref_codes, chr_starts, k, cid, n, nxt, r0)
+
+    order = np.argsort(vals, kind="stable")
+    svals = vals[order]
+    del vals
+    n_valid = int(np.searchsorted(svals, _SENTINEL))
+    if n_valid == 0:
+        return None
+    order_v = order[:n_valid]
+    new_grp = np.empty(n_valid, dtype=bool)
+    new_grp[0] = True
+    np.not_equal(svals[1:n_valid], svals[: n_valid - 1], out=new_grp[1:])
+    uniq = svals[:n_valid][new_grp]
+    del svals
+    grp_start = np.flatnonzero(new_grp)            # [n_uniq] first sorted row
+    kid = np.full(total, -1, dtype=np.int32)
+    uid_sorted = np.cumsum(new_grp, dtype=np.int32)
+    uid_sorted -= 1
+    kid[order_v] = uid_sorted
+    del uid_sorted, new_grp
+
+    # edge masks (bit 4 = boundary/N edge): segment-OR over sorted groups
+    in_mask = np.bitwise_or.reduceat(np.uint8(1) << prev[order_v], grp_start)
+    out_mask = np.bitwise_or.reduceat(np.uint8(1) << nxt[order_v], grp_start)
+    occ_pos = row2pos(order_v)                     # occurrences by kmer, stable
+    return kid, uniq, grp_start, occ_pos, in_mask, out_mask, n_valid
+
+
+def _group_kmers_spill(contigs, ref_codes, k, n_per, row_starts, chr_starts,
+                       nxt, row2pos, pos_dt, spill_dir):
+    """External-memory grouping: spill each valid k-mer once as a
+    12-byte (key, row) record into one of 256 files keyed by the top 8
+    bits of its 2k-bit value (the reference deBGA's prefix buckets,
+    index_build.c:411-1013), then sort + reduce each bucket alone. The
+    prev/next edge codes ride in key bits [2k, 2k+3) / [2k+3, 2k+6).
+    Spill order is ascending global row, so a stable per-bucket sort
+    keeps occurrence lists in original position order."""
+    import shutil
+    import tempfile
+
+    total = int(row_starts[-1])
+    assert total < 2**32, "row ids are spilled as uint32"
+    val_bits = np.uint64(2 * k)
+    val_mask = (np.uint64(1) << val_bits) - np.uint64(1)
+    bucket_shift = np.uint64(2 * k - 8)
+    rec_dt = np.dtype([("key", "<u8"), ("row", "<u4")])
+
+    tmpdir = tempfile.mkdtemp(prefix="rdbg_spill_",
+                              dir=spill_dir or tempfile.gettempdir())
+    try:
+        files = [open(os.path.join(tmpdir, f"b{b:03d}.bin"), "wb")
+                 for b in range(256)]
+        buf_key, buf_row, buffered = [], [], 0
+
+        def flush():
+            nonlocal buffered
+            if not buf_key:
+                return
+            key = np.concatenate(buf_key)
+            row = np.concatenate(buf_row)
+            buf_key.clear()
+            buf_row.clear()
+            buffered = 0
+            bucket = ((key >> bucket_shift) & np.uint64(0xFF)).astype(np.uint8)
+            order = np.argsort(bucket, kind="stable")
+            rec = np.empty(len(key), dtype=rec_dt)
+            rec["key"] = key[order]
+            rec["row"] = row[order]
+            ends = np.cumsum(np.bincount(bucket, minlength=256))
+            st = 0
+            for b in range(256):
+                e = int(ends[b])
+                if e > st:
+                    files[b].write(rec[st:e].tobytes())
+                st = e
+
+        for cid in range(len(contigs)):
+            n = int(n_per[cid])
+            if n == 0:
+                continue
+            r0 = int(row_starts[cid])
+            vals, prev = _extract_contig(
+                ref_codes, chr_starts, k, cid, n, nxt, r0)
+            valid = vals != _SENTINEL
+            key = (vals | (prev.astype(np.uint64) << val_bits)
+                   | (nxt[r0 : r0 + n].astype(np.uint64) << (val_bits + np.uint64(3))))
+            buf_key.append(key[valid])
+            buf_row.append((np.flatnonzero(valid) + r0).astype(np.uint32))
+            buffered += len(buf_key[-1])
+            if buffered >= 4_000_000:
+                flush()
+        flush()
+        for fh in files:
+            fh.close()
+
+        n_valid = sum(os.path.getsize(fh.name) for fh in files) // rec_dt.itemsize
+        if n_valid == 0:
+            return None
+        kid = np.full(total, -1, dtype=np.int32)
+        occ_pos = np.empty(n_valid, dtype=pos_dt)
+        uniq_l, grp_l, in_l, out_l = [], [], [], []
+        occ_base = 0
+        uid_base = np.int32(0)
+        for b in range(256):
+            path = os.path.join(tmpdir, f"b{b:03d}.bin")
+            rec = np.fromfile(path, dtype=rec_dt)
+            os.unlink(path)
+            if len(rec) == 0:
+                continue
+            val = rec["key"] & val_mask
+            order = np.argsort(val, kind="stable")
+            sval = val[order]
+            skey = rec["key"][order]
+            srow = rec["row"][order].astype(np.int64)
+            del rec, val
+            ng = np.empty(len(sval), dtype=bool)
+            ng[0] = True
+            np.not_equal(sval[1:], sval[:-1], out=ng[1:])
+            gs = np.flatnonzero(ng)
+            uniq_l.append(sval[ng])
+            grp_l.append((gs + occ_base).astype(
+                np.int32 if total < 2**31 else np.int64))
+            prev_bits = ((skey >> val_bits) & np.uint64(7)).astype(np.uint8)
+            nxt_bits = ((skey >> (val_bits + np.uint64(3)))
+                        & np.uint64(7)).astype(np.uint8)
+            in_l.append(np.bitwise_or.reduceat(np.uint8(1) << prev_bits, gs))
+            out_l.append(np.bitwise_or.reduceat(np.uint8(1) << nxt_bits, gs))
+            uid = np.cumsum(ng, dtype=np.int32)
+            uid += uid_base - np.int32(1)
+            kid[srow] = uid
+            occ_pos[occ_base : occ_base + len(srow)] = row2pos(srow)
+            uid_base += np.int32(len(gs))
+            occ_base += len(srow)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+    return (kid, np.concatenate(uniq_l), np.concatenate(grp_l),
+            occ_pos, np.concatenate(in_l), np.concatenate(out_l), n_valid)
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:

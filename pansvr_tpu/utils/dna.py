@@ -68,11 +68,20 @@ def pack_2bit(codes: np.ndarray) -> np.ndarray:
     """
     n = len(codes)
     n_words = (n + 31) // 32
-    padded = np.zeros(n_words * 32, dtype=np.uint64)
-    padded[:n] = codes & 3
-    mat = padded.reshape(n_words, 32)
+    out = np.empty(n_words, dtype=np.uint64)
     shifts = np.uint64(2) * (np.uint64(31) - np.arange(32, dtype=np.uint64))
-    return (mat << shifts).sum(axis=1, dtype=np.uint64)
+    # chunked: the widened uint64 scratch is 8x the input, so one flat
+    # pass over a whole-genome array would cost gigabytes of transient
+    step = 1 << 24                       # bases per chunk, 32-aligned
+    for st in range(0, max(n, 1), step):
+        blk = codes[st : st + step]
+        m = len(blk)
+        mw = (m + 31) // 32
+        padded = np.zeros(mw * 32, dtype=np.uint64)
+        np.copyto(padded[:m], blk & 3, casting="unsafe")
+        out[st // 32 : st // 32 + mw] = (
+            padded.reshape(mw, 32) << shifts).sum(axis=1, dtype=np.uint64)
+    return out
 
 
 def unpack_2bit(words: np.ndarray, start: int, length: int) -> np.ndarray:
