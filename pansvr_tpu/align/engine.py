@@ -575,6 +575,7 @@ class AlignEngine:
         # starts at the smallest bucket — the common steady state — so
         # the warmup batch compiles the shape the stream will reuse
         self._k_spec = 8
+        self._k_shrink_run = 0
         self._packed_ref = np.ascontiguousarray(self.host.ksw.packed_ref)
         # true (unpadded) reference length for the device DP fill's
         # beyond-end zero clamp; dynamic arg so quantized-shape worlds
@@ -937,8 +938,23 @@ class AlignEngine:
                 buf, B2, K)
             overflow, dropped, seed_count = stats3
             kmax = int(seed_count.max()) if len(seed_count) else 0
-            self._k_spec = min(
+            # adapt the speculative width with hysteresis: grow at once
+            # (a miss costs a full-width re-chain), but shrink only one
+            # bucket after 8 consecutive narrower batches — with
+            # fuse_chain, K is a static arg of the whole front program,
+            # so an oscillating width would churn expensive retraces
+            bucket = min(
                 cfg.max_seeds, max(8, 1 << max(kmax - 1, 0).bit_length()))
+            if bucket > self._k_spec:
+                self._k_spec = bucket
+                self._k_shrink_run = 0
+            elif bucket < self._k_spec:
+                self._k_shrink_run += 1
+                if self._k_shrink_run >= 8:
+                    self._k_spec = max(bucket, self._k_spec // 2)
+                    self._k_shrink_run = 0
+            else:
+                self._k_shrink_run = 0
             if kmax > K:
                 # speculation missed (a row has more seeds than the
                 # chained width): re-chain at full width
@@ -1236,10 +1252,8 @@ class AlignEngine:
         # dispatch would queue behind its compute)
         for _, payload in chunks:
             for arr in payload[1:]:
-                try:
+                if hasattr(arr, "copy_to_host_async"):
                     arr.copy_to_host_async()
-                except (AttributeError, TypeError):
-                    break
         self.prof["dp_dispatch"] += time.perf_counter() - t
         if on_dp_dispatched is not None:
             on_dp_dispatched()
