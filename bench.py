@@ -167,6 +167,17 @@ def _run_fc_aln(work: str, out_bam: str, batch: int = 8192):
     pe = PEScorer(eng.host, stats.max_isize or 600, stats.min_isize or 200,
                   stats.read_len or 150)
     filt = min_filter_score(stats.read_len or 150)
+    from pansvr_tpu.align import native_glue
+    native_emit = native_glue.emit_available() and not os.environ.get(
+        "PANSVR_NO_NATIVE_EMIT")
+    if native_emit:
+        from pansvr_tpu.align.bam_out import EmitContext
+
+        eng.set_native_emit(EmitContext(
+            eng.host, header, stats.max_isize or 600,
+            stats.min_isize or 200, stats.read_len or 150))
+        print("[bench] native emit: PE-pair + BAM-encode in C++",
+              file=sys.stderr)
 
     records = list(read_signal_fastq(f"{work}/signal.fq"))
     records = records[: len(records) // 2 * 2]
@@ -183,12 +194,22 @@ def _run_fc_aln(work: str, out_bam: str, batch: int = 8192):
                 if len(chunk) >= 2:
                     yield chunk[: len(chunk) // 2 * 2]
 
-        chunks_a, chunks_b = itertools.tee(chunk_stream())
+        if native_emit:
+            chunks_a = iter(())
 
-        def batch_stream():
-            for chunk in chunks_b:
-                yield ([p[1] for p in chunk],
-                       [parse_signal_comment(p[3])[0] for p in chunk])
+            def batch_stream():
+                for chunk in chunk_stream():
+                    yield ([p[1] for p in chunk],
+                           [parse_signal_comment(p[3])[0] for p in chunk],
+                           ([p[0] for p in chunk], [p[2] for p in chunk],
+                            [p[3] for p in chunk]))
+        else:
+            chunks_a, chunks_b = itertools.tee(chunk_stream())
+
+            def batch_stream():
+                for chunk in chunks_b:
+                    yield ([p[1] for p in chunk],
+                           [parse_signal_comment(p[3])[0] for p in chunk])
 
         t0 = time.perf_counter()
         _run_aln_stream(chunks_a, eng, pe, writer, None, header, filt,

@@ -33,7 +33,9 @@
 #include <algorithm>
 #include <array>
 #include <atomic>
+#include <cctype>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <map>
@@ -127,6 +129,9 @@ struct Ctx {
   std::vector<uint8_t> out_cig_op;
   std::vector<int32_t> out_cig_len;
   std::vector<int32_t> res_cig_off, res_cig_n;
+
+  // filled by glue_pe_emit: encoded BAM record bodies for the batch
+  std::vector<uint8_t> emit_buf;
 };
 
 // ---- KswHandler state for one walk --------------------------------------
@@ -2517,4 +2522,422 @@ extern "C" int32_t glue_bam_scan(const uint8_t* data, int64_t len,
   }
   *consumed = p;
   return n;
+}
+
+// ---------------------------------------------------------------------
+// Native PE pairing + realigned-BAM emission.
+//
+// After glue_replay, the per-read results (scores, positions, cigars)
+// already live in the Ctx; this pass runs the whole Python tail —
+// PEScorer.pair (host_align.py:596-628, the reference's
+// read_get_best_pairing_results, read_realignment.hpp:476-500),
+// emit_pair/make_bam_record (bam_out.py:29-135, reference output_BAM
+// read_realignment.cpp:479-536) and the BAM record encoder
+// (io/bam.py:_encode_record) — in C++, producing one contiguous blob
+// of encoded record bodies per batch. Byte-identical to the Python
+// path (tests/test_native_emit.py).
+//
+// Pairs whose reads took the host-fallback path (their results are not
+// in the Ctx) arrive pre-encoded from Python through skip_blob and are
+// spliced in pair order, so record order matches the Python emitter.
+
+namespace emitN {
+
+struct Cand {
+  bool is_ori;
+  int32_t align_score, chain_score, read_bg, mapq, ref_bg, dir;
+  int32_t sv_id;     // -1 for ori
+  int32_t rst_idx;   // result rank (new results)
+  int32_t chr_raw;   // ori.chr_id for ori; -1 for new (device-path quirk)
+  int32_t tid;       // resolved output header tid
+  int32_t key;       // interned chrom-name key for proper-mating
+  int32_t res_x;     // index into ctx res arrays (-1 = ori candidate)
+};
+
+struct EmitIn {
+  const int32_t* ori8;
+  const uint8_t *name_blob, *seq_blob, *qual_blob, *comment_blob;
+  const int64_t *name_off, *seq_off, *qual_off, *comment_off;
+  const int32_t *sv_tid, *sv_end_off, *sv_key, *ori_tid, *ori_key;
+  const uint8_t* svtag_blob;
+  const int64_t* svtag_off;
+  const uint8_t* vcfid_blob;
+  const int64_t* vcfid_off;
+  int32_t n_ori_chr;
+  int32_t max_isize, min_isize, normal_read_len;
+};
+
+static inline int32_t end_off(const EmitIn& in, const Cand* c) {
+  return (c->is_ori || c->sv_id < 0) ? 0 : in.sv_end_off[c->sv_id];
+}
+
+static inline int get_isize(const EmitIn& in, int64_t p1, int64_t p2,
+                            int d1, int d2) {
+  if (d1 == d2) return 0;
+  int64_t is = in.normal_read_len + ((d1 == 0) ? (p2 - p1) : (p1 - p2));
+  return (is > in.min_isize && is < in.max_isize) ? (int)is : 0;
+}
+
+static inline int proper_mated(const EmitIn& in, const Cand* a,
+                               const Cand* b) {
+  if (!a || !b) return 0;
+  if (a->key != b->key) return 0;
+  int64_t p1a = a->ref_bg, p1b = p1a + end_off(in, a);
+  int64_t p2a = b->ref_bg, p2b = p2a + end_off(in, b);
+  int is;
+  if ((is = get_isize(in, p1a, p2a, a->dir, b->dir)) > 0) return is;
+  if ((is = get_isize(in, p1a, p2b, a->dir, b->dir)) > 0) return is;
+  if ((is = get_isize(in, p1b, p2a, a->dir, b->dir)) > 0) return is;
+  if ((is = get_isize(in, p1b, p2b, a->dir, b->dir)) > 0) return is;
+  return 0;
+}
+
+struct Best {
+  const Cand* c1 = nullptr;
+  const Cand* c2 = nullptr;
+  int32_t max_score = 0;
+  int32_t isize = 0;
+};
+
+static inline void store_score(const EmitIn& in, Best& best, const Cand* a,
+                               const Cand* b) {
+  int isize = proper_mated(in, a, b);
+  int basic = (a ? a->align_score : 0) + (b ? b->align_score : 0);
+  int fin = basic + (isize > 0 ? 0 : -60) +
+            (((a && !a->is_ori) || (b && !b->is_ori)) ? 0 : 1);
+  if (fin >= best.max_score) {
+    best.c1 = a;
+    best.c2 = b;
+    best.max_score = fin;
+    best.isize = isize;
+  }
+}
+
+// 4-bit nibble per base byte (io/bam.py _SEQ16_CODE_TRANS)
+static const char SEQ_NT16[] = "=ACMGRSVTWYHKDBN";
+struct NibTabs {
+  uint8_t fwd[256];
+  uint8_t rc[256];   // nibble of the dna.revcomp()'d character
+  NibTabs() {
+    for (int i = 0; i < 256; i++) fwd[i] = 15;
+    for (int i = 0; i < 16; i++) {
+      fwd[(uint8_t)SEQ_NT16[i]] = (uint8_t)i;
+      fwd[(uint8_t)std::tolower(SEQ_NT16[i])] = (uint8_t)i;
+    }
+    // dna.revcomp maps byte -> code (ACGT either case, else N) ->
+    // complement -> "ACGTN"; everything non-ACGT becomes N
+    for (int i = 0; i < 256; i++) rc[i] = 15;
+    const char* b = "ACGT";
+    const uint8_t comp_nib[4] = {8, 4, 2, 1};  // T G C A
+    for (int i = 0; i < 4; i++) {
+      rc[(uint8_t)b[i]] = comp_nib[i];
+      rc[(uint8_t)std::tolower(b[i])] = comp_nib[i];
+    }
+  }
+};
+static const NibTabs NIB;
+
+struct RecBuf {
+  std::vector<uint8_t>& out;
+  size_t body_start = 0;
+  void begin() {
+    body_start = out.size();
+    out.insert(out.end(), 4, 0);  // block_size placeholder
+  }
+  void end() {
+    uint32_t sz = (uint32_t)(out.size() - body_start - 4);
+    std::memcpy(out.data() + body_start, &sz, 4);
+  }
+  void u8(uint8_t v) { out.push_back(v); }
+  void u16(uint16_t v) {
+    out.push_back((uint8_t)v);
+    out.push_back((uint8_t)(v >> 8));
+  }
+  void i32(int32_t v) {
+    uint8_t b[4];
+    std::memcpy(b, &v, 4);
+    out.insert(out.end(), b, b + 4);
+  }
+  void raw(const uint8_t* p, size_t n) { out.insert(out.end(), p, p + n); }
+  void tag_i(const char* t, int32_t v) {
+    out.push_back((uint8_t)t[0]);
+    out.push_back((uint8_t)t[1]);
+    out.push_back('i');
+    i32(v);
+  }
+  void tag_z(const char* t, const char* s, size_t n) {
+    out.push_back((uint8_t)t[0]);
+    out.push_back((uint8_t)t[1]);
+    out.push_back('Z');
+    raw((const uint8_t*)s, n);
+    out.push_back(0);
+  }
+};
+
+}  // namespace emitN
+
+extern "C" int64_t glue_pe_emit(
+    void* vctx, int32_t n, const int32_t* ori8, const uint8_t* name_blob,
+    const int64_t* name_off, const uint8_t* seq_blob, const int64_t* seq_off,
+    const uint8_t* qual_blob, const int64_t* qual_off,
+    const uint8_t* comment_blob, const int64_t* comment_off,
+    const int32_t* sv_tid, const int32_t* sv_end_off, const int32_t* sv_key,
+    const uint8_t* svtag_blob, const int64_t* svtag_off,
+    const uint8_t* vcfid_blob, const int64_t* vcfid_off,
+    const int32_t* ori_tid, const int32_t* ori_key, int32_t n_ori_chr,
+    int32_t max_isize, int32_t min_isize, int32_t normal_read_len,
+    const uint8_t* skip_blob, const int64_t* skip_off) {
+  using namespace emitN;
+  Ctx* ctx = (Ctx*)vctx;
+  EmitIn in{ori8,   name_blob, seq_blob, qual_blob, comment_blob,
+            name_off, seq_off,  qual_off, comment_off,
+            sv_tid, sv_end_off, sv_key,   ori_tid,  ori_key,
+            svtag_blob, svtag_off, vcfid_blob, vcfid_off,
+            n_ori_chr, max_isize, min_isize, normal_read_len};
+
+  // res span per read (res_read is non-decreasing)
+  std::vector<std::pair<int32_t, int32_t>> span(ctx->n_pad, {0, 0});
+  {
+    size_t x = 0;
+    while (x < ctx->res_read.size()) {
+      int32_t r = ctx->res_read[x];
+      size_t e = x;
+      while (e < ctx->res_read.size() && ctx->res_read[e] == r) e++;
+      if (r >= 0 && r < ctx->n_pad)
+        span[r] = {(int32_t)x, (int32_t)e};
+      x = e;
+    }
+  }
+
+  ctx->emit_buf.clear();
+  RecBuf rb{ctx->emit_buf};
+  std::vector<Cand> c1v, c2v;
+
+  auto build_cands = [&](int32_t i, std::vector<Cand>& v) {
+    v.clear();
+    const int32_t* o = ori8 + (int64_t)i * 8;
+    auto [lo, hi] = span[i];
+    for (int32_t x = lo; x < hi; x++) {
+      const int32_t* f = ctx->res_fields.data() + (int64_t)x * 8;
+      Cand c;
+      c.is_ori = false;
+      c.dir = f[0];
+      c.chain_score = f[1];
+      c.align_score = f[2];
+      c.read_bg = f[3];
+      c.ref_bg = f[4];
+      c.sv_id = f[5];
+      c.mapq = f[6];
+      c.rst_idx = f[7];
+      c.chr_raw = -1;
+      c.tid = c.sv_id >= 0 ? sv_tid[c.sv_id] : -1;
+      c.key = c.sv_id >= 0 ? sv_key[c.sv_id] : -3;
+      c.res_x = x;
+      v.push_back(c);
+    }
+    if (!o[6]) {  // not ori_unmapped -> ori is a pairing candidate
+      Cand c;
+      c.is_ori = true;
+      c.align_score = o[3];
+      c.chain_score = 0;
+      c.read_bg = o[2];
+      c.mapq = o[4];
+      c.ref_bg = o[1];
+      c.dir = o[5];
+      c.sv_id = -1;
+      c.rst_idx = -1;
+      c.chr_raw = o[0];
+      bool in_range = o[0] >= 0 && o[0] < n_ori_chr;
+      c.tid = in_range ? ori_tid[o[0]] : -1;
+      c.key = in_range ? ori_key[o[0]] : -2;
+      c.res_x = -1;
+      v.push_back(c);
+    }
+  };
+
+  auto emit_end = [&](bool is_first, int32_t i, const Cand* primary,
+                      const Cand* mate, const std::vector<Cand>& cands,
+                      int32_t abs_isize) {
+    if (!primary) return;
+    const int32_t* o = ori8 + (int64_t)i * 8;
+    // secondary selection (bam_out.emit_pair:123-128); new results sit
+    // at the head of `cands` in rank order, ori (if any) is last
+    int32_t n_new = (int32_t)cands.size() - (cands.empty() || !cands.back().is_ori ? 0 : 1);
+    const Cand* secondary = nullptr;
+    if (primary->is_ori && n_new > 0)
+      secondary = &cands[0];
+    else if (n_new > 1 && !primary->is_ori)
+      secondary = primary->rst_idx == 0 ? &cands[1] : &cands[0];
+
+    uint16_t flag = is_first ? 0x40 : 0;
+    if (primary->dir == 1) flag |= 0x10;
+    if (!mate) flag |= 0x8;
+
+    // SV info channel: own for new primaries, the mate's for ori ones
+    int32_t sv_of_rec = -1;
+    int32_t tid;
+    if (primary->is_ori) {
+      tid = primary->tid;
+      if (mate && !mate->is_ori) sv_of_rec = mate->sv_id;
+    } else {
+      sv_of_rec = primary->sv_id;
+      tid = primary->tid;
+    }
+
+    const uint8_t* name = name_blob + name_off[i];
+    int32_t name_l = (int32_t)(name_off[i + 1] - name_off[i]);
+    const uint8_t* seq = seq_blob + seq_off[i];
+    int32_t l_seq = (int32_t)(seq_off[i + 1] - seq_off[i]);
+    const uint8_t* qual = qual_blob + qual_off[i];
+    int32_t qual_l = (int32_t)(qual_off[i + 1] - qual_off[i]);
+
+    // cigar runs: from the ctx result, or the ori's clip+match shape
+    const uint8_t* cig_op = nullptr;
+    const int32_t* cig_len = nullptr;
+    int32_t n_cig;
+    uint32_t ori_cig[2];
+    uint32_t ncig_buf[2];
+    if (primary->res_x >= 0) {
+      int32_t off = ctx->res_cig_off[primary->res_x];
+      n_cig = ctx->res_cig_n[primary->res_x];
+      cig_op = ctx->out_cig_op.data() + off;
+      cig_len = (const int32_t*)ctx->out_cig_len.data() + off;
+    } else {
+      // [S read_bg][M l_seq-read_bg] (host_align._ori_as_result)
+      n_cig = 0;
+      if (primary->read_bg > 0)
+        ori_cig[n_cig++] = ((uint32_t)primary->read_bg << 4) | 4;
+      ori_cig[n_cig++] =
+          ((uint32_t)(l_seq - primary->read_bg) << 4) | 0;
+      (void)ncig_buf;
+    }
+
+    rb.begin();
+    rb.i32(tid);
+    rb.i32(primary->ref_bg);
+    rb.u8((uint8_t)(name_l + 1));
+    rb.u8((uint8_t)primary->mapq);
+    rb.u16(0);  // bin (io/bam.py leaves 0)
+    rb.u16((uint16_t)n_cig);
+    rb.u16(flag);
+    rb.i32(l_seq);
+    rb.i32(mate ? mate->tid : -1);
+    rb.i32(mate ? mate->ref_bg : -1);
+    rb.i32(primary->dir == 0 ? abs_isize : -abs_isize);
+    rb.raw(name, name_l);
+    rb.u8(0);
+    if (primary->res_x >= 0) {
+      for (int32_t k = 0; k < n_cig; k++) {
+        // ctx ops are 0=M 1=I 2=D, equal to the BAM op codes
+        uint32_t w = ((uint32_t)cig_len[k] << 4) | cig_op[k];
+        rb.i32((int32_t)w);
+      }
+    } else {
+      for (int32_t k = 0; k < n_cig; k++) rb.i32((int32_t)ori_cig[k]);
+    }
+    // seq nibbles (forward or revcomp per direction)
+    {
+      size_t at = rb.out.size();
+      rb.out.resize(at + (l_seq + 1) / 2, 0);
+      uint8_t* dst = rb.out.data() + at;
+      if (primary->dir == 0) {
+        for (int32_t k = 0; k < l_seq; k++) {
+          uint8_t nib = NIB.fwd[seq[k]];
+          dst[k >> 1] |= (k & 1) ? nib : (uint8_t)(nib << 4);
+        }
+      } else {
+        for (int32_t k = 0; k < l_seq; k++) {
+          uint8_t nib = NIB.rc[seq[l_seq - 1 - k]];
+          dst[k >> 1] |= (k & 1) ? nib : (uint8_t)(nib << 4);
+        }
+      }
+    }
+    // qual (phred+33 -> raw, reversed for reverse strand)
+    {
+      size_t at = rb.out.size();
+      rb.out.resize(at + l_seq);
+      uint8_t* dst = rb.out.data() + at;
+      if (qual_l != l_seq) {
+        std::memset(dst, 0xFF, l_seq);
+      } else if (primary->dir == 0) {
+        for (int32_t k = 0; k < l_seq; k++) {
+          uint8_t v = (uint8_t)(qual[k] - 33);
+          dst[k] = v > 93 ? 93 : v;
+        }
+      } else {
+        for (int32_t k = 0; k < l_seq; k++) {
+          uint8_t v = (uint8_t)(qual[l_seq - 1 - k] - 33);
+          dst[k] = v > 93 ? 93 : v;
+        }
+      }
+    }
+    // tags in make_bam_record order: AS OS OA [CS] [SV] [MV] [XA] RC
+    rb.tag_i("AS", primary->align_score);
+    rb.tag_i("OS", o[3]);
+    {
+      char oa[96];
+      int m = snprintf(oa, sizeof oa, "%d,%d,%d,%d,%c;", o[0], o[1], o[2],
+                       o[4], o[6] ? 'U' : 'M');
+      rb.tag_z("OA", oa, (size_t)m);
+    }
+    if (!primary->is_ori) rb.tag_i("CS", primary->chain_score);
+    if (sv_of_rec >= 0)
+      rb.tag_z("SV", (const char*)svtag_blob + svtag_off[sv_of_rec],
+               (size_t)(svtag_off[sv_of_rec + 1] - svtag_off[sv_of_rec]));
+    if (mate && !mate->is_ori && mate->sv_id >= 0)
+      rb.tag_z("MV", (const char*)svtag_blob + svtag_off[mate->sv_id],
+               (size_t)(svtag_off[mate->sv_id + 1] - svtag_off[mate->sv_id]));
+    if (secondary) {
+      char xa[512];
+      int m;
+      if (secondary->sv_id >= 0) {
+        int vl = (int)(vcfid_off[secondary->sv_id + 1] -
+                       vcfid_off[secondary->sv_id]);
+        m = snprintf(xa, sizeof xa, "%d,%d,%d,%d,%c,%.*s;",
+                     secondary->chr_raw, secondary->ref_bg,
+                     secondary->read_bg, secondary->align_score,
+                     secondary->dir == 0 ? 'F' : 'R', vl,
+                     (const char*)vcfid_blob + vcfid_off[secondary->sv_id]);
+      } else {
+        m = snprintf(xa, sizeof xa, "%d,%d,%d,%d,%c,*;",
+                     secondary->chr_raw, secondary->ref_bg,
+                     secondary->read_bg, secondary->align_score,
+                     secondary->dir == 0 ? 'F' : 'R');
+      }
+      if (m > (int)sizeof xa - 1) m = (int)sizeof xa - 1;
+      rb.tag_z("XA", xa, (size_t)m);
+    }
+    rb.tag_z("RC", (const char*)comment_blob + comment_off[i],
+             (size_t)(comment_off[i + 1] - comment_off[i]));
+    rb.end();
+  };
+
+  for (int32_t k = 0; k + 1 < n; k += 2) {
+    int32_t p = k / 2;
+    if (skip_off[p + 1] > skip_off[p]) {  // Python-encoded fallback pair
+      ctx->emit_buf.insert(ctx->emit_buf.end(), skip_blob + skip_off[p],
+                           skip_blob + skip_off[p + 1]);
+      continue;
+    }
+    if (ori8[(int64_t)k * 8 + 7]) continue;  // empty skipped pair
+    build_cands(k, c1v);
+    build_cands(k + 1, c2v);
+    Best best;
+    for (const Cand& a : c1v) store_score(in, best, &a, nullptr);
+    for (const Cand& b : c2v) store_score(in, best, nullptr, &b);
+    for (const Cand& a : c1v)
+      for (const Cand& b : c2v) store_score(in, best, &a, &b);
+    bool gain = best.max_score > 0 &&
+                ((best.c1 && !best.c1->is_ori) || (best.c2 && !best.c2->is_ori));
+    if (!gain) continue;
+    int32_t abs_isize = best.isize < 0 ? -best.isize : best.isize;
+    emit_end(true, k, best.c1, best.c2, c1v, abs_isize);
+    emit_end(false, k + 1, best.c2, best.c1, c2v, abs_isize);
+  }
+  return (int64_t)ctx->emit_buf.size();
+}
+
+extern "C" void glue_emit_fetch(void* vctx, uint8_t* dst) {
+  Ctx* ctx = (Ctx*)vctx;
+  std::memcpy(dst, ctx->emit_buf.data(), ctx->emit_buf.size());
 }

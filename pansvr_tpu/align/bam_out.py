@@ -277,3 +277,54 @@ def _revcomp(seq: str) -> str:
     from ..utils import dna
 
     return dna.revcomp(seq)
+
+
+# ---------------------------------------------------------------------
+# Native-emit support: precomputed tables the C++ PE-pair/emit pass
+# (native/engine_glue.cpp glue_pe_emit) indexes by sv_id / ori chr_id.
+
+
+def _blob(items: list[bytes]):
+    import numpy as np
+
+    off = np.zeros(len(items) + 1, np.int64)
+    if items:
+        np.cumsum([len(b) for b in items], out=off[1:])
+    data = np.frombuffer(b"".join(items) or b"\0", np.uint8).copy()
+    return data, off
+
+
+class EmitContext:
+    """Per-run constants for glue_pe_emit: header tids, interned
+    chrom-name keys (proper-mating equality), SV tag strings, and the
+    PE scorer's isize window (PEScorer.__init__ adjustments baked into
+    *_adj)."""
+
+    def __init__(self, aligner, header: BamHeader, max_isize: int,
+                 min_isize: int, normal_read_len: int):
+        import numpy as np
+
+        keys: dict[str, int] = {}
+
+        def key(name: str) -> int:
+            return keys.setdefault(name, len(keys))
+
+        sv = aligner.sv_info
+        self.sv_tid = np.array(
+            [header.name2id(s.chrom) for s in sv], np.int32)
+        self.sv_key = np.array([key(s.chrom) for s in sv], np.int32)
+        self.sv_end_off = np.array([s.end_offset for s in sv], np.int32)
+        self.svtag_blob, self.svtag_off = _blob(
+            [sv_tag_string(s).encode() for s in sv])
+        self.vcfid_blob, self.vcfid_off = _blob(
+            [str(s.vcf_id).encode() for s in sv])
+        self.header = header
+        ori_names = aligner.ori_chrom_names
+        self.ori_tid = np.array(
+            [header.name2id(nm) for nm in ori_names], np.int32)
+        self.ori_key = np.array([key(nm) for nm in ori_names], np.int32)
+        self.max_isize = max_isize
+        self.min_isize = min_isize
+        self.normal_read_len = normal_read_len
+        self.max_isize_adj = max_isize + 200
+        self.min_isize_adj = max(0, min_isize - 200)

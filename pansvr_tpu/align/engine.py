@@ -590,6 +590,25 @@ class AlignEngine:
         self.prof: dict[str, float] = defaultdict(float)
         self._fallback_warned = False
         self._tier_window: list[tuple[int, int]] = []  # (n_fallback, n)
+        self._emit_ctx = None      # set_native_emit
+        self._emit_pe = None       # PEScorer for fallback pairs
+
+    # ------------------------------------------------------------------
+    def set_native_emit(self, emit_ctx) -> None:
+        """Route batches with aux=(names, quals, comments) through the
+        C++ PE-pair + BAM-encode pass (glue_pe_emit): align_stream then
+        yields encoded record blobs instead of state lists. Requires the
+        native glue library."""
+        if self._glue_lib is None or not hasattr(self._glue_lib,
+                                                 "glue_pe_emit"):
+            raise RuntimeError("native emit requires libpansvr_glue with "
+                               "glue_pe_emit (tools/build_native.sh)")
+        from .host_align import PEScorer
+
+        self._emit_ctx = emit_ctx
+        self._emit_pe = PEScorer(self.host, emit_ctx.max_isize,
+                                 emit_ctx.min_isize,
+                                 emit_ctx.normal_read_len)
 
     # ------------------------------------------------------------------
     def align_batch(self, seqs: list[str], oris: list[OriResult]) -> list[SingleEndState]:
@@ -666,13 +685,15 @@ class AlignEngine:
                     self._dispatch_front(prep_fut.result())
                 nxt_holder.clear()
 
-    def _submit_batch(self, seqs: list[str], oris: list[OriResult]):
+    def _submit_batch(self, seqs: list[str], oris: list[OriResult],
+                      aux=None):
         t = time.perf_counter()
-        out = self._dispatch_front(self._prep_batch(seqs, oris))
+        out = self._dispatch_front(self._prep_batch(seqs, oris, aux))
         self.prof["host_submit"] += time.perf_counter() - t
         return out
 
-    def _prep_batch(self, seqs: list[str], oris: list[OriResult]):
+    def _prep_batch(self, seqs: list[str], oris: list[OriResult],
+                    aux=None):
         """Host-only batch preparation (encode, STR screen, packing).
         Thread-safe: touches no engine/device state besides read-only
         tables, so align_stream runs it one batch ahead in a worker
@@ -814,7 +835,7 @@ class AlignEngine:
         if not active:
             return dict(states=states, active=active, n=n, n_pad=n_pad,
                         seqs=seqs, oris=oris, front=None,
-                        oversize=oversize)
+                        oversize=oversize, aux=aux)
 
         # ---- pack rows for the device front: fwd rows then rev rows ---
         codes2 = np.concatenate([codes_f, codes_r], axis=0)
@@ -822,7 +843,7 @@ class AlignEngine:
         lens2 = np.concatenate([lens, lens])
         mask2 = np.concatenate([seed_mask_f, seed_mask_r], axis=0)
         return dict(states=states, active=active, n=n, n_pad=n_pad,
-                    seqs=seqs, oris=oris, oversize=oversize,
+                    seqs=seqs, oris=oris, oversize=oversize, aux=aux,
                     words=words, lens2=lens2, mask2=mask2, S0=S0, L=L,
                     is_str=is_str, codes_f=codes_f, codes_r=codes_r,
                     lens=lens)
@@ -906,6 +927,8 @@ class AlignEngine:
         if pend["front"] is None:
             if on_dp_dispatched is not None:
                 on_dp_dispatched()
+            if self._emit_ctx is not None and pend.get("aux") is not None:
+                return self._emit_tail(pend, states, None)
             return states
         es, stats3_dev = pend["front"]
         is_str = pend["is_str"]
@@ -992,6 +1015,7 @@ class AlignEngine:
 
         fallback = set(int(r) % n_pad for r in np.nonzero(overflow > 0)[0])
         fallback |= set(int(r) % n_pad for r in np.nonzero(dropped > 0)[0])
+        pend["fallback"] = fallback
         t = time.perf_counter()
         for i in list(fallback):
             if i < n and i in active:
@@ -1277,6 +1301,16 @@ class AlignEngine:
 
         # ---- replay + result objects -----------------------------------
         t = time.perf_counter()
+        if self._emit_ctx is not None and pend.get("aux") is not None:
+            # native tail: PE-pair + BAM-encode inside the glue, straight
+            # from the ctx result vectors (no Python result objects);
+            # the copied arrays only materialize results for reads that
+            # share a pair with a host-path read
+            res = gb.replay()
+            blob = self._emit_tail(pend, states, gb, res)
+            gb.free()
+            self.prof["host_replay"] += time.perf_counter() - t
+            return blob
         res_read, rf, cig_op, cig_len, cig_off, cig_n = gb.replay()
         gb.free()
         OPS = "MID"
@@ -1295,6 +1329,102 @@ class AlignEngine:
             states[i].results.append(r)
         self.prof["host_replay"] += time.perf_counter() - t
         return states
+
+    # ------------------------------------------------------------------
+    def _emit_tail(self, pend, states, gb, res=None) -> bytes:
+        """Batch -> encoded BAM record blob. Pairs whose reads took the
+        host path (oversize/fallback: their results live in Python
+        states, not the glue ctx) are PE-paired and encoded here and
+        spliced in pair order by glue_pe_emit; everything else is paired
+        and encoded in C++."""
+        from ..io.bam import _encode_record
+        from .bam_out import emit_pair
+
+        ec = self._emit_ctx
+        names, quals, comments = pend["aux"]
+        seqs = pend["seqs"]
+        oris = pend["oris"]
+        n = pend["n"] // 2 * 2
+        n_pairs = n // 2
+        ori8 = np.zeros((max(n, 1), 8), np.int32)
+        for i in range(n):
+            o = oris[i]
+            row = ori8[i]
+            row[0] = o.chr_id
+            row[1] = o.ref_bg
+            row[2] = o.read_bg
+            row[3] = o.align_score
+            row[4] = o.mapq
+            row[5] = o.direction
+            row[6] = 1 if states[i].ori_unmapped else 0
+        def fill_from_ctx(i):
+            """Materialize read i's device results from the replay copy
+            (a host-path mate needs them for the Python pairing)."""
+            if res is None:
+                return
+            res_read, rf, cig_op, cig_len, cig_off, cig_n = res
+            lo = int(np.searchsorted(res_read, i))
+            hi = int(np.searchsorted(res_read, i + 1))
+            OPS = "MID"
+            for x in range(lo, hi):
+                o = int(cig_off[x])
+                states[i].results.append(AlnResult(
+                    align_score=int(rf[x, 2]), chain_score=int(rf[x, 1]),
+                    read_bg=int(rf[x, 3]), mapq=int(rf[x, 6]), chr_id=-1,
+                    ref_bg=int(rf[x, 4]), direction=int(rf[x, 0]),
+                    is_ori=False, sv_id=int(rf[x, 5]),
+                    rst_idx=int(rf[x, 7]),
+                    cigar=[(OPS[cig_op[o + j]], int(cig_len[o + j]))
+                           for j in range(int(cig_n[x]))]))
+
+        host_reads = set(pend.get("oversize", ()))
+        host_reads.update(pend.get("fallback", ()))
+        skip_parts: dict[int, bytes] = {}
+        for p in range(n_pairs):
+            k = 2 * p
+            if k in host_reads or k + 1 in host_reads:
+                ori8[k, 7] = ori8[k + 1, 7] = 1
+                for i in (k, k + 1):
+                    if i not in host_reads and not states[i].results:
+                        fill_from_ctx(i)
+                pr = self._emit_pe.pair(states[k], states[k + 1])
+                if not pr.gain_better:
+                    continue
+                recs = emit_pair(
+                    self.host, pr, states[k], states[k + 1], names[k],
+                    seqs[k], quals[k], seqs[k + 1], quals[k + 1],
+                    comments[k], comments[k + 1], ec.header)
+                part = b"".join(_encode_record(r) for r in recs)
+                if part:
+                    skip_parts[p] = part
+        if gb is None:
+            # no native ctx this batch (no device-active reads): pairs
+            # without host results have ori-only candidates and emit
+            # nothing, exactly like the C++ pass would
+            return b"".join(skip_parts.get(p, b"") for p in range(n_pairs))
+        skip_off = np.zeros(n_pairs + 1, np.int64)
+        if skip_parts:
+            parts = [skip_parts.get(p, b"") for p in range(n_pairs)]
+            np.cumsum([len(b) for b in parts], out=skip_off[1:])
+            skip_blob = np.frombuffer(b"".join(parts), np.uint8).copy()
+        else:
+            skip_blob = np.zeros(1, np.uint8)
+
+        def blob(strs):
+            off = np.zeros(len(strs) + 1, np.int64)
+            if strs:
+                np.cumsum([len(s) for s in strs], out=off[1:])
+            data = np.frombuffer(
+                "".join(strs).encode() or b"\0", np.uint8)
+            return data, off
+
+        name_blob, name_off = blob(names[:n])
+        seq_blob, seq_off = blob(seqs[:n])
+        qual_blob, qual_off = blob(quals[:n])
+        comment_blob, comment_off = blob(comments[:n])
+        return gb.pe_emit(n, ori8, name_blob, name_off, seq_blob, seq_off,
+                          qual_blob, qual_off, comment_blob, comment_off,
+                          ec, skip_blob, skip_off)
 
     # ------------------------------------------------------------------
     def _walk(self, ksw: _CollectDP, g: chain_ref.ChainGraph, max_index: int,

@@ -143,8 +143,26 @@ def get_lib():
             ]
         except AttributeError:
             pass  # older built library without the DP kernel
+        try:
+            lib.glue_pe_emit.restype = ctypes.c_int64
+            lib.glue_pe_emit.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, _i32,
+                _u8, _i64, _u8, _i64, _u8, _i64, _u8, _i64,
+                _i32, _i32, _i32, _u8, _i64, _u8, _i64,
+                _i32, _i32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                _u8, _i64,
+            ]
+            lib.glue_emit_fetch.argtypes = [ctypes.c_void_p, _u8]
+        except AttributeError:
+            pass  # older built library without the PE emitter
         _lib = lib
     return _lib
+
+
+def emit_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "glue_pe_emit")
 
 
 _EXTD2_OPS = "MID"
@@ -495,6 +513,37 @@ class GlueBatch:
                 _p(res_cig_n, _i32),
             )
         return res_read, res_fields, cig_op, cig_len, res_cig_off, res_cig_n
+
+    def replay_only(self):
+        """glue_replay without copying result arrays back — the emit
+        path consumes them in C++ (glue_pe_emit)."""
+        self.lib.glue_replay(self.ctx)
+
+    def pe_emit(self, n: int, ori8: np.ndarray, name_blob, name_off,
+                seq_blob, seq_off, qual_blob, qual_off,
+                comment_blob, comment_off, ec,
+                skip_blob, skip_off) -> bytes:
+        """PE pairing + BAM record encoding for the whole batch in C++;
+        returns the concatenated encoded record stream (byte-identical
+        to bam_out.emit_pair + io.bam._encode_record)."""
+        sz = self.lib.glue_pe_emit(
+            self.ctx, n, _p(ori8, _i32),
+            _p(name_blob, _u8), _p(name_off, _i64),
+            _p(seq_blob, _u8), _p(seq_off, _i64),
+            _p(qual_blob, _u8), _p(qual_off, _i64),
+            _p(comment_blob, _u8), _p(comment_off, _i64),
+            _p(ec.sv_tid, _i32), _p(ec.sv_end_off, _i32),
+            _p(ec.sv_key, _i32),
+            _p(ec.svtag_blob, _u8), _p(ec.svtag_off, _i64),
+            _p(ec.vcfid_blob, _u8), _p(ec.vcfid_off, _i64),
+            _p(ec.ori_tid, _i32), _p(ec.ori_key, _i32), len(ec.ori_tid),
+            ec.max_isize_adj, ec.min_isize_adj, ec.normal_read_len,
+            _p(skip_blob, _u8), _p(skip_off, _i64),
+        )
+        out = np.empty(int(sz), np.uint8)
+        if sz:
+            self.lib.glue_emit_fetch(self.ctx, _p(out, _u8))
+        return out.tobytes()
 
     def free(self):
         if self.ctx:

@@ -104,12 +104,35 @@ def _cmd_fc_aln(args):
     import contextlib
     import itertools
 
-    chunks_a, chunks_b = itertools.tee(chunk_stream())
+    # native emit: the whole PE-pair + record-encode tail runs in C++
+    # (glue_pe_emit) and the stream yields encoded blobs — unless the
+    # -p ori side-channel needs Python states, or the glue isn't built
+    use_native_emit = ori_writer is None and not os.environ.get(
+        "PANSVR_NO_NATIVE_EMIT")
+    if use_native_emit:
+        from ..align import native_glue
+        use_native_emit = native_glue.emit_available()
+    if use_native_emit:
+        from ..align.bam_out import EmitContext
 
-    def batch_stream():
-        for chunk in chunks_b:
-            yield ([p[1] for p in chunk],
-                   [parse_signal_comment(p[3])[0] for p in chunk])
+        eng.set_native_emit(EmitContext(
+            eng.host, header, stats.max_isize or 600,
+            stats.min_isize or 200, stats.read_len or 150))
+        chunks_a = iter(())
+
+        def batch_stream():
+            for chunk in chunk_stream():
+                yield ([p[1] for p in chunk],
+                       [parse_signal_comment(p[3])[0] for p in chunk],
+                       ([p[0] for p in chunk], [p[2] for p in chunk],
+                        [p[3] for p in chunk]))
+    else:
+        chunks_a, chunks_b = itertools.tee(chunk_stream())
+
+        def batch_stream():
+            for chunk in chunks_b:
+                yield ([p[1] for p in chunk],
+                       [parse_signal_comment(p[3])[0] for p in chunk])
 
     # --trace DIR: structured device profiling (xplane/perfetto) around
     # the whole realignment stream — the TPU analog of the reference's
@@ -136,11 +159,21 @@ def _run_aln_stream(chunks_a, eng, pe, writer, ori_writer, header, filt,
     the engine (the reference's kt_pipeline step2 analog,
     read_realignment.cpp:165-176): the Python emit work overlaps the
     engine's GIL-released device waits, and single-thread writes keep
-    BAM record order deterministic."""
+    BAM record order deterministic.
+
+    With native emit enabled on the engine, align_stream yields encoded
+    record blobs straight from C++ (byte-identical to this path,
+    tests/test_native_emit.py) and only the BGZF write remains here."""
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     from ..align.bam_out import emit_ori_pair, emit_pair
+
+    if getattr(eng, "_emit_ctx", None) is not None and ori_writer is None:
+        for blob in eng.align_stream(batch_stream()):
+            writer.write_blob(blob)
+        writer.close()
+        return
 
     def emit_chunk(chunk, states):
         for k in range(0, len(chunk) - 1, 2):

@@ -485,6 +485,12 @@ class BamWriter:
         """Write an already-encoded record body (no decode round trip)."""
         self._w.write(struct.pack("<I", len(body)) + body)
 
+    def write_blob(self, data: bytes) -> None:
+        """Write a pre-encoded record STREAM (length-prefixed records,
+        e.g. the native emit path's per-batch blob)."""
+        if data:
+            self._w.write(data)
+
     def close(self):
         self._w.close()
 
