@@ -375,7 +375,7 @@ class AssemblyManager:
             for ci, contig in enumerate(tmp):
                 new_support = contig.support_reads - used_reads
                 new_normal = sum(
-                    1 for rd in new_support if not self.read_is_pseudo[rd]
+                    1 for rd in new_support if not self._is_pseudo(rd)
                 )
                 if self.contigs and new_normal < o.min_support_reads:
                     to_remove.add(ci)
@@ -399,8 +399,17 @@ class AssemblyManager:
             tmp = self._tmp_contigs
             for rd in selected.support_reads:
                 used_reads.add(rd)
-                if self.read_is_pseudo[rd]:
+                if self._is_pseudo(rd):
                     used_pseudo.add(rd)
+
+    def _is_pseudo(self, rd: int) -> bool:
+        """Support indices can outlive the pseudo-read truncation of the
+        final failed word-length iteration (the reference indexes
+        readInfo out of range in exactly this state — selectContigs,
+        mantaAssembler.cpp:583-588 after the erase at :654-661, which is
+        UB in C++). Every such stale index referred to a pseudo read, so
+        count it as one."""
+        return rd >= len(self.read_is_pseudo) or self.read_is_pseudo[rd]
 
     # ------------------------------------------------------------------
     def assemble(self) -> list[AssembledContig]:

@@ -520,6 +520,17 @@ class DeNovoCaller:
             self.am.set_repeat_mode()
         for r in support[:300]:
             self.am.add_read(r.seq)
+        # UM leg: unmapped mates are placed at their anchor's coordinate
+        # and carry the only coverage of a long insertion's interior —
+        # without them the contig stops at clip-tail depth and the
+        # insertion length truncates (the reference feeds them to
+        # assembly the same way, SveHandler.hpp:906-1011). Orientation
+        # is unknowable without alignment, so both are offered; the
+        # word ladder only joins the one that shares words.
+        for r in reads:
+            if r.is_unmapped and lo <= r.pos <= hi:
+                self.am.add_read(r.seq)
+                self.am.add_read(_revcomp(r.seq))
         contigs = self.am.assemble()
         if not contigs:
             return None

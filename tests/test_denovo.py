@@ -134,6 +134,35 @@ def test_denovo_emits_bnd_for_translocations(tmp_path):
     assert "[chrB:" in r.alts[0] or "]chrB:" in r.alts[0]
 
 
+def test_denovo_nova3_recall(tmp_path):
+    """The nova3 benchmark world: 9 novel DEL/INS at 3% read error must
+    ALL be recovered with exact positions and near-exact lengths. Long
+    insertions (445/394/269 bp, deeper than any clip tail) require the
+    UM leg — unmapped mates carry the only interior coverage — so this
+    pins the full-length insertion assembly path."""
+    from pansvr_tpu.io.fasta import Faidx, write_fasta
+
+    ds = make_dataset(seed=303, n_sv=9, n_pairs=6000, types=("DEL", "INS"),
+                      chrom_lengths={"chr1": 400_000}, err_rate=0.03)
+    genome_fa = str(tmp_path / "genome.fa")
+    write_fasta(genome_fa, ds.genome.items(), width=60)
+    bam = str(tmp_path / "sim.bam")
+    write_sim_bam(ds, bam)
+    recs = DeNovoCaller(Faidx(genome_fa)).call_bam(bam)
+    misses = []
+    for sv in ds.svs:
+        if not any(
+            r.chrom == sv.chrom and abs(r.pos1 - sv.pos1) <= 60
+            and r.sv_type in (sv.sv_type, "DUP")
+            and abs(abs(r.sv_len or 0) - sv.length) <= max(30, sv.length * 0.15)
+            for r in recs
+        ):
+            misses.append((sv.sv_type, sv.pos1, sv.length))
+    assert not misses, (
+        f"recall {9 - len(misses)}/9, missed {misses}; calls: "
+        + str([(r.sv_type, r.pos1, r.sv_len) for r in recs]))
+
+
 def test_denovo_finds_inversions(tmp_path):
     """Planted inversions must surface as INV records via the typed
     INV_1/INV_2 signal lists + orientation-aware assembly."""
