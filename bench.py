@@ -198,11 +198,17 @@ def _run_fc_aln(work: str, out_bam: str, batch: int = 8192):
             chunks_a = iter(())
 
             def batch_stream():
+                from pansvr_tpu.align import native_glue as ng
+
                 for chunk in chunk_stream():
-                    yield ([p[1] for p in chunk],
-                           [parse_signal_comment(p[3])[0] for p in chunk],
+                    comments = [p[3] for p in chunk]
+                    oris = ng.parse_comments(comments)
+                    if oris is None:
+                        oris = [parse_signal_comment(c)[0]
+                                for c in comments]
+                    yield ([p[1] for p in chunk], oris,
                            ([p[0] for p in chunk], [p[2] for p in chunk],
-                            [p[3] for p in chunk]))
+                            comments))
         else:
             chunks_a, chunks_b = itertools.tee(chunk_stream())
 
@@ -228,6 +234,21 @@ def main():
     if not _wait_for_backend():
         print("[bench] giving up: TPU backend unreachable", file=sys.stderr)
         sys.exit(1)
+
+    # on-chip kernel self-check: compiled Pallas DP + traceback vs the
+    # scalar oracle on THIS backend, so every recorded BENCH number is
+    # backed by a fresh Mosaic parity pass (full gate: PANSVR_ONCHIP_
+    # TESTS=1 pytest tests/test_onchip.py)
+    try:
+        from pansvr_tpu.ops.onchip_check import run_onchip_parity
+
+        chk = run_onchip_parity(quick=True)
+        print(f"[bench] on-chip kernel parity OK: {chk}", file=sys.stderr,
+              flush=True)
+    except AssertionError as e:
+        print(f"[bench] ON-CHIP KERNEL PARITY FAILED: {e}", file=sys.stderr,
+              flush=True)
+        sys.exit(2)
 
     work = build_bench_world()
     n_reads = sum(1 for _ in open(f"{work}/signal.fq")) // 4

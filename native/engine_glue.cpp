@@ -2941,3 +2941,36 @@ extern "C" void glue_emit_fetch(void* vctx, uint8_t* dst) {
   Ctx* ctx = (Ctx*)vctx;
   std::memcpy(dst, ctx->emit_buf.data(), ctx->emit_buf.size());
 }
+
+// Parse signal-FASTQ comments into (n, 8) int32 ori rows:
+// [chr_id, ref_bg, read_bg, align_score, mapq, direction, unmapped, 0]
+// — the first five '_' fields plus the flags field (index 9) of the
+// comment grammar (parse_ori_mapping_rst, read_realignment.hpp:392-429;
+// pipeline.parse_signal_comment is the Python twin). Replaces ~8 us of
+// Python string splitting per read on the fc_aln hot path.
+extern "C" void glue_parse_comments(const uint8_t* blob, const int64_t* offs,
+                                    int32_t n, int32_t* out8) {
+  for (int32_t i = 0; i < n; i++) {
+    const char* s = (const char*)blob + offs[i];
+    const char* e = (const char*)blob + offs[i + 1];
+    int32_t* o = out8 + (int64_t)i * 8;
+    for (int k = 0; k < 8; k++) o[k] = 0;
+    int field = 0;
+    while (s < e && field <= 9) {
+      const char* f = s;
+      while (s < e && *s != '_') s++;
+      if (field <= 4) {
+        bool neg = f < s && *f == '-';
+        int64_t v = 0;
+        for (const char* c = f + (neg ? 1 : 0); c < s; c++)
+          if (*c >= '0' && *c <= '9') v = v * 10 + (*c - '0');
+        o[field] = (int32_t)(neg ? -v : v);
+      } else if (field == 9) {
+        o[5] = (f < s && f[0] == 'F') ? 0 : 1;
+        o[6] = (f + 1 < s && f[1] == 'Y') ? 1 : 0;
+      }
+      field++;
+      s++;
+    }
+  }
+}

@@ -757,8 +757,17 @@ class AlignEngine:
         fit_row = np.zeros(n, np.int32)
         fit_row[fit] = np.arange(int(fit.sum()))
 
+        # oris may arrive as the native comment parser's (n, 8) int32
+        # matrix (native_glue.parse_comments) instead of OriResult
+        # objects: the unmapped/refusal rules vectorize, and OriResult
+        # objects are materialized only where a host path needs them
+        ori_mat = oris if isinstance(oris, np.ndarray) else None
+        if ori_mat is not None:
+            unm_arr = (ori_mat[:, 6] == 1) | (ori_mat[:, 0] > 24)
+            ori_score_arr = ori_mat[:, 3]
+
         maybe_str: list[int] = []
-        for i, (seq, ori) in enumerate(zip(seqs, oris)):
+        for i, seq in enumerate(seqs):
             rl = int(all_lens[i])
             if fit[i]:
                 r = fit_row[i]
@@ -767,9 +776,17 @@ class AlignEngine:
             else:
                 cf = dna.fill_n(dna.encode(seq), seed=0)
                 cr = (cf[::-1] ^ 3).astype(np.uint8)
+            if ori_mat is not None:
+                ori = None
+                ori_unm = bool(unm_arr[i])
+                ori_score = int(ori_score_arr[i])
+            else:
+                ori = oris[i]
+                ori_unm = ori.unmapped or ori.chr_id > 24
+                ori_score = ori.align_score
             st = SingleEndState(
                 results=[], ori=ori,
-                ori_unmapped=ori.unmapped or ori.chr_id > 24,
+                ori_unmapped=ori_unm,
                 read_codes_fwd=cf, read_codes_rev=cr,
             )
             states.append(st)
@@ -779,7 +796,7 @@ class AlignEngine:
                 # HostAligner state is not thread-safe)
                 oversize.append(i)
                 continue
-            if not st.ori_unmapped and ori.align_score == rl * self.p.match:
+            if not st.ori_unmapped and ori_score == rl * self.p.match:
                 continue  # refuse full-score reads
             lens[i] = rl
             if rl - LEN_KMER + 1 > 0:
@@ -917,11 +934,10 @@ class AlignEngine:
         n = pend["n"]
         n_pad = pend["n_pad"]
         seqs = pend["seqs"]
-        oris = pend["oris"]
         # out-of-class reads deferred by _prep_batch (exact host path)
         t = time.perf_counter()
         for i in pend.get("oversize", ()):
-            states[i] = self.host.align_read(seqs[i], oris[i])
+            states[i] = self.host.align_read(seqs[i], self._ori_obj(pend, i))
         if pend.get("oversize"):
             self.prof["host_fallback"] += time.perf_counter() - t
         if pend["front"] is None:
@@ -1019,7 +1035,7 @@ class AlignEngine:
         t = time.perf_counter()
         for i in list(fallback):
             if i < n and i in active:
-                states[i] = self.host.align_read(seqs[i], oris[i])
+                states[i] = self.host.align_read(seqs[i], self._ori_obj(pend, i))
                 active.remove(i)
         self.prof["host_fallback"] += time.perf_counter() - t
         self.prof["n_fallback"] += len(fallback)
@@ -1331,6 +1347,20 @@ class AlignEngine:
         return states
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _ori_obj(pend, i) -> OriResult:
+        """OriResult for read i, materialized from the packed ori matrix
+        when the batch came through the native comment parser."""
+        oris = pend["oris"]
+        if isinstance(oris, np.ndarray):
+            r = oris[i]
+            return OriResult(
+                chr_id=int(r[0]), ref_bg=int(r[1]), read_bg=int(r[2]),
+                align_score=int(r[3]), mapq=int(r[4]),
+                direction=int(r[5]), unmapped=bool(r[6]))
+        return oris[i]
+
+    # ------------------------------------------------------------------
     def _emit_tail(self, pend, states, gb, res=None) -> bytes:
         """Batch -> encoded BAM record blob. Pairs whose reads took the
         host path (oversize/fallback: their results live in Python
@@ -1347,16 +1377,23 @@ class AlignEngine:
         n = pend["n"] // 2 * 2
         n_pairs = n // 2
         ori8 = np.zeros((max(n, 1), 8), np.int32)
-        for i in range(n):
-            o = oris[i]
-            row = ori8[i]
-            row[0] = o.chr_id
-            row[1] = o.ref_bg
-            row[2] = o.read_bg
-            row[3] = o.align_score
-            row[4] = o.mapq
-            row[5] = o.direction
-            row[6] = 1 if states[i].ori_unmapped else 0
+        if isinstance(oris, np.ndarray):
+            ori8[:n] = oris[:n]
+            # col 6 carries st.ori_unmapped (raw flag OR chr_id > 24)
+            ori8[:n, 6] = ((oris[:n, 6] == 1)
+                           | (oris[:n, 0] > 24)).astype(np.int32)
+            ori8[:n, 7] = 0
+        else:
+            for i in range(n):
+                o = oris[i]
+                row = ori8[i]
+                row[0] = o.chr_id
+                row[1] = o.ref_bg
+                row[2] = o.read_bg
+                row[3] = o.align_score
+                row[4] = o.mapq
+                row[5] = o.direction
+                row[6] = 1 if states[i].ori_unmapped else 0
         def fill_from_ctx(i):
             """Materialize read i's device results from the replay copy
             (a host-path mate needs them for the Python pairing)."""
@@ -1387,6 +1424,8 @@ class AlignEngine:
                 for i in (k, k + 1):
                     if i not in host_reads and not states[i].results:
                         fill_from_ctx(i)
+                    if states[i].ori is None:   # packed-ori batch
+                        states[i].ori = self._ori_obj(pend, i)
                 pr = self._emit_pe.pair(states[k], states[k + 1])
                 if not pr.gain_better:
                     continue

@@ -144,6 +144,12 @@ def get_lib():
         except AttributeError:
             pass  # older built library without the DP kernel
         try:
+            lib.glue_parse_comments.argtypes = [
+                _u8, _i64, ctypes.c_int32, _i32,
+            ]
+        except AttributeError:
+            pass  # older built library without the comment parser
+        try:
             lib.glue_pe_emit.restype = ctypes.c_int64
             lib.glue_pe_emit.argtypes = [
                 ctypes.c_void_p, ctypes.c_int32, _i32,
@@ -163,6 +169,26 @@ def get_lib():
 def emit_available() -> bool:
     lib = get_lib()
     return lib is not None and hasattr(lib, "glue_pe_emit")
+
+
+def parse_comments(comments: list[str]) -> np.ndarray | None:
+    """Signal comments -> (n, 8) int32 ori matrix
+    [chr_id, ref_bg, read_bg, align_score, mapq, direction, unmapped, 0]
+    (the native twin of pipeline.parse_signal_comment's OriResult).
+    None when the built library predates the parser."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "glue_parse_comments"):
+        return None
+    n = len(comments)
+    off = np.zeros(n + 1, np.int64)
+    if n:
+        np.cumsum([len(c) for c in comments], out=off[1:])
+    blob = np.frombuffer("".join(comments).encode() or b"\0", np.uint8)
+    out = np.zeros((max(n, 1), 8), np.int32)
+    if n:
+        lib.glue_parse_comments(_p(blob, _u8), _p(off, _i64), n,
+                                _p(out, _i32))
+    return out[:n]
 
 
 _EXTD2_OPS = "MID"

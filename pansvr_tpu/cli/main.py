@@ -122,10 +122,13 @@ def _cmd_fc_aln(args):
 
         def batch_stream():
             for chunk in chunk_stream():
-                yield ([p[1] for p in chunk],
-                       [parse_signal_comment(p[3])[0] for p in chunk],
+                comments = [p[3] for p in chunk]
+                oris = native_glue.parse_comments(comments)
+                if oris is None:
+                    oris = [parse_signal_comment(c)[0] for c in comments]
+                yield ([p[1] for p in chunk], oris,
                        ([p[0] for p in chunk], [p[2] for p in chunk],
-                        [p[3] for p in chunk]))
+                        comments))
     else:
         chunks_a, chunks_b = itertools.tee(chunk_stream())
 

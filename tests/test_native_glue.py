@@ -91,3 +91,33 @@ def test_native_extd2_matches_oracle():
                   "max_t", "zdropped", "cigar"):
             assert getattr(a, f) == getattr(b, f), \
                 f"iter {it} ql={ql} tl={tl} field {f}"
+
+
+def test_native_parse_comments_matches_python():
+    """glue_parse_comments vs pipeline.parse_signal_comment on real-shaped
+    and adversarial comment strings (grammar: read_realignment.hpp:392-429)."""
+    from pansvr_tpu.pipeline import parse_signal_comment
+
+    if native_glue.parse_comments(["0_1_2_3_4_x_x_x_x_FN"]) is None:
+        import pytest
+
+        pytest.skip("native glue without glue_parse_comments")
+    rng = np.random.default_rng(5)
+    comments = []
+    for _ in range(200):
+        f = [str(int(rng.integers(-5, 30))) for _ in range(5)]
+        mid = [str(int(rng.integers(0, 1000))) for _ in range(4)]
+        flags = ("F" if rng.random() < 0.5 else "R") + \
+                ("Y" if rng.random() < 0.5 else "N")
+        tail = ["STAT", "150", "100", "300", "500"] \
+            if rng.random() < 0.3 else []
+        comments.append("_".join(f + mid + [flags] + tail))
+    mat = native_glue.parse_comments(comments)
+    assert mat is not None and mat.shape == (len(comments), 8)
+    for i, c in enumerate(comments):
+        o, _ = parse_signal_comment(c)
+        row = mat[i]
+        assert (int(row[0]), int(row[1]), int(row[2]), int(row[3]),
+                int(row[4]), int(row[5]), bool(row[6])) == (
+            o.chr_id, o.ref_bg, o.read_bg, o.align_score, o.mapq,
+            o.direction, o.unmapped), f"comment {i}: {c}"
