@@ -505,6 +505,14 @@ class EngineConfig:
                                  # program dispatched at submit time
                                  # (host-only args), removing the
                                  # per-batch blocked chain dispatch RTT
+    stream_depth: int = 2        # in-flight batches in align_stream:
+                                 # 2 = two device fronts queued + the DP
+                                 # phase (fetch/replay/emit) deferred one
+                                 # iteration so every result copy overlaps
+                                 # the newer front's execution (the tunnel
+                                 # runs d2h copies concurrently with
+                                 # compute — tools/tunnel_probe.py);
+                                 # 1 = round-2 single-batch pipeline
     pipe_order: str = "late"     # align_stream next-front dispatch point:
                                  # "late" = after this batch's DP,
                                  # "early" = right after its chain program.
@@ -647,14 +655,79 @@ class AlignEngine:
             )
 
     def align_stream(self, batches):
-        """Pipelined batches: the next batch's device front is dispatched
-        right after this batch's DP programs (keeping the device FIFO busy
-        through this batch's host replay without stalling this batch's own
-        programs). `batches` yields (seqs, oris); yields state lists in
-        order."""
+        """Software-pipelined batches (cfg.stream_depth == 2, default):
+        TWO device fronts stay in flight and each batch's DP phase
+        (result fetch + replay + emit) is deferred one iteration, so
+
+          - the chain-buffer fetch of batch N overlaps batch N+1's
+            front execution (the tunnel runs d2h copies concurrently
+            with compute — tools/tunnel_probe.py), and
+          - by the time batch N's DP results are fetched, its DP
+            programs executed long ago and the async copies issued at
+            dispatch have already landed (~0 wait).
+
+        Steady-state wall per batch approaches pure device execution
+        (front+chain+DP); host prep of the next batch runs in a worker
+        thread (the kt_pipeline input-stage analog). stream_depth == 1
+        falls back to the round-2 single-batch pipeline. `batches`
+        yields (seqs, oris); yields state lists / emit blobs in order."""
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         it = iter(batches)
+        depth = getattr(self.cfg, "stream_depth", 2)
+
+        if depth <= 1:
+            yield from self._align_stream_d1(it)
+            return
+
+        def pull():
+            try:
+                return next(it)
+            except StopIteration:
+                return None
+
+        b = pull()
+        if b is None:
+            return
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            q_front: deque = deque()   # front dispatched, chain pending
+            q_dp: deque = deque()      # DP dispatched, results pending
+            q_front.append(self._submit_batch(*b))
+            b = pull()
+            if b is not None:
+                # second front in flight before any result is waited on
+                q_front.append(self._submit_batch(*b))
+            prep_fut = None
+            b = pull()
+            if b is not None:
+                prep_fut = pool.submit(self._prep_batch, *b)
+            while q_front or q_dp:
+                if q_front:
+                    pend = q_front.popleft()
+                    # fetch chain + collect + dispatch DP (the fetch
+                    # overlaps the next front's execution on device)
+                    self._finish_front(pend)
+                    q_dp.append(pend)
+                    if prep_fut is not None:
+                        t = time.perf_counter()
+                        q_front.append(
+                            self._dispatch_front(prep_fut.result()))
+                        self.prof["host_submit"] += time.perf_counter() - t
+                        prep_fut = None
+                        b = pull()
+                        if b is not None:
+                            prep_fut = pool.submit(self._prep_batch, *b)
+                # defer the DP phase one iteration while fronts remain:
+                # its result copies land while the newer front executes
+                if q_dp and (not q_front or len(q_dp) > 1):
+                    yield self._finish_dp(q_dp.popleft())
+
+    def _align_stream_d1(self, it):
+        """Round-2 single-batch pipeline (stream_depth=1): kept for A/B
+        and for workloads where two in-flight batches exceed HBM."""
+        from concurrent.futures import ThreadPoolExecutor
+
         try:
             pend = self._submit_batch(*next(it))
         except StopIteration:
@@ -670,9 +743,6 @@ class AlignEngine:
                     return
                 # host prep of the NEXT batch runs in a worker thread
                 # while this batch's finish waits on device transfers
-                # (the kt_pipeline input-stage analog); the device
-                # dispatch itself stays on this thread, at the same
-                # "late" point as before
                 prep_fut = pool.submit(self._prep_batch, *nxt)
 
                 def dispatch_next(fut=prep_fut):
@@ -927,7 +997,15 @@ class AlignEngine:
             prep.pop(k, None)
         return prep
 
-    def _finish_batch(self, pend, on_dp_dispatched=None) -> list[SingleEndState]:
+    def _finish_batch(self, pend, on_dp_dispatched=None):
+        """One-shot finish: front phase (chain fetch, collect, DP
+        dispatch) + DP phase (DP fetch, replay, emit). align_stream
+        with stream_depth >= 2 calls the two phases a batch apart so
+        the DP wait of batch N hides behind batch N+1's device front."""
+        self._finish_front(pend, on_dp_dispatched)
+        return self._finish_dp(pend)
+
+    def _finish_front(self, pend, on_dp_dispatched=None) -> None:
         cfg = self.cfg
         states = pend["states"]
         active = pend["active"]
@@ -943,9 +1021,8 @@ class AlignEngine:
         if pend["front"] is None:
             if on_dp_dispatched is not None:
                 on_dp_dispatched()
-            if self._emit_ctx is not None and pend.get("aux") is not None:
-                return self._emit_tail(pend, states, None)
-            return states
+            pend["dp"] = ("none",)
+            return
         es, stats3_dev = pend["front"]
         is_str = pend["is_str"]
         cs = pend.get("chain_spec")
@@ -1071,9 +1148,10 @@ class AlignEngine:
             on_dp_dispatched()
             on_dp_dispatched = None
         if self._glue_lib is not None:
-            return self._finish_native(
+            self._dispatch_native_dp(
                 pend, states, active, n_pad, s_fb, p16, pre, hits8,
                 hit_score, on_dp_dispatched)
+            return
         s_rb, s_re, s_dfe = p16
         s_fe = s_fb + s_dfe
         hit_idx, hit_final = hits8
@@ -1149,6 +1227,19 @@ class AlignEngine:
             # after this batch's DP — so the device FIFO never stalls this
             # batch's programs behind the next batch's
             on_dp_dispatched()
+        pend["dp"] = ("python", handlers, pending, dp_handles)
+
+    def _finish_dp(self, pend):
+        """DP phase: fetch this batch's DP results, replay, emit."""
+        kind = pend.pop("dp")
+        states = pend["states"]
+        if kind[0] == "none":
+            if self._emit_ctx is not None and pend.get("aux") is not None:
+                return self._emit_tail(pend, states, None)
+            return states
+        if kind[0] == "native":
+            return self._finish_native_dp(pend, *kind[1:])
+        _, handlers, pending, dp_handles = kind
         t = time.perf_counter()
         responses_per_read = self._sync_dp_batch(dp_handles)
         self.prof["sync_dp"] += time.perf_counter() - t
@@ -1190,12 +1281,12 @@ class AlignEngine:
         return states
 
     # ------------------------------------------------------------------
-    def _finish_native(self, pend, states, active, n_pad, s_fb, p16, pre,
-                       hits8, hit_score, on_dp_dispatched):
-        """Native-glue tail of _finish_batch: the C++ module runs the
-        collect walk, we run its DP requests through the device size
-        classes, then C++ replays and ranks; results come back as flat
-        arrays. Bit-identical to the Python path (tested)."""
+    def _dispatch_native_dp(self, pend, states, active, n_pad, s_fb, p16,
+                            pre, hits8, hit_score, on_dp_dispatched):
+        """Native-glue front phase: the C++ module runs the collect
+        walk, we dispatch its DP requests through the device size
+        classes (async copies issued); _finish_native_dp then syncs,
+        replays and ranks. Bit-identical to the Python path (tested)."""
         cfg = self.cfg
         seqs = pend["seqs"]
         read_class = pend.get("read_class", 160)
@@ -1218,6 +1309,7 @@ class AlignEngine:
             sv_st_pos=self._sv_st_pos, params=self.p,
         )
         self.prof["host_collect"] += time.perf_counter() - t
+        self.prof["n_dp_req"] += gb.n_req
 
         # ---- DP dispatch over size classes -----------------------------
         t = time.perf_counter()
@@ -1294,10 +1386,14 @@ class AlignEngine:
             for arr in payload[1:]:
                 if hasattr(arr, "copy_to_host_async"):
                     arr.copy_to_host_async()
+        self.prof["n_dp_chunks"] += len(chunks)
         self.prof["dp_dispatch"] += time.perf_counter() - t
         if on_dp_dispatched is not None:
             on_dp_dispatched()
+        pend["dp"] = ("native", gb, chunks, big, ql_all, tl_all)
 
+    def _finish_native_dp(self, pend, gb, chunks, big, ql_all, tl_all):
+        states = pend["states"]
         t = time.perf_counter()
         for k in big:
             qc, ql, tc, tl = gb.fill_dp(

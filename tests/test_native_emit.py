@@ -146,3 +146,64 @@ def test_native_emit_fallback_splice():
     native_blob = b"".join(eng2.align_stream(
         [(seqs, oris, (names, quals, comments))]))
     assert native_blob == py_blob
+
+
+def test_stream_depth_parity():
+    """align_stream stream_depth=2 (two fronts in flight + deferred DP
+    phase) is byte-identical to stream_depth=1 and to align_batch."""
+    from pansvr_tpu.align.bam_out import EmitContext
+    from pansvr_tpu.align.engine import AlignEngine, EngineConfig
+    from pansvr_tpu.io.bam import BamHeader
+    from pansvr_tpu.pipeline import parse_signal_comment
+
+    ds, idx, records = _world()
+    records = records[: len(records) // 2 * 2]
+    header = BamHeader(text="@HD\tVN:1.6\n",
+                       ref_names=list(ds.genome),
+                       ref_lens=[len(s) for s in ds.genome.values()])
+    oris = [parse_signal_comment(r[3])[0] for r in records]
+    names = [r[0] for r in records]
+    seqs = [r[1] for r in records]
+    quals = [r[2] for r in records]
+    comments = [r[3] for r in records]
+    B = 256  # several batches in flight
+
+    blobs = []
+    for depth in (1, 2):
+        cfg = EngineConfig()
+        cfg.stream_depth = depth
+        eng = AlignEngine(idx, config=cfg, ori_chrom_names=list(ds.genome))
+        eng.set_native_emit(EmitContext(
+            eng.host, header, max_isize=600, min_isize=200,
+            normal_read_len=150))
+
+        def batches():
+            for b0 in range(0, len(records), B):
+                yield (seqs[b0 : b0 + B], oris[b0 : b0 + B],
+                       (names[b0 : b0 + B], quals[b0 : b0 + B],
+                        comments[b0 : b0 + B]))
+
+        blobs.append(b"".join(eng.align_stream(batches())))
+    assert blobs[0] == blobs[1]
+    assert len(blobs[0]) > 10_000
+
+    # plain state-list streaming (no emit), depth 2 vs align_batch
+    cfg = EngineConfig()
+    eng_a = AlignEngine(idx, config=cfg, ori_chrom_names=list(ds.genome))
+    eng_b = AlignEngine(idx, config=cfg, ori_chrom_names=list(ds.genome))
+    got = []
+    for states in eng_a.align_stream(
+            (seqs[b0 : b0 + B], oris[b0 : b0 + B])
+            for b0 in range(0, len(records), B)):
+        got.extend(states)
+    want = []
+    for b0 in range(0, len(records), B):
+        want.extend(eng_b.align_batch(seqs[b0 : b0 + B],
+                                      oris[b0 : b0 + B]))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        ra = [(r.align_score, r.chain_score, r.ref_bg, r.read_bg,
+               r.direction, r.sv_id, r.cigar) for r in a.results]
+        rb = [(r.align_score, r.chain_score, r.ref_bg, r.read_bg,
+               r.direction, r.sv_id, r.cigar) for r in b.results]
+        assert ra == rb
