@@ -48,6 +48,7 @@ from ..ops.extd2_jax import (
 from ..ops import extd2_pallas as epl
 from ..ops.ksw2_ref import NEG_INF, Ez
 from ..ops.seeding import (
+    BUDGET_OVERFLOW,
     merge_expand_device,
     merge_expand_device2,
     merge_expand_device3,
@@ -79,11 +80,41 @@ from .host_align import (
 )
 
 
+# consecutive batches whose active rows fit half the next compaction
+# budget before the engine grows the divisor (each grow recompiles)
+_COMPACT_STABLE = 3
+
 # ---- fused device programs (one dispatch each; per-op dispatch latency
 # over a remote-chip link otherwise dominates the batch time) -------------
 
 def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
-                merge=1, nf_mult=10):
+                merge=1, nf_mult=10, compact=0):
+    if front in ("v5", "v5h") and compact:
+        # active-row compaction: ~90% of signal reads hit NO anchor
+        # k-mer on realignment workloads, so every post-probe stage
+        # (extension, merge, chain) runs at `compact` rows instead of
+        # B. stats3 is scattered back to full row space on device;
+        # the per-seed chain outputs stay compact (rid rides in the
+        # fused buffer, the host scatters). Over-budget active rows
+        # get BUDGET_OVERFLOW (host fallback + engine widens).
+        sb, rid, over_budget = seed_reads_flat(
+            didx, words, lens, mask, S0=S0, M=M, n_ext_steps=n_ext,
+            nf_mult=nf_mult, probe="hash" if front == "v5h" else "bisect",
+            compact_rows=compact)
+        me = {1: merge_expand_device, 2: merge_expand_device2,
+              3: merge_expand_device3}[merge]
+        es = me(sb, didx, S=S)
+        B_full = words.shape[0]
+        ov_full = jnp.where(over_budget, jnp.int32(BUDGET_OVERFLOW), 0)
+        ov_full = ov_full.at[rid].add(sb.n_overflow, mode="drop")
+        dr_full = (jnp.zeros((B_full,), jnp.int32)
+                   .at[rid].add(es.n_dropped.astype(jnp.int32),
+                                mode="drop"))
+        cnt_full = (jnp.zeros((B_full,), jnp.int32)
+                    .at[rid].add(es.valid.sum(axis=1).astype(jnp.int32),
+                                 mode="drop"))
+        stats3 = jnp.stack([ov_full, dr_full, cnt_full])
+        return es, stats3, rid
     if front in ("v5", "v5h"):
         # flat front: hits of the whole batch compacted onto one global
         # lane axis (~4x fewer extension lanes than (B, M) padding);
@@ -118,11 +149,12 @@ def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S0", "S", "M", "front", "n_ext", "merge", "nf_mult"))
+    static_argnames=("S0", "S", "M", "front", "n_ext", "merge", "nf_mult",
+                     "compact"))
 def _device_front(didx, words, lens, mask, S0, S, M=64, front="v2",
-                  n_ext=10, merge=1, nf_mult=10):
+                  n_ext=10, merge=1, nf_mult=10, compact=0):
     return _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
-                       merge, nf_mult)
+                       merge, nf_mult, compact)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -213,21 +245,29 @@ def _b8(a):
     return jax.lax.bitcast_convert_type(a, jnp.int8).reshape(-1)
 
 
-def _chain_fuse(stats3, es, is_str, K):
+def _chain_fuse(stats3, es, is_str, K, rid=None):
     """Chain outputs (plus the front's stats) as ONE flat int8 buffer:
     each result transfer over the remote link pays a round trip, so six
     fetches become one. The [:, :K] seed slicing happens INSIDE the jit
     (eager slices on remote arrays each dispatch a mini program over the
     link). Layout (B rows, K seeds):
-    [stats3 (3,B) i32][p32 (B,K) i32][p16 (3,B,K) i16][p8 (B,K) i8]
-    [hits8 (2,B,6) i8][hscore (B,6) i16]."""
+    [stats3 (3,B) i32][rid (R) i32 if compacted][p32 (R,K) i32]
+    [p16 (3,R,K) i16][p8 (R,K) i8][hits8 (2,R,6) i8][hscore (R,6) i16]
+    where R = compacted row count (= B uncompacted); stats3 is always
+    full row space. `is_str` is always full (B,); with rid it is
+    gathered to the compact rows inside."""
+    if rid is not None:
+        B_full = is_str.shape[0]
+        is_str = is_str[jnp.clip(rid, 0, B_full - 1)] & (rid < B_full)
     p32, p16, p8, hits8, hscore = _chain_body(
         es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
         es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
         es.valid[:, :K], is_str)
-    return jnp.concatenate([
-        _b8(stats3), _b8(p32), _b8(p16), _b8(p8), _b8(hits8), _b8(hscore)
-    ])
+    parts = [_b8(stats3)]
+    if rid is not None:
+        parts.append(_b8(rid))
+    parts += [_b8(p32), _b8(p16), _b8(p8), _b8(hits8), _b8(hscore)]
+    return jnp.concatenate(parts)
 
 
 _chain_body_fused = jax.jit(_chain_fuse, static_argnames=("K",))
@@ -236,24 +276,33 @@ _chain_body_fused = jax.jit(_chain_fuse, static_argnames=("K",))
 @functools.partial(
     jax.jit,
     static_argnames=("S0", "S", "M", "front", "n_ext", "merge", "nf_mult",
-                     "K"))
+                     "K", "compact"))
 def _device_front_chain(didx, words, lens, mask, is_str2, S0, S, M, front,
-                        n_ext, merge, nf_mult, K):
+                        n_ext, merge, nf_mult, K, compact=0):
     """Front + speculative-K chain in ONE program: dispatched at submit
     time with host-only args, so the batch pays no blocked chain
     dispatch (over the remote link a dispatch whose args are
     unmaterialized device arrays blocks until they materialize). Returns
-    the fused chain buffer plus the device-resident es/stats3 for the
-    rare K-miss re-chain (by then materialized, so the re-dispatch
+    the fused chain buffer plus the device-resident es/stats3/rid for
+    the rare K-miss re-chain (by then materialized, so the re-dispatch
     doesn't stall either)."""
-    es, stats3 = _front_body(didx, words, lens, mask, S0, S, M, front,
-                             n_ext, merge, nf_mult)
-    buf = _chain_fuse(stats3, es, is_str2, K)
-    return es, stats3, buf
+    if compact:
+        es, stats3, rid = _front_body(didx, words, lens, mask, S0, S, M,
+                                      front, n_ext, merge, nf_mult, compact)
+    else:
+        es, stats3 = _front_body(didx, words, lens, mask, S0, S, M, front,
+                                 n_ext, merge, nf_mult)
+        rid = None
+    buf = _chain_fuse(stats3, es, is_str2, K, rid)
+    return es, stats3, rid, buf
 
 
-def _chain_unpack(buf: np.ndarray, B: int, K: int):
-    """Host-side views into the fused chain buffer."""
+def _chain_unpack(buf: np.ndarray, B: int, K: int, R: int = 0):
+    """Host-side views into the fused chain buffer. R > 0: the per-seed
+    sections are compacted to R rows with a rid row map right after
+    stats3 — scatter them back to full (B, ...) arrays here (a few
+    thousand rows; sub-ms against the ~33 ms link round trip a bigger
+    buffer would cost)."""
     o = 0
 
     def take(n, dt, shape):
@@ -263,11 +312,33 @@ def _chain_unpack(buf: np.ndarray, B: int, K: int):
         return v
 
     stats3 = take(12 * B, np.int32, (3, B))
-    p32 = take(4 * B * K, np.int32, (B, K))
-    p16 = take(6 * B * K, np.int16, (3, B, K))
-    p8 = take(B * K, np.int8, (B, K))
-    hits8 = take(2 * B * 6, np.int8, (2, B, 6))
-    hscore = take(2 * B * 6, np.int16, (B, 6))
+    if not R:
+        p32 = take(4 * B * K, np.int32, (B, K))
+        p16 = take(6 * B * K, np.int16, (3, B, K))
+        p8 = take(B * K, np.int8, (B, K))
+        hits8 = take(2 * B * 6, np.int8, (2, B, 6))
+        hscore = take(2 * B * 6, np.int16, (B, 6))
+        return stats3, p32, p16, p8, hits8, hscore
+    rid = take(4 * R, np.int32, (R,))
+    p32c = take(4 * R * K, np.int32, (R, K))
+    p16c = take(6 * R * K, np.int16, (3, R, K))
+    p8c = take(R * K, np.int8, (R, K))
+    hits8c = take(2 * R * 6, np.int8, (2, R, 6))
+    hscorec = take(2 * R * 6, np.int16, (R, 6))
+    ok = rid < B
+    r = rid[ok]
+    p32 = np.zeros((B, K), np.int32)
+    p32[r] = p32c[ok]
+    p16 = np.zeros((3, B, K), np.int16)
+    p16[:, r] = p16c[:, ok]
+    p8 = np.full((B, K), -1, np.int8)
+    p8[r] = p8c[ok]
+    hits8 = np.full((2, B, 6), -1, np.int8)  # hit_idx -1 = no hits
+    hits8[1] = 0
+    hits8[0, r] = hits8c[0, ok]
+    hits8[1, r] = hits8c[1, ok]
+    hscore = np.zeros((B, 6), np.int16)
+    hscore[r] = hscorec[ok]
     return stats3, p32, p16, p8, hits8, hscore
 
 
@@ -505,6 +576,15 @@ class EngineConfig:
                                  # program dispatched at submit time
                                  # (host-only args), removing the
                                  # per-batch blocked chain dispatch RTT
+    compact_div: int = 4         # active-row compaction: post-probe front
+                                 # stages + chain run at (2*n_pad)/div rows
+                                 # holding only the rows with k-mer hits
+                                 # (~10% on anchor-realignment workloads —
+                                 # most signal reads match no anchor).
+                                 # Active rows over the budget fall back
+                                 # to host and the engine halves the
+                                 # divisor (recompile). 1 = off. Only the
+                                 # fused single-device path compacts.
     stream_depth: int = 2        # in-flight batches in align_stream:
                                  # 2 = two device fronts queued + the DP
                                  # phase (fetch/replay/emit) deferred one
@@ -584,6 +664,14 @@ class AlignEngine:
         # the warmup batch compiles the shape the stream will reuse
         self._k_spec = 8
         self._k_shrink_run = 0
+        # active-row compaction divisor (front rows / compact rows):
+        # starts UNCOMPACTED and adapts to the measured active-row
+        # fraction — grows only after _COMPACT_STABLE consecutive
+        # batches whose active rows fit half the would-be budget,
+        # shrinks immediately on budget overflow. cfg.compact_div is
+        # the ceiling (1 disables).
+        self._compact_div = 1
+        self._compact_grow_run = 0
         self._packed_ref = np.ascontiguousarray(self.host.ksw.packed_ref)
         # true (unpadded) reference length for the device DP fill's
         # beyond-end zero clamp; dynamic arg so quantized-shape worlds
@@ -970,12 +1058,16 @@ class AlignEngine:
             is_str2 = np.concatenate([is_str, is_str])
             if cfg.fuse_chain:
                 K = self._k_spec
-                es, stats3_dev, buf_dev = _device_front_chain(
+                comp = 0
+                if self._compact_div > 1 and cfg.front in ("v5", "v5h"):
+                    comp = max(256, words.shape[0] // self._compact_div)
+                es, stats3_dev, rid_dev, buf_dev = _device_front_chain(
                     self.didx, words_dev, lens2, mask2, is_str2, S0=S0,
                     S=cfg.max_seeds, M=M, front=cfg.front, n_ext=n_ext,
                     merge=cfg.merge, nf_mult=cfg.nf_mult, K=K,
+                    compact=comp,
                 )
-                chain_spec = ("fused", buf_dev, K)
+                chain_spec = ("fused", buf_dev, K, comp, rid_dev)
             else:
                 es, stats3_dev = _device_front(
                     self.didx, words_dev, lens2, mask2, S0=S0,
@@ -1026,6 +1118,8 @@ class AlignEngine:
         es, stats3_dev = pend["front"]
         is_str = pend["is_str"]
         cs = pend.get("chain_spec")
+        comp = 0
+        rid_dev = None
         if cs is not None:
             # single-device path: chain speculated at the previous
             # batch's K; its results (+ the front stats) arrive in ONE
@@ -1035,7 +1129,7 @@ class AlignEngine:
             # until the front materializes over the remote link)
             t = time.perf_counter()
             if isinstance(cs, tuple):
-                _, buf_dev, K = cs
+                _, buf_dev, K, comp, rid_dev = cs
                 try:
                     # start the host copy before blocking (issued here,
                     # AFTER the previous batch's DP results were fetched,
@@ -1051,7 +1145,7 @@ class AlignEngine:
             self.prof["sync_chain"] += time.perf_counter() - t
             B2 = 2 * n_pad
             stats3, s_fb, p16, pre, hits8, hit_score = _chain_unpack(
-                buf, B2, K)
+                buf, B2, K, comp)
             overflow, dropped, seed_count = stats3
             kmax = int(seed_count.max()) if len(seed_count) else 0
             # adapt the speculative width with hysteresis: grow at once
@@ -1077,11 +1171,11 @@ class AlignEngine:
                 K = cfg.max_seeds
                 t = time.perf_counter()
                 buf_dev = _chain_body_fused(
-                    stats3_dev, es, pend["is_str2"], K=K)
+                    stats3_dev, es, pend["is_str2"], K=K, rid=rid_dev)
                 buf = np.asarray(buf_dev)
                 self.prof["sync_chain"] += time.perf_counter() - t
                 _, s_fb, p16, pre, hits8, hit_score = _chain_unpack(
-                    buf, B2, K)
+                    buf, B2, K, comp)
         else:
             t = time.perf_counter()
             stats3 = np.asarray(stats3_dev)
@@ -1117,14 +1211,44 @@ class AlignEngine:
         self.prof["host_fallback"] += time.perf_counter() - t
         self.prof["n_fallback"] += len(fallback)
         self.prof["n_reads"] += n
-        self._tier_window.append((len(fallback), n))
+        # ---- adapt the active-row compaction divisor -------------------
+        # (budget-overflow fallbacks are correct-but-slow and say nothing
+        # about the M/S/K shape caps, so they stay out of the retier
+        # window and the degradation warning)
+        nb = int(((stats3[0] & BUDGET_OVERFLOW) != 0).sum()) if comp else 0
+        nb_reads = len({int(r) % n_pad for r in
+                        np.nonzero(stats3[0] & BUDGET_OVERFLOW)[0]}) \
+            if nb else 0
+        self.prof["n_budget_fallback"] += nb_reads
+        div_max = getattr(cfg, "compact_div", 4)
+        if div_max > 1 and cs is not None and cfg.fuse_chain:
+            B2f = stats3.shape[1]
+            act = int(((stats3[2] > 0) | (stats3[0] > 0)).sum())
+            want = self._compact_div
+            if nb > 0:
+                want = max(1, self._compact_div // 2)
+            else:
+                grow = self._compact_div * 2
+                if (grow <= div_max
+                        and act * grow * 2 <= B2f
+                        and B2f // grow >= 256):
+                    self._compact_grow_run += 1
+                    if self._compact_grow_run >= _COMPACT_STABLE:
+                        want = grow
+                else:
+                    self._compact_grow_run = 0
+            if want != self._compact_div:
+                self._compact_div = want
+                self._compact_grow_run = 0
+        self._tier_window.append((max(len(fallback) - nb_reads, 0), n))
         self._maybe_retier()
         # telemetry threshold: a high fallback rate means the static
         # shape caps (M/S/K) are undersized for this workload — the
         # device path silently degrades to host speed, so say so once
         nr = self.prof["n_reads"]
+        n_hard_fb = self.prof["n_fallback"] - self.prof["n_budget_fallback"]
         if (not self._fallback_warned and nr >= 4096
-                and self.prof["n_fallback"] > 0.05 * nr):
+                and n_hard_fb > 0.05 * nr):
             self._fallback_warned = True
             import sys as _sys
 

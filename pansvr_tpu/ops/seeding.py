@@ -426,12 +426,14 @@ def seed_reads(
 # n_overflow (flagged rows take the exact host path, same as v1's M
 # overflow rule).
 
-FLAT_OVERFLOW = 1 << 20   # n_overflow marker for rows cut by the NF cap
+FLAT_OVERFLOW = 1 << 20    # n_overflow marker for rows cut by the NF cap
+BUDGET_OVERFLOW = 1 << 21  # marker for active rows beyond compact_rows
 
 
 @functools.partial(
     jax.jit, static_argnames=("S0", "n_ext_steps", "M", "nf_mult", "probe",
-                              "lane_map", "read_win", "ent", "ext", "wb"))
+                              "lane_map", "read_win", "ent", "ext", "wb",
+                              "stop_after", "compact_rows"))
 def seed_reads_flat(
     didx: DeviceIndex,
     read_words: jnp.ndarray,   # (B, Wr) int32 packed
@@ -456,6 +458,23 @@ def seed_reads_flat(
                                # SLOWER on-chip 2026-08-19: the stack
                                # breaks XLA's fusion of the where-masks
                                # into the gathers; 137 vs 106 ms/front)
+    stop_after: str = "",      # profiling: "probe" / "lanes" returns the
+                               # partial result early (tools/profile_front2)
+    compact_rows: int = 0,     # R > 0: after the probe, compact the rows
+                               # with any k-mer hit onto R slots and run
+                               # every later stage (lane layout, MEM
+                               # extension, attributes, writeback — and
+                               # the caller's merge/chain) at R rows
+                               # instead of B. On anchor-realignment
+                               # workloads most signal reads hit NO
+                               # anchor k-mer (measured ~90% empty rows
+                               # on the bench world), so the padded-row
+                               # work is nearly all waste. Active rows
+                               # beyond R are flagged BUDGET_OVERFLOW
+                               # (host fallback; the engine halves its
+                               # compact divisor when that fires).
+                               # Returns (SeedBatch[R rows], rid[R],
+                               # over_budget[B]) instead of a SeedBatch.
 ) -> SeedBatch:
     B, Wr = read_words.shape
     NF = nf_mult * B
@@ -543,6 +562,34 @@ def seed_reads_flat(
         count = jnp.where(exists, didx.ent_run[left_c], 0)
         found = seed_ok & exists & (count > 0) & (count <= UNI_POS_N_MAX)
 
+    if stop_after == "probe":
+        return found, count, left
+
+    # --- active-row compaction (see compact_rows docstring) -----------------
+    rid = None
+    over_budget = None
+    if compact_rows:
+        R = compact_rows
+        eff0 = jnp.where(found, count, 0)
+        act = jnp.sum(eff0, axis=1) > 0                  # (B,)
+        rank = jnp.cumsum(act.astype(jnp.int32)) - 1     # (B,) inclusive-1
+        n_act = rank[-1] + 1
+        slot = jnp.where(act & (rank < R), rank, R)
+        # rid[slot] = source row; unwritten slots stay B (out-of-range
+        # sentinel, dropped by the caller's scatter-back)
+        rid = (jnp.full((R + 1,), B, jnp.int32)
+               .at[slot].set(jnp.arange(B, dtype=jnp.int32))[:R])
+        slot_ok = jnp.arange(R, dtype=jnp.int32) < n_act  # (R,)
+        over_budget = act & (rank >= R)                   # (B,)
+        ridc = jnp.clip(rid, 0, B - 1)
+        found = jnp.where(slot_ok[:, None], found[ridc], False)
+        count = count[ridc]
+        left = left[ridc]
+        rw_u = rw_u[ridc]
+        read_lens = read_lens[ridc]
+        B = R
+        NF = nf_mult * B
+
     # --- per-row hit layout (same packing order as seed_reads) -------------
     eff = jnp.where(found, count, 0)                    # (B, S0)
     cum = jnp.cumsum(eff, axis=1)                       # inclusive
@@ -626,6 +673,9 @@ def seed_reads_flat(
     rl_f = read_lens[row_c]
     max_left = jnp.minimum(off_l, o2)
     max_right = jnp.minimum(off_r, rl_f - o2 - sk)
+
+    if stop_after == "lanes":
+        return entry, off, uid, max_left, max_right
 
     # --- MEM extension on flat lanes (v1 stepped semantics) -----------------
     uni_u = bc(didx.uni_words)
@@ -798,11 +848,12 @@ def seed_reads_flat(
         def pick(c):
             return jnp.where(valid_bm, rows_bm[:, :, c], 0)
 
-        return SeedBatch(
+        sb = SeedBatch(
             uid=pick(0), read_pos=pick(1), uni_pos_off=pick(2),
             length=pick(3), pos_n=pick(4), valid=valid_bm,
             n_overflow=n_overflow.astype(jnp.int32),
         )
+        return (sb, rid, over_budget) if compact_rows else sb
 
     src_lane = jnp.clip(row_start[:, None] + m_cols, 0, NF - 1)  # (B, M)
     if wb == "rowgather":
@@ -819,20 +870,22 @@ def seed_reads_flat(
         def pick(c):
             return jnp.where(valid_bm, rows_bm[:, :, c], 0)
 
-        return SeedBatch(
+        sb = SeedBatch(
             uid=pick(0), read_pos=pick(1), uni_pos_off=pick(2),
             length=pick(3), pos_n=pick(4), valid=valid_bm,
             n_overflow=n_overflow.astype(jnp.int32),
         )
+        return (sb, rid, over_budget) if compact_rows else sb
     valid_bm = in_row_bm & valid_f[src_lane]
 
     def back(vals):
         return jnp.where(valid_bm, vals[src_lane], 0)
-    return SeedBatch(
+    sb = SeedBatch(
         uid=back(uid), read_pos=back(read_pos), uni_pos_off=back(uni_pos_off),
         length=back(length), pos_n=back(pos_n), valid=valid_bm,
         n_overflow=n_overflow.astype(jnp.int32),
     )
+    return (sb, rid, over_budget) if compact_rows else sb
 
 
 # -------------------------------------------------------------------------

@@ -213,3 +213,47 @@ def test_retier_widens_shapes_on_repeat_rich_reads():
         b2 = [(r.align_score, r.ref_bg, tuple(map(tuple, r.cigar or [])))
               for r in st_h.results]
         assert a == b2, f"read {i} differs post-retier"
+
+
+def test_compact_front_parity():
+    """Active-row compaction (compact_div=4) produces identical results
+    to the uncompacted front, including when the budget is exceeded and
+    rows fall back to the exact host path (compact_div then halves)."""
+    import numpy as np
+
+    from pansvr_tpu.align.engine import AlignEngine, EngineConfig
+    from pansvr_tpu.align.host_align import OriResult
+
+    ds = make_dataset(
+        seed=41, n_sv=5, n_pairs=2200, types=("DEL", "INS"),
+        chrom_lengths={"chr1": 150_000}, err_rate=0.02,
+    )
+    contigs = list(build_anchor_contigs(
+        ds.vcf_records, DictGenome(ds.genome), AnchorConfig()))
+    idx = build_index([(c.name, c.seq) for c in contigs],
+                      first_level_bases=11)
+    seqs = [s for r in ds.reads for s in (r.seq1, r.seq2)]
+    oris = [OriResult(unmapped=True)] * len(seqs)
+
+    cfg_on = EngineConfig()
+    cfg_on.compact_div = 8
+    cfg_off = EngineConfig()
+    cfg_off.compact_div = 1
+    eng_on = AlignEngine(idx, config=cfg_on, ori_chrom_names=list(ds.genome))
+    eng_off = AlignEngine(idx, config=cfg_off,
+                          ori_chrom_names=list(ds.genome))
+    B = 512
+    for b0 in range(0, len(seqs), B):
+        sa = eng_on.align_batch(seqs[b0 : b0 + B], oris[b0 : b0 + B])
+        sb = eng_off.align_batch(seqs[b0 : b0 + B], oris[b0 : b0 + B])
+        for a, b in zip(sa, sb):
+            ra = [(r.align_score, r.chain_score, r.ref_bg, r.read_bg,
+                   r.direction, r.sv_id, r.mapq, r.cigar)
+                  for r in a.results]
+            rb = [(r.align_score, r.chain_score, r.ref_bg, r.read_bg,
+                   r.direction, r.sv_id, r.mapq, r.cigar)
+                  for r in b.results]
+            assert ra == rb
+    # the divisor must have grown (i.e., compaction actually ran)
+    assert eng_on._compact_div > 1, "compaction never engaged"
+    assert eng_off._compact_div == 1
