@@ -42,6 +42,7 @@
 #include <set>
 #include <string>
 #include <thread>
+#include <cmath>
 #include <unordered_map>
 #include <vector>
 
@@ -2974,3 +2975,250 @@ extern "C" void glue_parse_comments(const uint8_t* blob, const int64_t* offs,
     }
   }
 }
+
+// ---------------------------------------------------------------------
+// Native insert-size statistics scan (stage fc_signal pass 1).
+//
+// C++ port of the repo's OWN Manta-derived StatsManager.handle_bam hot
+// loop (pansvr_tpu/signal/stats_manager.py:131-312; reference spec:
+// StatsManager.cpp:143-222, StatsTracker.cpp) — the per-record Python
+// loop is ~85% of fc_signal wall. Semantics are replicated exactly:
+// region sampling from each chromosome's 20% point, 1000-observation
+// buffers rejected when >=1% abnormal (skip ahead chrom/100),
+// getSimplifiedFragSize 4-digit rounding, 1000-bin CDF quantiles with
+// round-half-even (np.rint == nearbyint under FE_TONEAREST), and the
+// 100k-observation convergence test (quantile equality at
+// p=0.05,0.15,..,0.95). The caller exports the full tracker state and
+// finishes (finalize + quantile queries) in Python, so the status
+// output stays byte-identical to the Python path (tested).
+
+namespace statsN {
+
+constexpr int64_t kStatsCheckCnt = 100000;
+constexpr int32_t kBufferFull = 1000;
+constexpr int32_t kAbnormalSize = 5000;
+constexpr double kAbnormalFrac = 0.01;
+constexpr int32_t kQuantileNum = 1000;
+
+static int32_t simplified_frag(int64_t frag) {
+  int steps = 0;
+  while (frag > 1000) {
+    frag /= 10;
+    steps++;
+  }
+  for (int i = 0; i < steps; i++) frag *= 10;
+  return (int32_t)frag;
+}
+
+struct Dist {
+  std::map<int32_t, int64_t> counts;
+  int64_t total = 0;
+
+  void calc(int32_t q[kQuantileNum]) const {
+    int fill = 0;
+    int64_t cum = 0;
+    for (int i = 0; i < kQuantileNum; i++) q[i] = 0;
+    for (const auto& kv : counts) {
+      cum += kv.second;
+      double cprob = (double)cum / (double)total;
+      int fill_next = (int)std::nearbyint(cprob * kQuantileNum);
+      if (fill_next > fill) {
+        for (int i = fill; i < fill_next && i < kQuantileNum; i++)
+          q[i] = kv.first;
+        fill = fill_next > kQuantileNum ? kQuantileNum : fill_next;
+      }
+    }
+    for (int i = fill; i < kQuantileNum; i++)
+      q[i] = fill ? q[fill - 1] : 0;
+  }
+
+  static int32_t quantile_at(const int32_t q[kQuantileNum], double prob) {
+    int b = (int)std::ceil(prob * kQuantileNum) - 1;
+    if (b < 0) b = 0;
+    if (b > kQuantileNum - 1) b = kQuantileNum - 1;
+    return q[b];
+  }
+};
+
+struct StatsCtx {
+  std::vector<int64_t> ref_lens;
+  std::vector<int64_t> start_at;    // 20% sampling start per tid
+  std::vector<int64_t> skip_until;  // BREAK skip-ahead per tid
+  Dist frag;
+  // counters (ReadCounter)
+  int64_t c_total = 0, c_paired = 0, c_unpaired = 0, c_lowq = 0, c_hc = 0;
+  // buffer
+  std::vector<int32_t> buf_sizes;
+  int64_t buf_rp = 0, buf_abn = 0;
+  bool checked = false, converged = false, has_old = false;
+  int32_t old_q[kQuantileNum];
+  // depth
+  int64_t total_base = 0;
+  std::vector<int64_t> span_lo, span_hi;  // -1 = unset
+  std::vector<uint8_t> span_set;
+
+  explicit StatsCtx(const int64_t* lens, int32_t n)
+      : ref_lens(lens, lens + n),
+        start_at(n),
+        skip_until(n, 0),
+        span_lo(n, 0),
+        span_hi(n, 0),
+        span_set(n, 0) {
+    for (int32_t i = 0; i < n; i++)
+      start_at[i] = (int64_t)((double)lens[i] * 0.2);
+  }
+
+  void add_buffered() {
+    for (int32_t s : buf_sizes) {
+      frag.counts[s]++;
+      frag.total++;
+      c_hc++;
+    }
+    if (frag.total >= kStatsCheckCnt) checked = true;
+  }
+
+  void clear_buffer() {
+    buf_sizes.clear();
+    buf_rp = 0;
+    buf_abn = 0;
+  }
+
+  void convergence_test() {
+    if (has_old) {
+      int32_t q[kQuantileNum];
+      frag.calc(q);
+      bool match = true;
+      for (double p = 0.05; p < 1; p += 0.1) {
+        int32_t a = Dist::quantile_at(q, p);
+        int32_t b = Dist::quantile_at(old_q, p);
+        if ((a > b ? a - b : b - a) >= 1) {
+          match = false;
+          break;
+        }
+      }
+      if (match) {
+        converged = true;
+        return;
+      }
+    }
+    frag.calc(old_q);
+    has_old = true;
+    checked = false;  // wait for the next 100k before re-test
+  }
+};
+
+}  // namespace statsN
+
+extern "C" void* glue_stats_create(const int64_t* ref_lens, int32_t n_refs) {
+  return new statsN::StatsCtx(ref_lens, n_refs);
+}
+
+// Walks raw decompressed BAM records ([u32 size][body]...) and feeds
+// the tracker. Returns bytes consumed (a trailing partial record is
+// left for the caller's carry); sets *converged_out when estimation
+// finished early (the caller stops feeding chunks).
+extern "C" int64_t glue_stats_scan(void* v, const uint8_t* data, int64_t len,
+                                   int32_t* converged_out) {
+  auto* c = (statsN::StatsCtx*)v;
+  const int32_t n_refs = (int32_t)c->ref_lens.size();
+  int64_t p = 0;
+  while (p + 4 <= len) {
+    uint32_t sz;
+    std::memcpy(&sz, data + p, 4);
+    if (p + 4 + (int64_t)sz > len) break;
+    const uint8_t* b = data + p + 4;
+    p += 4 + sz;
+    if (c->converged) continue;  // keep consuming for the carry logic
+    int32_t tid, pos, l_seq, mtid, mpos, tlen;
+    std::memcpy(&tid, b, 4);
+    std::memcpy(&pos, b + 4, 4);
+    if (tid < 0 || tid >= n_refs) continue;
+    if (pos < c->start_at[tid]) continue;
+    if (pos < c->skip_until[tid]) continue;
+    int32_t flag = (int32_t)b[14] | ((int32_t)b[15] << 8);
+    if (flag & 0x900) continue;
+    std::memcpy(&l_seq, b + 16, 4);
+    std::memcpy(&mtid, b + 20, 4);
+    std::memcpy(&mpos, b + 24, 4);
+    std::memcpy(&tlen, b + 28, 4);
+    c->total_base += l_seq;
+    if (!c->span_set[tid]) {
+      c->span_set[tid] = 1;
+      c->span_lo[tid] = pos;
+    }
+    if (pos > c->span_hi[tid]) c->span_hi[tid] = pos;
+    // handle_basic
+    c->c_total++;
+    if (flag & 0x1) {
+      c->c_paired++;
+      if (b[9] == 0) c->c_lowq++;
+    } else {
+      c->c_unpaired++;
+    }
+    // handle_check
+    bool is_rp = false;
+    if ((flag & 0x1) && !(flag & 0x4) && !(flag & 0x8) && tid == mtid) {
+      bool rev = (flag & 0x10) != 0;
+      if (rev != ((flag & 0x20) != 0))
+        is_rp = rev ? (mpos <= pos) : (pos <= mpos);
+    }
+    if (is_rp) {
+      int32_t fs = statsN::simplified_frag(tlen < 0 ? -(int64_t)tlen : tlen);
+      c->buf_rp++;
+      if (fs >= statsN::kAbnormalSize) c->buf_abn++;
+      c->buf_sizes.push_back(fs);
+    }
+    if (c->buf_rp >= statsN::kBufferFull) {
+      bool normal = ((double)c->buf_abn / (double)c->buf_rp)
+                    < statsN::kAbnormalFrac;
+      if (normal) c->add_buffered();
+      c->clear_buffer();
+      if (!normal) {  // BREAK: skip ahead chrom/100
+        int64_t step = c->ref_lens[tid] / 100;
+        c->skip_until[tid] = pos + (step > 1 ? step : 1);
+        continue;
+      }
+    }
+    if (!c->checked) continue;
+    c->convergence_test();
+  }
+  *converged_out = c->converged ? 1 : 0;
+  return p;
+}
+
+extern "C" void glue_stats_sizes(void* v, int64_t* out) {
+  auto* c = (statsN::StatsCtx*)v;
+  out[0] = (int64_t)c->frag.counts.size();
+  out[1] = (int64_t)c->buf_sizes.size();
+}
+
+extern "C" void glue_stats_export(void* v, int32_t* hist_sizes,
+                                  int64_t* hist_counts, int32_t* buf_sizes,
+                                  int64_t* scalars) {
+  auto* c = (statsN::StatsCtx*)v;
+  int64_t i = 0;
+  for (const auto& kv : c->frag.counts) {
+    hist_sizes[i] = kv.first;
+    hist_counts[i] = kv.second;
+    i++;
+  }
+  for (size_t k = 0; k < c->buf_sizes.size(); k++)
+    buf_sizes[k] = c->buf_sizes[k];
+  int64_t span = 0;
+  for (size_t t = 0; t < c->span_lo.size(); t++)
+    if (c->span_set[t]) span += c->span_hi[t] - c->span_lo[t];
+  scalars[0] = c->frag.total;
+  scalars[1] = c->c_total;
+  scalars[2] = c->c_paired;
+  scalars[3] = c->c_unpaired;
+  scalars[4] = c->c_lowq;
+  scalars[5] = c->c_hc;
+  scalars[6] = c->buf_rp;
+  scalars[7] = c->buf_abn;
+  scalars[8] = c->checked ? 1 : 0;
+  scalars[9] = c->converged ? 1 : 0;
+  scalars[10] = c->total_base;
+  scalars[11] = span;
+}
+
+extern "C" void glue_stats_free(void* v) { delete (statsN::StatsCtx*)v; }

@@ -25,7 +25,7 @@ comes from steps 2, 4, 7 running as single batched device programs.
 from __future__ import annotations
 
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from dataclasses import dataclass
 
 import numpy as np
@@ -672,6 +672,15 @@ class AlignEngine:
         # the ceiling (1 disables).
         self._compact_div = 1
         self._compact_grow_run = 0
+        # recent active-row counts: once full, the dispatch caps the
+        # compaction budget at peak*1.5 (512-quantized) instead of the
+        # coarse power-of-two divisor — on ~10%-active realignment
+        # workloads the divisor alone leaves the post-probe stages 2-3x
+        # wider than the rows they actually carry
+        self._act_window = deque(maxlen=8)
+        self._comp_cap = 0       # applied fine cap (0 = none)
+        self._comp_want = 0      # candidate cap awaiting stability
+        self._comp_want_run = 0
         self._packed_ref = np.ascontiguousarray(self.host.ksw.packed_ref)
         # true (unpadded) reference length for the device DP fill's
         # beyond-end zero clamp; dynamic arg so quantized-shape worlds
@@ -782,14 +791,17 @@ class AlignEngine:
             q_front: deque = deque()   # front dispatched, chain pending
             q_dp: deque = deque()      # DP dispatched, results pending
             q_front.append(self._submit_batch(*b))
-            b = pull()
-            if b is not None:
-                # second front in flight before any result is waited on
+            for _ in range(depth - 1):
+                b = pull()
+                if b is None:
+                    break
+                # further fronts in flight before any result is waited on
                 q_front.append(self._submit_batch(*b))
             prep_fut = None
-            b = pull()
             if b is not None:
-                prep_fut = pool.submit(self._prep_batch, *b)
+                b = pull()
+                if b is not None:
+                    prep_fut = pool.submit(self._prep_batch, *b)
             while q_front or q_dp:
                 if q_front:
                     pend = q_front.popleft()
@@ -1061,6 +1073,28 @@ class AlignEngine:
                 comp = 0
                 if self._compact_div > 1 and cfg.front in ("v5", "v5h"):
                     comp = max(256, words.shape[0] // self._compact_div)
+                    aw = self._act_window
+                    if len(aw) == aw.maxlen:
+                        # fine cap: recent peak active rows + 50%
+                        # headroom, 512-quantized; the coarse divisor
+                        # alone leaves the post-probe stages far wider
+                        # than the active rows. Hysteresis: a new cap
+                        # value must repeat _COMPACT_STABLE times
+                        # before it applies — each change recompiles
+                        # the fused front, and a cap flapping across a
+                        # quantization boundary costs more in
+                        # recompiles than it saves in rows
+                        tight = -(-(max(aw) * 3 // 2 + 64) // 512) * 512
+                        if tight == self._comp_want:
+                            self._comp_want_run += 1
+                        else:
+                            self._comp_want = tight
+                            self._comp_want_run = 1
+                        if (self._comp_want_run >= _COMPACT_STABLE
+                                and self._comp_cap != tight):
+                            self._comp_cap = tight
+                    if self._comp_cap:
+                        comp = max(256, min(comp, self._comp_cap))
                 es, stats3_dev, rid_dev, buf_dev = _device_front_chain(
                     self.didx, words_dev, lens2, mask2, is_str2, S0=S0,
                     S=cfg.max_seeds, M=M, front=cfg.front, n_ext=n_ext,
@@ -1224,9 +1258,14 @@ class AlignEngine:
         if div_max > 1 and cs is not None and cfg.fuse_chain:
             B2f = stats3.shape[1]
             act = int(((stats3[2] > 0) | (stats3[0] > 0)).sum())
+            self._act_window.append(act)
             want = self._compact_div
             if nb > 0:
                 want = max(1, self._compact_div // 2)
+                self._act_window.clear()  # loosen the fine cap too
+                self._comp_cap = 0
+                self._comp_want = 0
+                self._comp_want_run = 0
             else:
                 grow = self._compact_div * 2
                 if (grow <= div_max

@@ -162,8 +162,27 @@ def get_lib():
             lib.glue_emit_fetch.argtypes = [ctypes.c_void_p, _u8]
         except AttributeError:
             pass  # older built library without the PE emitter
+        try:
+            lib.glue_stats_create.restype = ctypes.c_void_p
+            lib.glue_stats_create.argtypes = [_i64, ctypes.c_int32]
+            lib.glue_stats_scan.restype = ctypes.c_int64
+            lib.glue_stats_scan.argtypes = [
+                ctypes.c_void_p, _u8, ctypes.c_int64, _i32,
+            ]
+            lib.glue_stats_sizes.argtypes = [ctypes.c_void_p, _i64]
+            lib.glue_stats_export.argtypes = [
+                ctypes.c_void_p, _i32, _i64, _i32, _i64,
+            ]
+            lib.glue_stats_free.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            pass  # older built library without the stats scanner
         _lib = lib
     return _lib
+
+
+def stats_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "glue_stats_create")
 
 
 def emit_available() -> bool:

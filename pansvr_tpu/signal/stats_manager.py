@@ -25,6 +25,7 @@ StatsManager.hpp:24-411, StatsTracker.cpp, StatsManager.cpp:143-222}:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -243,7 +244,13 @@ class StatsManager:
         self.tracker = StatsTracker()
         self.ave_depth = 0.0
 
-    def handle_bam(self, bam_path: str, ref=None):
+    def handle_bam(self, bam_path: str, ref=None, _chunks=None,
+                   _ref_lens=None):
+        """`_chunks` + `_ref_lens`: pre-decompressed record chunks from a
+        caller that already paid the BGZF pass (extract_signal shares one
+        decompression across its stats and render passes)."""
+        if _chunks is not None and self.handle_chunks(_chunks, _ref_lens):
+            return self
         from ..io.alignment import open_alignment
 
         # our BAM layer is streaming, not region-seekable mid-estimation,
@@ -251,60 +258,136 @@ class StatsManager:
         # before each chromosome's 20% start point are skipped, and a
         # BREAK skips records until the next slice start
         with open_alignment(bam_path, ref=ref) as rd:
-            lens = list(rd.header.ref_lens)
-            start_at = [int(l * 0.2) for l in lens]
-            skip_until: dict[int, int] = {}
-            total_base = 0
-            span_lo: dict[int, int] = {}
-            span_hi: dict[int, int] = {}
-            if hasattr(rd, "iter_bodies"):
-                # fixed-header-only scan over raw record bodies
-                import struct as _struct
+            if (not os.environ.get("PANSVR_NO_NATIVE_STATS")
+                    and hasattr(rd, "iter_chunks")
+                    and self.handle_chunks(rd.iter_chunks(),
+                                           list(rd.header.ref_lens))):
+                return self
+            return self._handle_python(rd)
 
-                _tp = _struct.Struct("<ii").unpack_from
-                _mid = _struct.Struct("<Hiiii").unpack_from
-                n_lens = len(lens)
-                tr = self.tracker
-                for body in rd.iter_bodies():
-                    if tr._converged:
-                        break
-                    tid, pos = _tp(body, 0)
-                    if tid < 0 or tid >= n_lens:
-                        continue
-                    if pos < start_at[tid]:
-                        continue
-                    if pos < skip_until.get(tid, 0):
-                        continue
-                    flag, l_seq, mtid, mpos, tlen = _mid(body, 14)
-                    if flag & 0x900:  # secondary | supplementary
-                        continue
-                    total_base += l_seq
-                    span_lo.setdefault(tid, pos)
-                    span_hi[tid] = max(span_hi.get(tid, 0), pos)
-                    tr.handle_basic_f(flag, body[9])
-                    r = tr.handle_check_f(flag, tid, mtid, pos, mpos, tlen)
-                    if r == "BREAK":
-                        skip_until[tid] = pos + max(1, lens[tid] // 100)
-            else:
-                for rec in rd:
-                    if self.tracker.converged:
-                        break
-                    if rec.tid < 0 or rec.tid >= len(lens):
-                        continue
-                    if rec.pos < start_at[rec.tid]:
-                        continue
-                    if rec.pos < skip_until.get(rec.tid, 0):
-                        continue
-                    if rec.is_secondary or rec.is_supplementary:
-                        continue
-                    total_base += rec.query_len
-                    span_lo.setdefault(rec.tid, rec.pos)
-                    span_hi[rec.tid] = max(span_hi.get(rec.tid, 0), rec.pos)
-                    self.tracker.handle_basic(rec)
-                    r = self.tracker.handle_check(rec)
-                    if r == "BREAK":
-                        skip_until[rec.tid] = rec.pos + max(
-                            1, lens[rec.tid] // 100)
+    def handle_chunks(self, chunk_iter, ref_lens) -> bool:
+        """C++ per-record loop (glue_stats_scan): the same tracker
+        semantics, fed raw decompressed chunks; the exported state is
+        finalized by the Python SizeDistribution so every downstream
+        query (status text, quantiles, breakpoint distributions) is
+        identical to the Python path (tested). False when the native
+        library is unavailable."""
+        from ..align import native_glue
+
+        lib = native_glue.get_lib()
+        if (lib is None or not hasattr(lib, "glue_stats_create")
+                or os.environ.get("PANSVR_NO_NATIVE_STATS")):
+            return False
+        import ctypes
+
+        lens = np.asarray(list(ref_lens), np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        ctx = lib.glue_stats_create(
+            lens.ctypes.data_as(i64p), len(lens))
+        try:
+            conv = ctypes.c_int32(0)
+            carry = b""
+            for chunk in chunk_iter:
+                data = carry + chunk if carry else chunk
+                used = lib.glue_stats_scan(
+                    ctx, ctypes.cast(data, u8p), len(data),
+                    ctypes.byref(conv))
+                carry = data[used:]
+                if conv.value:
+                    break
+            sizes = np.zeros(2, np.int64)
+            lib.glue_stats_sizes(ctx, sizes.ctypes.data_as(i64p))
+            n_hist, n_buf = int(sizes[0]), int(sizes[1])
+            hist_sizes = np.zeros(max(n_hist, 1), np.int32)
+            hist_counts = np.zeros(max(n_hist, 1), np.int64)
+            buf_sizes = np.zeros(max(n_buf, 1), np.int32)
+            scal = np.zeros(12, np.int64)
+            lib.glue_stats_export(
+                ctx, hist_sizes.ctypes.data_as(i32p),
+                hist_counts.ctypes.data_as(i64p),
+                buf_sizes.ctypes.data_as(i32p),
+                scal.ctypes.data_as(i64p))
+        finally:
+            lib.glue_stats_free(ctx)
+
+        tr = self.tracker
+        tr.frag.counts = {
+            int(s): int(c)
+            for s, c in zip(hist_sizes[:n_hist], hist_counts[:n_hist])
+        }
+        tr.frag.total = int(scal[0])
+        tr.counter.total = int(scal[1])
+        tr.counter.paired = int(scal[2])
+        tr.counter.unpaired = int(scal[3])
+        tr.counter.paired_low_mapq = int(scal[4])
+        tr.counter.high_confidence_pairs = int(scal[5])
+        tr._buf_sizes = [int(s) for s in buf_sizes[:n_buf]]
+        tr._buf_rp = int(scal[6])
+        tr._buf_abnormal = int(scal[7])
+        tr._checked = bool(scal[8])
+        tr._converged = bool(scal[9])
+        tr.finalize()
+        span = int(scal[11])
+        self.ave_depth = int(scal[10]) / span if span > 0 else 0.0
+        return True
+
+    def _handle_python(self, rd):
+        lens = list(rd.header.ref_lens)
+        start_at = [int(l * 0.2) for l in lens]
+        skip_until: dict[int, int] = {}
+        total_base = 0
+        span_lo: dict[int, int] = {}
+        span_hi: dict[int, int] = {}
+        if hasattr(rd, "iter_bodies"):
+            # fixed-header-only scan over raw record bodies
+            import struct as _struct
+
+            _tp = _struct.Struct("<ii").unpack_from
+            _mid = _struct.Struct("<Hiiii").unpack_from
+            n_lens = len(lens)
+            tr = self.tracker
+            for body in rd.iter_bodies():
+                if tr._converged:
+                    break
+                tid, pos = _tp(body, 0)
+                if tid < 0 or tid >= n_lens:
+                    continue
+                if pos < start_at[tid]:
+                    continue
+                if pos < skip_until.get(tid, 0):
+                    continue
+                flag, l_seq, mtid, mpos, tlen = _mid(body, 14)
+                if flag & 0x900:  # secondary | supplementary
+                    continue
+                total_base += l_seq
+                span_lo.setdefault(tid, pos)
+                span_hi[tid] = max(span_hi.get(tid, 0), pos)
+                tr.handle_basic_f(flag, body[9])
+                r = tr.handle_check_f(flag, tid, mtid, pos, mpos, tlen)
+                if r == "BREAK":
+                    skip_until[tid] = pos + max(1, lens[tid] // 100)
+        else:
+            for rec in rd:
+                if self.tracker.converged:
+                    break
+                if rec.tid < 0 or rec.tid >= len(lens):
+                    continue
+                if rec.pos < start_at[rec.tid]:
+                    continue
+                if rec.pos < skip_until.get(rec.tid, 0):
+                    continue
+                if rec.is_secondary or rec.is_supplementary:
+                    continue
+                total_base += rec.query_len
+                span_lo.setdefault(rec.tid, rec.pos)
+                span_hi[rec.tid] = max(span_hi.get(rec.tid, 0), rec.pos)
+                self.tracker.handle_basic(rec)
+                r = self.tracker.handle_check(rec)
+                if r == "BREAK":
+                    skip_until[rec.tid] = rec.pos + max(
+                        1, lens[rec.tid] // 100)
         self.tracker.finalize()
         span = sum(span_hi.get(t, 0) - span_lo.get(t, 0)
                    for t in span_lo)

@@ -216,9 +216,13 @@ def test_retier_widens_shapes_on_repeat_rich_reads():
 
 
 def test_compact_front_parity():
-    """Active-row compaction (compact_div=4) produces identical results
-    to the uncompacted front, including when the budget is exceeded and
-    rows fall back to the exact host path (compact_div then halves)."""
+    """Active-row compaction produces identical results to the
+    uncompacted front across its adaptation (divisor growth + the
+    act-window fine cap). Reads are drawn UNIFORMLY over the genome
+    (sv_region_reads=False) so most rows hit no anchor k-mer — the
+    regime compaction exists for (fc_aln signal reads away from any
+    anchor window); SV-region-focused reads keep >25% of rows active
+    and the divisor correctly never grows."""
     import numpy as np
 
     from pansvr_tpu.align.engine import AlignEngine, EngineConfig
@@ -226,7 +230,8 @@ def test_compact_front_parity():
 
     ds = make_dataset(
         seed=41, n_sv=5, n_pairs=2200, types=("DEL", "INS"),
-        chrom_lengths={"chr1": 150_000}, err_rate=0.02,
+        chrom_lengths={"chr1": 300_000}, err_rate=0.02,
+        sv_region_reads=False,
     )
     contigs = list(build_anchor_contigs(
         ds.vcf_records, DictGenome(ds.genome), AnchorConfig()))
