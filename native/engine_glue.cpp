@@ -3128,6 +3128,9 @@ extern "C" int64_t glue_stats_scan(void* v, const uint8_t* data, int64_t len,
     if (p + 4 + (int64_t)sz > len) break;
     const uint8_t* b = data + p + 4;
     p += 4 + sz;
+    if (sz < 32) break;  // corrupt/truncated record: the fixed 32-byte
+                         // header below would read out of bounds (the
+                         // Python path raises struct.error here)
     if (c->converged) continue;  // keep consuming for the carry logic
     int32_t tid, pos, l_seq, mtid, mpos, tlen;
     std::memcpy(&tid, b, 4);

@@ -270,14 +270,21 @@ class StatsManager:
         semantics, fed raw decompressed chunks; the exported state is
         finalized by the Python SizeDistribution so every downstream
         query (status text, quantiles, breakpoint distributions) is
-        identical to the Python path (tested). False when the native
-        library is unavailable."""
+        identical to the Python path (tests/test_signal.py::
+        test_native_stats_parity). False when the native library is
+        unavailable.
+
+        NOTE: the imported tracker is FINALIZE-ONLY — the native scan
+        does not export the mid-convergence `_old` quantile snapshot, so
+        a tracker returned by this path cannot be resumed with more
+        records (finalize() is called below; further handle_* calls
+        would restart the convergence cycle from scratch)."""
         from ..align import native_glue
 
-        lib = native_glue.get_lib()
-        if (lib is None or not hasattr(lib, "glue_stats_create")
+        if (not native_glue.stats_available()
                 or os.environ.get("PANSVR_NO_NATIVE_STATS")):
             return False
+        lib = native_glue.get_lib()
         import ctypes
 
         lens = np.asarray(list(ref_lens), np.int64)

@@ -164,3 +164,79 @@ def test_stats_manager_region_sampling(tmp_path):
     dr, sh, um, st_um = sm.breakpoint_distributions(150)
     assert abs(dr.sum() - 1.0) < 0.01 or len(dr) == 50
     assert len(sh) == 10
+
+
+def test_native_stats_parity(tmp_path):
+    """The native stats scan (glue_stats_scan) must export EXACTLY the
+    tracker state the Python path computes — including through the 100k
+    convergence test and the abnormal-buffer BREAK/skip path (ADVICE r3:
+    nothing previously asserted native-vs-Python equality)."""
+    import struct
+
+    from pansvr_tpu.align import native_glue
+    from pansvr_tpu.io.bam import BamHeader, BamWriter
+    from pansvr_tpu.signal.stats_manager import StatsManager
+
+    if not native_glue.stats_available():
+        import pytest
+
+        pytest.skip("native glue not built")
+
+    clen = 1_000_000
+    header = BamHeader(text="@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000000\n",
+                       ref_names=["chr1"], ref_lens=[clen])
+    bam = str(tmp_path / "stats.bam")
+
+    # synthetic position-sorted records: proper FR pairs with a stable
+    # isize distribution (converges shortly after the 100k check count),
+    # one solid buffer of abnormal isizes early (trips BREAK + the
+    # chrom/100 skip), plus unpaired / secondary / mapq-0 records so
+    # every counter field is exercised.
+    rng = np.random.RandomState(7)
+    n = 120_000
+    isizes = (400 + 30 * rng.randn(n)).astype(np.int64).clip(50, 4000)
+    isizes[5_000:6_200] = 9_999           # > ABNORMAL_SIZE => BREAK
+    pos0 = int(clen * 0.2)
+    head = struct.Struct("<iiBBHHHiiii")
+    with BamWriter(bam, header) as w:
+        for k in range(n):
+            pos = pos0 + 3 * k
+            kind = k % 37
+            if kind == 5:
+                flag, mapq = 0x0, 30          # unpaired
+            elif kind == 11:
+                flag, mapq = 0x121, 0         # paired, rev, mapq 0
+            elif kind == 17:
+                flag, mapq = 0x901, 30        # secondary (skipped)
+            else:
+                flag, mapq = 0x61, 30         # paired, FR fwd, mate rev
+            isz = int(isizes[k])
+            body = head.pack(0, pos, 2, mapq, 0, 0, flag, 2, 0,
+                             pos + isz - 2, isz)
+            body += b"r\0" + b"\x11" + b"\x20\x20"   # name, seq, qual
+            w.write_raw(body)
+
+    import os as _os
+
+    native = StatsManager().handle_bam(bam)
+    _os.environ["PANSVR_NO_NATIVE_STATS"] = "1"
+    try:
+        python = StatsManager().handle_bam(bam)
+    finally:
+        del _os.environ["PANSVR_NO_NATIVE_STATS"]
+
+    tn, tp = native.tracker, python.tracker
+    assert tp._converged, "test world must reach the convergence path"
+    assert tn._converged == tp._converged
+    assert tn._checked == tp._checked
+    assert tn.frag.total == tp.frag.total
+    assert tn.frag.counts == tp.frag.counts
+    for f in ("total", "paired", "unpaired", "paired_low_mapq",
+              "high_confidence_pairs"):
+        assert getattr(tn.counter, f) == getattr(tp.counter, f), f
+    assert tn._buf_sizes == tp._buf_sizes
+    assert tn._buf_rp == tp._buf_rp
+    assert tn._buf_abnormal == tp._buf_abnormal
+    assert native.ave_depth == python.ave_depth
+    for p in (0.01, 0.5, 0.99):
+        assert native.get_insert_len(p) == python.get_insert_len(p)

@@ -26,7 +26,10 @@ REF_BIN = "/tmp/refbuild/Release/panSVR"
 def main():
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    work = f"/tmp/pansvr_signal_world_{n_pairs}"
+    # cache key covers every generator parameter (a bare n_pairs key kept
+    # benchmarking stale worlds after make_dataset recipe edits)
+    params = "seed7_sv50_DEL-INS_chr1-2M_v1"
+    work = f"/tmp/pansvr_signal_world_{n_pairs}_{params}"
     pos_bam = f"{work}/pos.bam"
     name_bam = f"{work}/name.bam"
     if not os.path.exists(f"{work}/.done"):
