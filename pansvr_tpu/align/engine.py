@@ -84,12 +84,22 @@ from .host_align import (
 # budget before the engine grows the divisor (each grow recompiles)
 _COMPACT_STABLE = 3
 
+# flat-front probe flavor per front name
+_FRONT_PROBE = {"v5h": "hash", "v6": "sortjoin"}
+
+# front="auto": sort-merge-join probe (v6) while the entry table is
+# sort-sized — the per-batch join sort is O(n_kmer + B*S0) and one
+# 3-operand 606k sort measures ~1 ms on v5e, so up to 4M entries the
+# join stays cheaper than the bisect's dependent gathers; bigger
+# indexes fall back to the bisect front (v5)
+SORTJOIN_MAX_KMER = 1 << 22
+
 # ---- fused device programs (one dispatch each; per-op dispatch latency
 # over a remote-chip link otherwise dominates the batch time) -------------
 
 def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
                 merge=1, nf_mult=10, compact=0):
-    if front in ("v5", "v5h") and compact:
+    if front in ("v5", "v5h", "v6") and compact:
         # active-row compaction: ~90% of signal reads hit NO anchor
         # k-mer on realignment workloads, so every post-probe stage
         # (extension, merge, chain) runs at `compact` rows instead of
@@ -99,7 +109,7 @@ def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
         # get BUDGET_OVERFLOW (host fallback + engine widens).
         sb, rid, over_budget = seed_reads_flat(
             didx, words, lens, mask, S0=S0, M=M, n_ext_steps=n_ext,
-            nf_mult=nf_mult, probe="hash" if front == "v5h" else "bisect",
+            nf_mult=nf_mult, probe=_FRONT_PROBE.get(front, "bisect"),
             compact_rows=compact)
         me = {1: merge_expand_device, 2: merge_expand_device2,
               3: merge_expand_device3}[merge]
@@ -115,14 +125,15 @@ def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
                                  mode="drop"))
         stats3 = jnp.stack([ov_full, dr_full, cnt_full])
         return es, stats3, rid
-    if front in ("v5", "v5h"):
+    if front in ("v5", "v5h", "v6"):
         # flat front: hits of the whole batch compacted onto one global
         # lane axis (~4x fewer extension lanes than (B, M) padding);
         # bit-identical SeedBatch, NF-cap rows flagged for host fallback.
-        # v5h probes the open-addressing hash instead of the bisect.
+        # v5h probes the open-addressing hash instead of the bisect;
+        # v6 joins the query keys against the entry table in one sort.
         sb = seed_reads_flat(didx, words, lens, mask, S0=S0, M=M,
                              n_ext_steps=n_ext, nf_mult=nf_mult,
-                             probe="hash" if front == "v5h" else "bisect")
+                             probe=_FRONT_PROBE.get(front, "bisect"))
     elif front in ("v2", "v4"):
         # v2 = open-addressing hash probe + slab extension;
         # v4 = hash probe + single-gather entry attributes + the v1
@@ -548,11 +559,13 @@ class EngineConfig:
     dp_t: int = 256
     dp_backend: str = "auto"     # "pallas" | "scan" | "auto" (pallas on TPU)
     dp_interpret: bool = False   # Pallas interpret mode (CPU testing)
-    front: str = "v5"            # seeding front: "v5" flat globally-
-                                 # compacted lanes (on-chip A/B at M=32:
-                                 # 0.34 s/call vs v1 bisect 0.59, v2
-                                 # hash+slab 0.80); "v1"/"v2"/"v3"/"v4"
-                                 # kept for A/B and CPU deployments
+    front: str = "auto"          # seeding front: "auto" = "v6" (flat
+                                 # lanes + sort-merge-join probe) when
+                                 # the entry table is sort-sized, else
+                                 # "v5" (flat + bisect probe; on-chip
+                                 # A/B at M=32: 0.34 s/call vs v1 bisect
+                                 # 0.59, v2 hash+slab 0.80); v1-v4 kept
+                                 # for A/B and CPU deployments
     native_glue: bool = True     # use native/engine_glue.cpp for the
                                  # collect/replay walks when built
     nf_mult: int = 10            # flat-front global lane budget (avg
@@ -640,6 +653,9 @@ class AlignEngine:
         self.idx = idx
         self.p = params or AlignParams()
         self.cfg = config or EngineConfig()
+        if self.cfg.front == "auto":
+            self.cfg.front = "v6" if idx.n_kmers <= SORTJOIN_MAX_KMER \
+                else "v5"
         # jax.sharding.Mesh with a 'data' axis: the front/chain/DP device
         # programs run shard_mapped (reads data-parallel, index replicated
         # per chip); None = single-device jit
@@ -1071,7 +1087,7 @@ class AlignEngine:
             if cfg.fuse_chain:
                 K = self._k_spec
                 comp = 0
-                if self._compact_div > 1 and cfg.front in ("v5", "v5h"):
+                if self._compact_div > 1 and cfg.front in ("v5", "v5h", "v6"):
                     comp = max(256, words.shape[0] // self._compact_div)
                     aw = self._act_window
                     if len(aw) == aw.maxlen:

@@ -38,6 +38,7 @@ _ARRAY_FIELDS = (
     "uni_words", "ref_words",
     "ht_check", "ht_payload", "ent_uid", "ent_off_l", "ent_off_r",
     "ent_pos_n", "uni_words_pad", "ent_run", "ent_pack", "ht_pack",
+    "ent_bucket", "ent_res",
 )
 _STATIC_FIELDS = (
     "k", "search_k", "first_level_bases", "uni_len", "ref_len",
@@ -97,6 +98,15 @@ class DeviceIndex:
     # one 8-byte row gather per probe step instead of a check gather plus
     # a payload gather
     ht_pack: jnp.ndarray
+    # per-entry (first-level bucket, search-k residue) sort keys for the
+    # sort-merge-join probe (seed_reads_flat probe="sortjoin"): the
+    # whole entry table rides in ONE lax.sort against the batch's query
+    # keys instead of per-lane dependent-gather bisects (measured
+    # 2026-08-20: a 3-operand 606k sort is ~1 ms on-chip vs ~3.4 ms PER
+    # dependent gather step at 475k lanes). Padded slots hold INT32_MAX
+    # so they sort after every real key.
+    ent_bucket: jnp.ndarray
+    ent_res: jnp.ndarray
     uni_words_pad: jnp.ndarray  # uni_words with PAD_WORDS zero words both ends
     ht_bits: int
     ht_probe: int            # static linear-probe bound
@@ -220,8 +230,12 @@ def to_device(idx: RdBGIndex) -> DeviceIndex:
         starts = np.nonzero(new_run)[0]
         run_len = np.diff(np.append(starts, n_k))
         ent_run = run_len[run_id].astype(np.int32)
+        ent_bucket = bucket_of.astype(np.int32)
+        ent_res = keys.astype(np.int32)
     else:
         ent_run = np.zeros(0, np.int32)
+        ent_bucket = np.zeros(0, np.int32)
+        ent_res = np.zeros(0, np.int32)
     off_r_c = np.minimum(ent_off_r, 2047).astype(np.int32)
     pos_n_c = np.minimum(ent_pos_n, (1 << 21) - 1).astype(np.int32)
     ent_pack = np.stack([
@@ -252,6 +266,8 @@ def to_device(idx: RdBGIndex) -> DeviceIndex:
         ent_off_r=jnp.asarray(_pad_pow2(ent_off_r.astype(np.int32), 0)),
         ent_pos_n=jnp.asarray(_pad_pow2(ent_pos_n.astype(np.int32), 0)),
         ent_run=jnp.asarray(_pad_pow2(ent_run, 0)),
+        ent_bucket=jnp.asarray(_pad_pow2(ent_bucket, i32max)),
+        ent_res=jnp.asarray(_pad_pow2(ent_res, i32max)),
         ent_pack=jnp.asarray(ent_pack),
         ht_pack=jnp.asarray(np.stack([ht_check, ht_pay], axis=1)),
         uni_words_pad=jnp.asarray(uni_words_pad),

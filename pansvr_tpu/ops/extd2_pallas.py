@@ -76,21 +76,30 @@ def _fwd_kernel(q_ref, t_ref, qlen_ref, tlen_ref, dmat_ref, out_ref,
                 dstage_ref, dma_sem,
                 *, p: Extd2Params, W: int, n_diag_pad: int, t_pad: int,
                 q_padl: int, q_ext: int, Qmax: int, with_dmat: bool,
-                interpret: bool):
+                interpret: bool, sdt=jnp.int8):
+    """sdt: dtype of the difference-recurrence state (u/v/x/y/x2/y2/s).
+    The ksw2 recurrence is int8-bounded by construction for the
+    realigner's scoring profile (ksw2_extd2_sse.c runs int8 SIMD lanes;
+    |state| <= match + q2 + e2 + |mismatch| here) — int8 state means 4x
+    the VPU lane width of the round-3 int32 kernel. H (absolute score)
+    stays int32. extd2_batch_pallas falls back to int32 state when the
+    profile's bound does not fit int8."""
     pn = p.normalized()
     q_, e_, q2_, e2_ = pn.q, pn.e, pn.q2, pn.e2
     g = pl.program_id(0)
 
-    neg1 = jnp.int32(-q_ - e_)
-    neg2 = jnp.int32(-q2_ - e2_)
-    u_ref[:] = jnp.full((W, BLK), neg1, jnp.int32)
-    v_ref[:] = jnp.full((W, BLK), neg1, jnp.int32)
-    x_ref[:] = jnp.full((W, BLK), neg1, jnp.int32)
-    y_ref[:] = jnp.full((W, BLK), neg1, jnp.int32)
-    x2_ref[:] = jnp.full((W, BLK), neg2, jnp.int32)
-    y2_ref[:] = jnp.full((W, BLK), neg2, jnp.int32)
-    s_ref[:] = jnp.zeros((W, BLK), jnp.int32)
+    neg1 = jnp.asarray(-q_ - e_, sdt)
+    neg2 = jnp.asarray(-q2_ - e2_, sdt)
+    u_ref[:] = jnp.full((W, BLK), neg1, sdt)
+    v_ref[:] = jnp.full((W, BLK), neg1, sdt)
+    x_ref[:] = jnp.full((W, BLK), neg1, sdt)
+    y_ref[:] = jnp.full((W, BLK), neg1, sdt)
+    x2_ref[:] = jnp.full((W, BLK), neg2, sdt)
+    y2_ref[:] = jnp.full((W, BLK), neg2, sdt)
+    s_ref[:] = jnp.zeros((W, BLK), sdt)
     H_ref[:] = jnp.full((W, BLK), NEG_INF, jnp.int32)
+    # masked-extract fill for sdt state: below every reachable value
+    SNEG = jnp.asarray(jnp.iinfo(sdt).min, sdt)
 
     qlen = qlen_ref[0, 0, :]                   # (BLK,)
     tlen = tlen_ref[0, 0, :]
@@ -107,9 +116,16 @@ def _fwd_kernel(q_ref, t_ref, qlen_ref, tlen_ref, dmat_ref, out_ref,
         )
 
     def row_extract(arr, pos, o_r):
-        """Per-problem value arr[pos[b] - o_r, b] (NEG_INF off-window)."""
+        """Per-problem value arr[pos[b] - o_r, b] (dtype-min off-window).
+        Mosaic has no int8 reductions, so sdt state reduces through an
+        int32 copy and casts back (in-window values fit sdt; the
+        off-window fill maps to sdt-min, below every reachable value,
+        and every sdt-state caller guards the off-window case anyway)."""
         m = kidx == (pos - o_r)[None, :]
-        return jnp.max(jnp.where(m, arr, NEGI), axis=0)
+        if arr.dtype == jnp.int32:
+            return jnp.max(jnp.where(m, arr, NEGI), axis=0)
+        v = jnp.max(jnp.where(m, arr, SNEG).astype(jnp.int32), axis=0)
+        return v.astype(arr.dtype)
 
     def step(r, carry):
         (last_st, last_en, ez_max, ez_max_q, ez_max_t,
@@ -131,7 +147,7 @@ def _fwd_kernel(q_ref, t_ref, qlen_ref, tlen_ref, dmat_ref, out_ref,
         y_arr0 = shifted(y_ref, neg1)
         x2_arr = shifted(x2_ref, neg2)
         y2_arr0 = shifted(y2_ref, neg2)
-        s_arr = shifted(s_ref, jnp.int32(0))
+        s_arr = shifted(s_ref, jnp.asarray(0, sdt))
         H_arr = shifted(H_ref, NEGI)
 
         idx = kidx + o_r               # absolute t coordinate, (W, BLK)
@@ -158,12 +174,14 @@ def _fwd_kernel(q_ref, t_ref, qlen_ref, tlen_ref, dmat_ref, out_ref,
         twin = t_ref[0, pl.ds(o_r, W), :]
 
         s_new = jnp.where(real & activeb,
-                          jnp.where(qwin == twin, p.match, p.mismatch),
+                          jnp.where(qwin == twin,
+                                    jnp.asarray(p.match, sdt),
+                                    jnp.asarray(p.mismatch, sdt)),
                           s_arr)
 
         # top boundary at idx == r (query row 0)
         topm = ((en >= r) & active)[None, :] & (idx == r)
-        u_bound = _leading_gap_delta_scalar(r, p)
+        u_bound = _leading_gap_delta_scalar(r, p).astype(sdt)
         u_arr = jnp.where(topm, u_bound, u_arr0)
         y_arr = jnp.where(topm, neg1, y_arr0)
         y2_arr = jnp.where(topm, neg2, y2_arr0)
@@ -191,7 +209,7 @@ def _fwd_kernel(q_ref, t_ref, qlen_ref, tlen_ref, dmat_ref, out_ref,
         a2 = x2_sh + v_sh
         b2 = y2_arr + u_arr
         z = s_new
-        d = jnp.zeros((W, BLK), jnp.int32)
+        d = jnp.zeros((W, BLK), sdt)
         m = a > z
         d = jnp.where(m, 1, d)
         z = jnp.maximum(z, a)
@@ -359,23 +377,46 @@ class PallasExtd2Result(NamedTuple):
     dmat: jnp.ndarray      # (G, n_diag_pad, W, BLK) uint8, band-relative
 
 
+def state_fits_int8(params: Extd2Params) -> bool:
+    """Whether the difference-recurrence state is int8-bounded for this
+    scoring profile: u/v in [-(q2+e2), match+q2+e2], x/y in [-(q+e), -e],
+    x2/y2 in [-(q2+e2), -e2], with intermediates bounded by
+    (q+e)+(q2+e2)+match (see _fwd_kernel docstring)."""
+    pn = params.normalized()
+    return (pn.match - pn.mismatch + pn.q + pn.e + pn.q2 + pn.e2) <= 120
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "W", "with_dmat", "interpret"),
+    static_argnames=("params", "W", "with_dmat", "interpret", "state8"),
 )
 def extd2_batch_pallas(q_codes, qlens, t_codes, tlens,
                        params: Extd2Params = Extd2Params(),
                        W: int = 256, with_dmat: bool = True,
-                       interpret: bool = False) -> PallasExtd2Result:
+                       interpret: bool = False,
+                       state8: bool | None = None) -> PallasExtd2Result:
     """q_codes (B, Qmax) int32 0..3, t_codes (B, Tmax); B % BLK == 0.
 
     W must be a multiple of 16 with W >= min(w + 48, ceil16(Tmax)) — the
-    shared-window coverage bound (see module docstring)."""
+    shared-window coverage bound (see module docstring). state8 runs the
+    recurrence in int8 lanes (4x VPU width; default when the scoring
+    profile is int8-bounded)."""
     B, Qmax = q_codes.shape
     Tmax = t_codes.shape[1]
     assert B % BLK == 0, "batch must be a multiple of BLK"
     t_pad, n_diag_pad, q_padl, q_ext = _plan(Qmax, Tmax, W)
     assert W % 16 == 0 and (W >= params.w + 48 or W >= t_pad)
+    if state8 is None:
+        # int8 lanes are semantically valid for the realigner profile
+        # (state_fits_int8 + interpret-mode parity in
+        # tests/test_extd2_pallas.py), but the current Mosaic/libtpu in
+        # this image cannot COMPILE sub-int32 VPU arithmetic at all —
+        # probed 2026-08-20: int8/int16 add/max/cmp/roll all fail to
+        # lower (tools/probe notes in PERF.md). Default to int32 on
+        # compiled backends until the toolchain supports narrow lanes;
+        # pass state8=True to A/B once it does.
+        state8 = False
+    sdt = jnp.int8 if state8 else jnp.int32
     G = B // BLK
 
     # transposed/padded device-side inputs: (G, rows, BLK)
@@ -393,7 +434,7 @@ def extd2_batch_pallas(q_codes, qlens, t_codes, tlens,
     kern = functools.partial(
         _fwd_kernel, p=params, W=W, n_diag_pad=n_diag_pad, t_pad=t_pad,
         q_padl=q_padl, q_ext=q_ext, Qmax=Qmax, with_dmat=with_dmat,
-        interpret=interpret,
+        interpret=interpret, sdt=sdt,
     )
     dmat_shape = (G, n_diag_pad, W, BLK) if with_dmat \
         else (G, DCHUNK, W, BLK)
@@ -412,7 +453,8 @@ def extd2_batch_pallas(q_codes, qlens, t_codes, tlens,
             jax.ShapeDtypeStruct((G, 16, BLK), jnp.int32),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((W, BLK), jnp.int32) for _ in range(8)]
+            [pltpu.VMEM((W, BLK), sdt) for _ in range(7)]
+            + [pltpu.VMEM((W, BLK), jnp.int32)]       # H
             + [pltpu.VMEM((2, DCHUNK, W, BLK), jnp.uint8),
                pltpu.SemaphoreType.DMA((2,))]
         ),

@@ -511,7 +511,56 @@ def seed_reads_flat(
     win_a = _static_windows(offs_np)
     win_b = _static_windows(offs_np + fl)
 
-    if probe == "hash":
+    if probe == "sortjoin":
+        # sort-merge join of the batch's query keys against the WHOLE
+        # entry table: one 3-key lax.sort + cummax scans + one unsort
+        # replaces the per-lane dependent-gather bisect (measured
+        # 2026-08-20 on v5e: a 3-operand 606k sort is ~1 ms while ONE
+        # dependent gather step at 475k lanes is ~3.4 ms and the bisect
+        # needs mbb+2 of them). Identical (found, count, left) to the
+        # bisect path. Viable when n_kmer is sort-sized (the engine
+        # gates on SORTJOIN_MAX_KMER); the index side contributes its
+        # (bucket, residue) keys via didx.ent_bucket/ent_res.
+        N = didx.n_kmer
+        Q = B * S0
+        NQ = N + Q
+        i32max = jnp.int32(0x7FFFFFFF)
+        qb = (win_a >> jnp.uint32(32 - 2 * fl)).astype(jnp.int32)
+        qr = (win_b >> jnp.uint32(32 - 2 * resid_bases)).astype(jnp.int32)
+        # dead lanes key (i32max, -1): sorts after every real key but
+        # BEFORE the (i32max, i32max) index pad entries, so the sentinel
+        # run is query-headed -> no match
+        sok = seed_ok.reshape(-1)
+        k1 = jnp.concatenate([didx.ent_bucket,
+                              jnp.where(sok, qb.reshape(-1), i32max)])
+        k2 = jnp.concatenate([didx.ent_res,
+                              jnp.where(sok, qr.reshape(-1), -1)])
+        src = jnp.arange(NQ, dtype=jnp.int32)
+        # src as third key: stable tie order puts index entries (src<N)
+        # before the queries of the same key
+        k1s, k2s, srcs = jax.lax.sort((k1, k2, src), num_keys=3)
+        pos = jnp.arange(NQ, dtype=jnp.int32)
+        head = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])])
+        is_index = srcs < N
+        run_head_slot = jax.lax.cummax(jnp.where(head, pos, -1))
+        idx_head_slot = jax.lax.cummax(
+            jnp.where(head & is_index, pos, -1))
+        # a run matches iff its head is an index entry (index entries of
+        # an equal key sort first); the head's src is the lower bound
+        match = idx_head_slot == run_head_slot
+        left_s = jax.lax.cummax(jnp.where(head & is_index, srcs, -1))
+        cnt_x = jnp.cumsum(is_index.astype(jnp.int32)) - is_index
+        cnt_start = jax.lax.cummax(jnp.where(head, cnt_x, -1))
+        count_s = jnp.where(match, cnt_x - cnt_start, 0)
+        # unsort: queries return to lane order at slots [N:]
+        _, left_u, count_u = jax.lax.sort(
+            (srcs, jnp.where(match, left_s, 0), count_s), num_keys=1)
+        left = left_u[N:].reshape(B, S0)
+        count = count_u[N:].reshape(B, S0)
+        found = seed_ok & (count > 0) & (count <= UNI_POS_N_MAX)
+    elif probe == "hash":
         # exact open-addressing probe over the packed (check, payload)
         # row table: ht_probe INDEPENDENT 8-byte row gathers per seed
         # (they pipeline; the bisect's max_bucket_bits gathers are

@@ -37,9 +37,16 @@ def _pad_batch(pairs, Q, T):
 
 
 def _run_and_compare(pairs, params, Q=176, T=256, W=256):
+    from pansvr_tpu.ops.extd2_pallas import state_fits_int8
+
     qc, ql, tc, tl = _pad_batch(pairs, Q, T)
+    # exercise the int8-state recurrence whenever the profile is
+    # int8-bounded (compiled TPU path currently runs int32 — the image's
+    # Mosaic cannot lower narrow-lane arithmetic — but the int8 math
+    # must stay parity-correct for when it can)
     res = extd2_batch_pallas(qc, ql, tc, tl, params=params, W=W,
-                             interpret=True)
+                             interpret=True,
+                             state8=state_fits_int8(params))
     _, n_diag_pad, _, _ = _plan(Q, T, W)
 
     i0 = np.full(len(ql), -1, np.int32)

@@ -183,8 +183,11 @@ def test_seed_reads_flat_matches_v1(world):
                                 wb="gather")
     v5_rg = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32,
                             nf_mult=32, probe="hash", wb="rowgather")
+    v6 = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32,
+                         nf_mult=32, probe="sortjoin")
     for variant, name in ((v5h, "hash probe"), (v5_legacy, "legacy lanes"),
-                          (v5_rg, "rowgather writeback")):
+                          (v5_rg, "rowgather writeback"),
+                          (v6, "sortjoin probe")):
         for f in ("uid", "read_pos", "uni_pos_off", "length", "pos_n",
                   "valid", "n_overflow"):
             assert np.array_equal(np.asarray(getattr(v5, f)),

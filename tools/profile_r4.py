@@ -20,14 +20,37 @@ import jax
 import numpy as np
 
 
+def _csum(out):
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(out)
+    return sum(l.astype(jnp.int32).sum() for l in leaves
+               if hasattr(l, "astype"))
+
+
 def dev_time(fn, args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """block_until_ready does not reliably wait on the axon backend
+    (2026-08-20), so completion is forced by fetching a SCALAR checksum
+    of every output (reduced inside the jitted program — fetching the
+    raw outputs would time the d2h copy, not the compute). One 24 ms
+    dispatch+fetch RTT rides on every sample; subtract _rtt()."""
+    fc = jax.jit(lambda *a: _csum(fn(*a)))
+    _ = np.asarray(fc(*args))
     best = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _ = np.asarray(fc(*args))
+        best.append(time.perf_counter() - t0)
+    return float(np.median(best))
+
+
+def rtt(reps=5):
+    f = jax.jit(lambda x: x + 1)
+    xd = jax.device_put(np.int32(0))
+    _ = np.asarray(f(xd))
+    best = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = np.asarray(f(xd))
         best.append(time.perf_counter() - t0)
     return float(np.median(best))
 
@@ -47,6 +70,8 @@ def main():
     with open(os.path.join(work, "rdbg.pkl"), "rb") as fh:
         idx = pickle.load(fh)
     cfg = EngineConfig()
+    if os.environ.get("PANSVR_FRONT"):
+        cfg.front = os.environ["PANSVR_FRONT"]
     eng = AlignEngine(idx, config=cfg)
     records = list(read_signal_fastq(f"{work}/signal.fq"))
     B = 8192
@@ -64,6 +89,8 @@ def main():
     print(f"B={B} n_pad={n_pad} rows={2*n_pad} S0={S0} L={L} NE={n_ext} "
           f"M={M} compact={compact} n_active={len(prep['active'])}")
 
+    t_rtt = rtt()
+    print(f"dispatch+fetch RTT: {t_rtt*1e3:.2f} ms (subtract from rows)")
     didx = eng.didx
     wd = jax.device_put(words)
     ld = jax.device_put(lens2)
@@ -85,9 +112,12 @@ def main():
           f"{t_full*1e3:8.2f} ms/batch")
 
     # probe-only at full rows
+    from pansvr_tpu.align.engine import _FRONT_PROBE
+    probe_kind = _FRONT_PROBE.get(cfg.front, "bisect")
+    print(f"front={cfg.front} probe={probe_kind}")
     probe = jax.jit(lambda w, l, m: seed_reads_flat(
         didx, w, l, m, S0=S0, M=cfg.max_seeds, n_ext_steps=n_ext,
-        nf_mult=cfg.nf_mult, stop_after="probe"))
+        nf_mult=cfg.nf_mult, probe=probe_kind, stop_after="probe"))
     t_probe = dev_time(probe, (wd, ld, md), reps)
     print(f"probe-only (full {2*n_pad} rows):   {t_probe*1e3:8.2f} ms")
 
@@ -105,7 +135,7 @@ def main():
     def seed_only(w, l, m):
         sb, rid, ob = seed_reads_flat(
             didx, w, l, m, S0=S0, M=M, n_ext_steps=n_ext,
-            nf_mult=cfg.nf_mult, compact_rows=compact)
+            nf_mult=cfg.nf_mult, probe=probe_kind, compact_rows=compact)
         return sb.uid, sb.valid, rid, ob
     t_seed = dev_time(jax.jit(seed_only), (wd, ld, md), reps)
     print(f"seed front compacted:               {t_seed*1e3:8.2f} ms")
