@@ -127,9 +127,34 @@ def parse_vcf_line(line: str) -> VCFRecord:
 
 
 class VCFReader:
+    """Text VCF / VCF.gz / binary BCF reader — the same three input
+    legs htslib's unified reader gives the reference
+    (src/clib/vcf_file.h:25-36); binary records decode via io.bcf."""
+
     def __init__(self, path: str):
         self.path = path
+        self._bcf = None
+        if path.endswith(".bcf"):
+            from .bcf import BCFReader
+
+            self._bcf = BCFReader(path)
+            self._fh = None
+            self.header_lines = self._bcf.header_lines
+            self.contigs = self._bcf.contigs
+            self._first_record = None
+            return
         if path.endswith(".gz"):
+            from .bcf import is_bcf
+
+            if is_bcf(path):
+                from .bcf import BCFReader
+
+                self._bcf = BCFReader(path)
+                self._fh = None
+                self.header_lines = self._bcf.header_lines
+                self.contigs = self._bcf.contigs
+                self._first_record = None
+                return
             self._fh = io.TextIOWrapper(gzip.open(path, "rb"))
         else:
             self._fh = open(path)
@@ -152,6 +177,9 @@ class VCFReader:
             self.contigs.append((fields["ID"], int(fields.get("length", 0))))
 
     def __iter__(self) -> Iterator[VCFRecord]:
+        if self._bcf is not None:
+            yield from self._bcf
+            return
         if self._first_record is not None:
             yield parse_vcf_line(self._first_record)
             self._first_record = None
@@ -160,7 +188,10 @@ class VCFReader:
                 yield parse_vcf_line(line)
 
     def close(self):
-        self._fh.close()
+        if self._bcf is not None:
+            self._bcf.close()
+        else:
+            self._fh.close()
 
     def __enter__(self):
         return self

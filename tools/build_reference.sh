@@ -10,3 +10,13 @@ cd /tmp/refbuild/Release && make all -j"$(nproc)"
 cd /tmp/refbuild/deBGA_release/src && make CC="gcc -fcommon" -j"$(nproc)"
 echo "panSVR: /tmp/refbuild/Release/panSVR"
 echo "deBGA:  /tmp/refbuild/deBGA_release/deBGA"
+
+# vcf2bcf golden-fixture tool: converts text VCF to binary BCF with the
+# reference's own vendored htslib (for tests/golden/test_bcf_golden.py)
+H=/tmp/refbuild/Release/src/htslib
+if [ -f "$H/vcf.o" ] && [ ! -x /tmp/refbuild/vcf2bcf ]; then
+    OBJS="$(ls $H/*.o | grep -v -E 'bgzip|htsfile|tabix|hfile_gcs') $(ls $H/cram/*.o)"
+    gcc -O2 -I/root/reference/src -I/root/reference/src/htslib \
+        "$(dirname "$0")/vcf2bcf.c" $OBJS -o /tmp/refbuild/vcf2bcf \
+        -lz -lpthread -lm && echo "vcf2bcf: /tmp/refbuild/vcf2bcf"
+fi
