@@ -15,6 +15,7 @@ equivalent (thresholds derived from quantiles of the same distribution).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -69,9 +70,51 @@ class SignalStats:
         return st
 
 
+class _ReplayableChunks:
+    """Shares ONE BGZF decompression among fc_signal's sequential
+    consumers (first-100k column scan, StatsManager scan, signal block
+    scan): each call to stream() replays the cached prefix and then
+    continues pulling from the live chunk iterator, extending the
+    cache. The reference pays this read twice (sampling_analysis_stat
+    then the signal pass re-reads the BAM, getSignalRead.cpp:305); the
+    early-breaking stats consumers touch only a prefix, so caching it
+    is bounded. Past cap_bytes the cache stops growing and `truncated`
+    tells the caller to fall back to a fresh reader."""
+
+    def __init__(self, it, cap_bytes: int | None = None):
+        if cap_bytes is None:
+            cap_bytes = int(os.environ.get(
+                "PANSVR_SIGNAL_CACHE_MB", "256")) << 20
+        self._it = it
+        self._cache: list[bytes] = []
+        self._bytes = 0
+        self._cap = cap_bytes
+        self.truncated = False
+
+    def stream(self):
+        i = 0
+        while True:
+            if i < len(self._cache):
+                yield self._cache[i]
+                i += 1
+                continue
+            try:
+                c = next(self._it)
+            except StopIteration:
+                return
+            if self._bytes + len(c) <= self._cap:
+                self._cache.append(c)
+                self._bytes += len(c)
+                i += 1
+            else:
+                self.truncated = True
+            yield c
+
+
 def compute_stats(bam_path: str, genome_size: float = 3.1e9,
                   sample_limit: int = 100_000, ref=None,
-                  use_manta: bool = True) -> SignalStats:
+                  use_manta: bool = True, _chunks=None,
+                  _ref_lens=None) -> SignalStats:
     """BAM_STAT::sampling_analysis_stat (getSignalRead.hpp:123-174):
     first-100k scan for the read-length mode and the two-sided-trim l2
     isize bounds, then the Manta StatsManager region sampling for the
@@ -90,32 +133,44 @@ def compute_stats(bam_path: str, genome_size: float = 3.1e9,
     lib = None if _DISABLE_NATIVE else native_glue.get_lib()
     scan_ok = lib is not None and hasattr(lib, "glue_bam_scan")
     _unpack = _struct.Struct("<Hiiii").unpack_from  # flag,l_seq,mtid,mpos,tlen
+
+    def _column_scan(chunk_iter):
+        # column scan: boundaries in C++, histograms in NumPy
+        nonlocal n, isize_hist, len_hist
+        carry = b""
+        for chunk in chunk_iter:
+            data = carry + chunk if carry else chunk
+            nr, consumed, _, _, _, _, flag, l_seq, tlen = \
+                native_glue.bam_scan(lib, data)
+            carry = data[consumed:]
+            if nr == 0:
+                continue
+            keep = (flag & 0x900) == 0
+            take = min(int(keep.sum()), sample_limit - n)
+            if take < int(keep.sum()):
+                ki = np.nonzero(keep)[0][:take]
+                l_seq, tlen = l_seq[ki], tlen[ki]
+            else:
+                l_seq, tlen = l_seq[keep], tlen[keep]
+            n += take
+            isz = np.abs(tlen)
+            good = (isz > 0) & (isz < MAX_ISIZE)
+            isize_hist += np.bincount(isz[good], minlength=MAX_ISIZE)
+            ls = l_seq[l_seq < 4096]
+            len_hist += np.bincount(ls, minlength=4096)
+            if n >= sample_limit:
+                break
+
+    if _chunks is not None and scan_ok:
+        # shared-stream mode: the caller (extract_signal) owns the
+        # reader; both stats consumers replay one decompression
+        _column_scan(_chunks.stream())
+        return _finish_stats(
+            bam_path, genome_size, ref, use_manta, n, isize_hist,
+            len_hist, _chunks=_chunks, _ref_lens=_ref_lens)
     with open_alignment(bam_path, ref=ref) as rd:
         if scan_ok and hasattr(rd, "iter_chunks"):
-            # column scan: boundaries in C++, histograms in NumPy
-            carry = b""
-            for chunk in rd.iter_chunks():
-                data = carry + chunk if carry else chunk
-                nr, consumed, _, _, _, _, flag, l_seq, tlen = \
-                    native_glue.bam_scan(lib, data)
-                carry = data[consumed:]
-                if nr == 0:
-                    continue
-                keep = (flag & 0x900) == 0
-                take = min(int(keep.sum()), sample_limit - n)
-                if take < int(keep.sum()):
-                    ki = np.nonzero(keep)[0][:take]
-                    l_seq, tlen = l_seq[ki], tlen[ki]
-                else:
-                    l_seq, tlen = l_seq[keep], tlen[keep]
-                n += take
-                isz = np.abs(tlen)
-                good = (isz > 0) & (isz < MAX_ISIZE)
-                isize_hist += np.bincount(isz[good], minlength=MAX_ISIZE)
-                ls = l_seq[l_seq < 4096]
-                len_hist += np.bincount(ls, minlength=4096)
-                if n >= sample_limit:
-                    break
+            _column_scan(rd.iter_chunks())
         elif hasattr(rd, "iter_bodies"):
             # fixed-header-only scan: flag/l_seq/isize live at static
             # offsets, so the stats pass skips record-object construction
@@ -143,6 +198,12 @@ def compute_stats(bam_path: str, genome_size: float = 3.1e9,
                     len_hist[rec.query_len] += 1
                 if n >= sample_limit:
                     break
+    return _finish_stats(bam_path, genome_size, ref, use_manta, n,
+                         isize_hist, len_hist)
+
+
+def _finish_stats(bam_path, genome_size, ref, use_manta, n, isize_hist,
+                  len_hist, _chunks=None, _ref_lens=None):
     st = SignalStats()
     if n == 0:
         return st
@@ -175,7 +236,10 @@ def compute_stats(bam_path: str, genome_size: float = 3.1e9,
         try:
             from .stats_manager import StatsManager
 
-            sm = StatsManager().handle_bam(bam_path, ref=ref)
+            sm = StatsManager().handle_bam(
+                bam_path, ref=ref,
+                _chunks=_chunks.stream() if _chunks is not None else None,
+                _ref_lens=_ref_lens)
             frag = sm.tracker.frag
             hc = sm.tracker.counter.high_confidence_pairs
             if frag.total > 0 and hc >= 100:
@@ -420,19 +484,37 @@ def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
     """Full fc_signal pass: stats + block pairing + signal FASTQ.
     `bam_path` may be BAM or CRAM (CRAM needs `ref`, the reference
     genome, to reconstruct mapped sequences)."""
-    if stats is None:
-        stats = compute_stats(bam_path, ref=ref)
-    ex = SignalExtractor(stats, opts)
-    unpaired: list[BamRecord] = []
-
     from ..align import native_glue
 
     lib = native_glue.get_lib()
     native_ok = (not _DISABLE_NATIVE and lib is not None
                  and hasattr(lib, "glue_signal_scan"))
-
     use_render = (native_ok and not _DISABLE_RENDER
                   and hasattr(lib, "glue_signal_render"))
+    use_chunks = (use_render and hasattr(lib, "glue_bam_scan"))
+    rd0 = None
+    rep = None
+    if stats is None:
+        # chunk sharing only pays off when the signal loop below will
+        # also consume raw chunks (use_chunks); other paths re-read
+        if use_chunks and not _DISABLE_NATIVE:
+            rd0 = open_alignment(bam_path, ref=ref)
+            if hasattr(rd0, "iter_chunks"):
+                # share one BGZF decompression between the stats
+                # consumers and (below) the signal scan
+                rep = _ReplayableChunks(rd0.iter_chunks())
+                stats = compute_stats(
+                    bam_path, ref=ref, _chunks=rep,
+                    _ref_lens=list(rd0.header.ref_lens))
+                if rep.truncated:
+                    rep = None  # cache overflow: re-read fresh below
+            if rep is None:
+                rd0.close()
+                rd0 = None
+        if stats is None:
+            stats = compute_stats(bam_path, ref=ref)
+    ex = SignalExtractor(stats, opts)
+    unpaired: list[BamRecord] = []
     reason_arr = np.zeros(1024, np.int64) if use_render else None
 
     def _render_blob(blob, offs_a, lens_a, mode):
@@ -466,23 +548,27 @@ def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
         np.cumsum(lens_a[:-1], out=offs_a[1:])
         return _render_blob(blob, offs_a, lens_a.astype(np.int32), mode)
 
-    use_chunks = (use_render and hasattr(lib, "glue_bam_scan"))
 
-    with open_alignment(bam_path, ref=ref) as rd:
+    with (rd0 if rd0 is not None else
+          open_alignment(bam_path, ref=ref)) as rd:
         if use_chunks and hasattr(rd, "iter_chunks"):
             # fully native streaming: record boundaries + columns in C++,
             # block segmentation in NumPy, pair/classify/render in C++ —
             # no per-record Python at all
-            blockbuf = bytearray()
+            # zero-copy block assembly: per-chunk memoryview slices
+            # collect in seg_parts and concatenate ONCE at flush (the
+            # bytearray+= / bytes() route copied every block twice)
+            seg_parts: list = []
+            seg_base = 0
             offs_parts: list[np.ndarray] = []
             lens_parts: list[np.ndarray] = []
             count = 0
             tid0 = pos0 = 0
 
             def flush_chunked():
-                nonlocal blockbuf, offs_parts, lens_parts, count
+                nonlocal seg_parts, seg_base, offs_parts, lens_parts, count
                 if count:
-                    blob = bytes(blockbuf)
+                    blob = b"".join(seg_parts)
                     offs_a = np.concatenate(offs_parts)
                     lens_a = np.concatenate(lens_parts)
                     if count < 2:
@@ -492,12 +578,14 @@ def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
                         for i in _render_blob(blob, offs_a, lens_a, 0):
                             o, l = int(offs_a[i]), int(lens_a[i])
                             unpaired.append(LazyBamRecord(blob[o : o + l]))
-                blockbuf = bytearray()
+                seg_parts = []
+                seg_base = 0
                 offs_parts, lens_parts = [], []
                 count = 0
 
             carry = b""
-            for chunk in rd.iter_chunks():
+            for chunk in (rep.stream() if rep is not None
+                          else rd.iter_chunks()):
                 data = carry + chunk if carry else chunk
                 nr, consumed, offs_c, lens_c, tid_c, pos_c, flag_c, _, _ = \
                     native_glue.bam_scan(lib, data)
@@ -526,12 +614,12 @@ def extract_signal(bam_path: str, out_fq, stats: SignalStats | None = None,
                     j_pos = int(np.argmax(gap)) if gap.any() else j_tid
                     j = i + min(j_pos, SAM_LOAD_BUFF_SIZE - count)
                     if j > i:
-                        base = len(blockbuf)
                         first = int(offs_k[i])
                         last = int(offs_k[j - 1] + lens_k[j - 1])
-                        blockbuf += data[first:last]
-                        offs_parts.append(offs_k[i:j] - first + base)
+                        seg_parts.append(memoryview(data)[first:last])
+                        offs_parts.append(offs_k[i:j] - first + seg_base)
                         lens_parts.append(lens_k[i:j])
+                        seg_base += last - first
                         count += j - i
                     if j < nk:
                         flush_chunked()  # next record starts a new block
