@@ -21,7 +21,9 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_final_vcf_parity(tmp_path, pansvr_bin, debga_bin):
+@pytest.mark.parametrize("types", [("DEL", "INS"), ("DEL", "INS", "DUP")],
+                         ids=["del-ins", "del-ins-dup"])
+def test_final_vcf_parity(tmp_path, pansvr_bin, debga_bin, types):
     from pansvr_tpu.align.bam_out import emit_pair
     from pansvr_tpu.align.engine import AlignEngine
     from pansvr_tpu.align.host_align import PEScorer
@@ -41,7 +43,10 @@ def test_final_vcf_parity(tmp_path, pansvr_bin, debga_bin):
     from pansvr_tpu.utils.simulate import make_dataset, write_sim_bam
 
     W = str(tmp_path)
-    ds = make_dataset(seed=777, n_sv=12, n_pairs=6000, types=("DEL", "INS"),
+    # the DUP leg exercises the anchor builder's duplicated-segment
+    # special case (get_anchor_ref.hpp:294-325) and the fc_sv DUP
+    # verdict paths end to end — every prior golden world was DEL/INS
+    ds = make_dataset(seed=777, n_sv=12, n_pairs=6000, types=types,
                       chrom_lengths={"chr1": 800_000}, err_rate=0.001)
     write_fasta(f"{W}/genome.fa", ds.genome.items(), width=60)
     w = VCFWriter(f"{W}/svs.vcf",
