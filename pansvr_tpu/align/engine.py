@@ -3,7 +3,7 @@
 Orchestrates the device pipeline per batch of reads:
 
   1. host:   2-bit encode fwd+rev, STR detection, packing;
-  2. device: seeding (ops.seeding.seed_reads) over fwd+rev rows;
+  2. device: seeding (ops.seeding.seed_reads_flat) over fwd+rev rows;
   3. host:   colinear merge + reference expansion (vectorized NumPy);
   4. device: SDP chaining (ops.chain.chain_batch);
   5. host:   chain extraction (top-6 per direction, cutoff rules);
@@ -49,12 +49,8 @@ from ..ops import extd2_pallas as epl
 from ..ops.ksw2_ref import NEG_INF, Ez
 from ..ops.seeding import (
     BUDGET_OVERFLOW,
-    merge_expand_device,
-    merge_expand_device2,
     merge_expand_device3,
     pack_reads,
-    seed_reads,
-    seed_reads2,
     seed_reads_flat,
 )
 from ..utils import dna
@@ -85,7 +81,7 @@ from .host_align import (
 _COMPACT_STABLE = 3
 
 # flat-front probe flavor per front name
-_FRONT_PROBE = {"v5h": "hash", "v6": "sortjoin"}
+_FRONT_PROBE = {"v6": "sortjoin"}
 
 # front="auto": sort-merge-join probe (v6) while the entry table is
 # sort-sized — the per-batch join sort is O(n_kmer + B*S0) and one
@@ -98,10 +94,10 @@ SORTJOIN_MAX_KMER = 1 << 22
 # over a remote-chip link otherwise dominates the batch time) -------------
 
 def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
-                merge=1, nf_mult=10, compact=0):
-    if front in ("v5", "v5h", "v6") and compact:
-        # active-row compaction: ~90% of signal reads hit NO anchor
-        # k-mer on realignment workloads, so every post-probe stage
+                nf_mult=10, compact=0):
+    if compact:
+        # active-row compaction: rows with NO k-mer hit are common on
+        # anchor-realignment workloads, so every post-probe stage
         # (extension, merge, chain) runs at `compact` rows instead of
         # B. stats3 is scattered back to full row space on device;
         # the per-seed chain outputs stay compact (rid rides in the
@@ -111,9 +107,7 @@ def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
             didx, words, lens, mask, S0=S0, M=M, n_ext_steps=n_ext,
             nf_mult=nf_mult, probe=_FRONT_PROBE.get(front, "bisect"),
             compact_rows=compact)
-        me = {1: merge_expand_device, 2: merge_expand_device2,
-              3: merge_expand_device3}[merge]
-        es = me(sb, didx, S=S)
+        es = merge_expand_device3(sb, didx, S=S)
         B_full = words.shape[0]
         ov_full = jnp.where(over_budget, jnp.int32(BUDGET_OVERFLOW), 0)
         ov_full = ov_full.at[rid].add(sb.n_overflow, mode="drop")
@@ -125,31 +119,17 @@ def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
                                  mode="drop"))
         stats3 = jnp.stack([ov_full, dr_full, cnt_full])
         return es, stats3, rid
-    if front in ("v5", "v5h", "v6"):
-        # flat front: hits of the whole batch compacted onto one global
-        # lane axis (~4x fewer extension lanes than (B, M) padding);
-        # bit-identical SeedBatch, NF-cap rows flagged for host fallback.
-        # v5h probes the open-addressing hash instead of the bisect;
-        # v6 joins the query keys against the entry table in one sort.
-        sb = seed_reads_flat(didx, words, lens, mask, S0=S0, M=M,
-                             n_ext_steps=n_ext, nf_mult=nf_mult,
-                             probe=_FRONT_PROBE.get(front, "bisect"))
-    elif front in ("v2", "v4"):
-        # v2 = open-addressing hash probe + slab extension;
-        # v4 = hash probe + single-gather entry attributes + the v1
-        #      rolled stepped extension (slabs measured slower on TPU)
-        sb = seed_reads2(didx, words, lens, mask, S0=S0, M=M,
-                         n_ext_steps=n_ext,
-                         ext_mode="slab" if front == "v2" else "steps")
-    else:
-        # v1 = bisect seeding + stepped extension; v3 = bisect seeding +
-        # the v2 slab extension (one contiguous word-slab fetch per lane)
-        sb = seed_reads(didx, words, lens, mask, S0=S0, M=M,
-                        n_ext_steps=n_ext,
-                        ext_mode="slab" if front == "v3" else "steps")
-    me = {1: merge_expand_device, 2: merge_expand_device2,
-          3: merge_expand_device3}[merge]
-    es = me(sb, didx, S=S)
+    # flat front: hits of the whole batch compacted onto one global
+    # lane axis (~4x fewer extension lanes than (B, M) padding);
+    # bit-identical SeedBatch, NF-cap rows flagged for host fallback.
+    # v6 joins the query keys against the entry table in one sort; v5
+    # keeps the bisect probe for indexes past SORTJOIN_MAX_KMER. (The
+    # retired v1-v4/v5h fronts and merge v1/v2 A/B epitaphs live in
+    # PERF.md.)
+    sb = seed_reads_flat(didx, words, lens, mask, S0=S0, M=M,
+                         n_ext_steps=n_ext, nf_mult=nf_mult,
+                         probe=_FRONT_PROBE.get(front, "bisect"))
+    es = merge_expand_device3(sb, didx, S=S)
     stats3 = jnp.stack([
         sb.n_overflow,
         es.n_dropped.astype(jnp.int32),
@@ -160,12 +140,12 @@ def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S0", "S", "M", "front", "n_ext", "merge", "nf_mult",
+    static_argnames=("S0", "S", "M", "front", "n_ext", "nf_mult",
                      "compact"))
-def _device_front(didx, words, lens, mask, S0, S, M=64, front="v2",
-                  n_ext=10, merge=1, nf_mult=10, compact=0):
+def _device_front(didx, words, lens, mask, S0, S, M=64, front="v6",
+                  n_ext=10, nf_mult=10, compact=0):
     return _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
-                       merge, nf_mult, compact)
+                       nf_mult, compact)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -181,7 +161,7 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_front(mesh, S0, S, M, front, n_ext, merge=1, nf_mult=10):
+def _sharded_front(mesh, S0, S, M, front, n_ext, nf_mult=10):
     """Data-parallel front over an ICI mesh: read rows sharded on the
     'data' axis, the RdBG index replicated per chip. Per-row outputs come
     back sharded; the engine's host glue is shard-agnostic."""
@@ -189,38 +169,13 @@ def _sharded_front(mesh, S0, S, M, front, n_ext, merge=1, nf_mult=10):
 
     def body(didx, words, lens, mask):
         return _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
-                           merge, nf_mult)
+                           nf_mult)
 
     return jax.jit(_shard_map(
         body, mesh,
         in_specs=(P(), P("data"), P("data"), P("data")),
         out_specs=(P("data"), P(None, "data")),
     ))
-
-
-@functools.partial(jax.jit, static_argnames=("S0", "S", "K"))
-def _device_front_pack(didx, words, lens, mask, S0, S, K):
-    """Per-batch device front in ONE dispatch: seeding + merge/expand,
-    with the first K seed columns packed into a single transfer (seeds
-    are compacted to the front of the S axis). Chaining happens on host
-    (ops.chain.chain_batch_np): at bucketed K the relaxation is cheaper
-    there than another device round trip. Reads whose seed count exceeds
-    K are flagged in stats row 3 and fall back to the host aligner."""
-    sb = seed_reads(didx, words, lens, mask, S0=S0)
-    es = merge_expand_device(sb, didx, S=S)
-    seed_count = es.valid.sum(axis=1).astype(jnp.int32)
-    stats = jnp.stack([
-        sb.n_overflow,
-        es.n_dropped.astype(jnp.int32),
-        seed_count,
-        (seed_count > K).astype(jnp.int32),
-    ])
-    packed = jnp.stack([
-        es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
-        es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
-        es.valid[:, :K].astype(jnp.int32),
-    ])
-    return stats, packed
 
 
 def _chain_body(rb, re_, fb, fe, cov, sid, valid, is_str):
@@ -286,10 +241,10 @@ _chain_body_fused = jax.jit(_chain_fuse, static_argnames=("K",))
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S0", "S", "M", "front", "n_ext", "merge", "nf_mult",
+    static_argnames=("S0", "S", "M", "front", "n_ext", "nf_mult",
                      "K", "compact"))
 def _device_front_chain(didx, words, lens, mask, is_str2, S0, S, M, front,
-                        n_ext, merge, nf_mult, K, compact=0):
+                        n_ext, nf_mult, K, compact=0):
     """Front + speculative-K chain in ONE program: dispatched at submit
     time with host-only args, so the batch pays no blocked chain
     dispatch (over the remote link a dispatch whose args are
@@ -299,10 +254,10 @@ def _device_front_chain(didx, words, lens, mask, is_str2, S0, S, M, front,
     doesn't stall either)."""
     if compact:
         es, stats3, rid = _front_body(didx, words, lens, mask, S0, S, M,
-                                      front, n_ext, merge, nf_mult, compact)
+                                      front, n_ext, nf_mult, compact)
     else:
         es, stats3 = _front_body(didx, words, lens, mask, S0, S, M, front,
-                                 n_ext, merge, nf_mult)
+                                 n_ext, nf_mult)
         rid = None
     buf = _chain_fuse(stats3, es, is_str2, K, rid)
     return es, stats3, rid, buf
@@ -577,13 +532,6 @@ class EngineConfig:
     dp_chunk: int = 2048         # lanes per DP dispatch for the small
                                  # class (the big class uses 1/4 of it);
                                  # each chunk pays a dispatch+fetch RTT
-    merge: int = 3               # device merge/expand variant: 1 = gather
-                                 # at run first/last columns, 2 = segmented
-                                 # scans + compaction sort, 3 = v2 with the
-                                 # expand-side gathers as one-hot masked
-                                 # sums (bit-identical; on-chip A/B
-                                 # 2026-08-19 at B=8192: v3 10.9 ms vs
-                                 # v2 38.7 ms vs v1 87.9 ms per call)
     fuse_chain: bool = True      # single-device path: run front + the
                                  # speculative-K chain as ONE device
                                  # program dispatched at submit time
@@ -1075,7 +1023,7 @@ class AlignEngine:
         codes_flat = None
         if self.mesh is not None:
             fr = _sharded_front(self.mesh, S0, cfg.max_seeds, M,
-                                cfg.front, n_ext, cfg.merge, cfg.nf_mult)
+                                cfg.front, n_ext, cfg.nf_mult)
             es, stats3_dev = fr(self.didx, words, lens2, mask2)
             chain_spec = None
             is_str2 = None
@@ -1087,7 +1035,7 @@ class AlignEngine:
             if cfg.fuse_chain:
                 K = self._k_spec
                 comp = 0
-                if self._compact_div > 1 and cfg.front in ("v5", "v5h", "v6"):
+                if self._compact_div > 1 and cfg.front in ("v5", "v6"):
                     comp = max(256, words.shape[0] // self._compact_div)
                     aw = self._act_window
                     if len(aw) == aw.maxlen:
@@ -1114,7 +1062,7 @@ class AlignEngine:
                 es, stats3_dev, rid_dev, buf_dev = _device_front_chain(
                     self.didx, words_dev, lens2, mask2, is_str2, S0=S0,
                     S=cfg.max_seeds, M=M, front=cfg.front, n_ext=n_ext,
-                    merge=cfg.merge, nf_mult=cfg.nf_mult, K=K,
+                    nf_mult=cfg.nf_mult, K=K,
                     compact=comp,
                 )
                 chain_spec = ("fused", buf_dev, K, comp, rid_dev)
@@ -1122,7 +1070,7 @@ class AlignEngine:
                 es, stats3_dev = _device_front(
                     self.didx, words_dev, lens2, mask2, S0=S0,
                     S=cfg.max_seeds, M=M, front=cfg.front, n_ext=n_ext,
-                    merge=cfg.merge, nf_mult=cfg.nf_mult,
+                    nf_mult=cfg.nf_mult,
                 )
                 # the chain is dispatched speculatively in _finish_batch
                 # (dispatching here would stall: the tunnel blocks a

@@ -36,18 +36,15 @@ def pack_u32(codes: np.ndarray) -> np.ndarray:
 _ARRAY_FIELDS = (
     "hash_g", "kmer_g", "off_g", "uni_seqf", "uni_posp", "uni_pos",
     "uni_words", "ref_words",
-    "ht_check", "ht_payload", "ent_uid", "ent_off_l", "ent_off_r",
-    "ent_pos_n", "uni_words_pad", "ent_run", "ent_pack", "ht_pack",
+    "ent_uid", "ent_off_l", "ent_off_r",
+    "ent_pos_n", "uni_words_pad", "ent_run", "ent_pack",
     "ent_bucket", "ent_res",
 )
 _STATIC_FIELDS = (
     "k", "search_k", "first_level_bases", "uni_len", "ref_len",
-    "n_kmer", "n_uni", "max_bucket_bits", "ht_bits", "ht_probe",
+    "n_kmer", "n_uni", "max_bucket_bits",
 )
 
-# odd mixing constant for the 40-bit bijective multiply (mod 2^40); the
-# top hash bits of key * MIX_C are the table slot (Fibonacci hashing)
-MIX_C = 0x9E3779B97F4A7C15 & ((1 << 40) - 1) | 1
 PAD_WORDS = 128  # zero words padded on BOTH sides of uni_words_pad;
                  # must exceed the largest extension step count (NE = 99
                  # for the 1600 read class) so ext="rows" window bases
@@ -73,11 +70,6 @@ class DeviceIndex:
     ref_len: int
     n_kmer: int
     n_uni: int
-    # open-addressing 20-mer hash (seed_reads2 fast path): slots hold the
-    # low 40-ht_bits check bits of the mixed key (-1 = empty) and a
-    # payload (left entry index | (count-1) << 27)
-    ht_check: jnp.ndarray
-    ht_payload: jnp.ndarray
     # per-entry precomputed lookups (replace searchsorted/posp chains)
     ent_uid: jnp.ndarray
     ent_off_l: jnp.ndarray   # off - uni_seqf[uid]
@@ -94,10 +86,6 @@ class DeviceIndex:
     # max_right = min(off_r, read_len - o - sk) with read_len <= 1600);
     # the pos_n clamp is far above the 8000 abort threshold
     ent_pack: jnp.ndarray
-    # (size, 2) int32 [check, payload] rows of the open-addressing hash:
-    # one 8-byte row gather per probe step instead of a check gather plus
-    # a payload gather
-    ht_pack: jnp.ndarray
     # per-entry (first-level bucket, search-k residue) sort keys for the
     # sort-merge-join probe (seed_reads_flat probe="sortjoin"): the
     # whole entry table rides in ONE lax.sort against the batch's query
@@ -108,8 +96,6 @@ class DeviceIndex:
     ent_bucket: jnp.ndarray
     ent_res: jnp.ndarray
     uni_words_pad: jnp.ndarray  # uni_words with PAD_WORDS zero words both ends
-    ht_bits: int
-    ht_probe: int            # static linear-probe bound
     max_bucket_bits: int = 24   # ceil(log2(largest first-level bucket))
 
 
@@ -123,66 +109,6 @@ jax.tree_util.register_pytree_node(
         **dict(zip(_ARRAY_FIELDS, children)), **dict(zip(_STATIC_FIELDS, aux))
     ),
 )
-
-
-def build_kmer_hash(idx: RdBGIndex):
-    """Open-addressing hash over distinct search-k-mers (the 20-base
-    prefixes of the 22-mer table entries). Replaces the device two-level
-    binary search (~13 dependent gathers) with ~2 gathers per probe.
-
-    key40 = 20-mer value; mixed = key40 * MIX_C mod 2^40 (bijective, so
-    a matching check field proves exact key equality); slot = top
-    ht_bits of mixed; check = low (40 - ht_bits) bits; payload packs
-    (left entry index, run length - 1)."""
-    sk, fl = idx.search_k, idx.first_level_bases
-    lb = 2 * (sk - fl)
-    entry_shift = 2 * (idx.k - sk)
-    n = idx.n_kmers
-    if n == 0:
-        return (np.full(512, -1, np.int32), np.zeros(512, np.int32), 9, 1)
-    bucket = (np.searchsorted(idx.hash_g, np.arange(n), side="right") - 1)
-    key = (bucket.astype(np.uint64) << np.uint64(lb)) | (
-        idx.kmer_g.astype(np.uint64) >> np.uint64(entry_shift)
-    )
-    first = np.ones(n, bool)
-    first[1:] = key[1:] != key[:-1]
-    left = np.nonzero(first)[0]
-    count = np.diff(np.append(left, n))
-    gkey = key[left]
-    assert count.max() <= 16 and left.max() < (1 << 27)
-    payload = left.astype(np.int32) | ((count.astype(np.int32) - 1) << 27)
-
-    m = max(9, int(np.ceil(np.log2(max(len(gkey), 1) * 2.5))))
-    while True:
-        size = 1 << m
-        mask40 = np.uint64((1 << 40) - 1)
-        mixed = (gkey * np.uint64(MIX_C)) & mask40
-        slot0 = (mixed >> np.uint64(40 - m)).astype(np.int64)
-        check = (mixed & np.uint64((1 << (40 - m)) - 1)).astype(np.int32)
-        tbl_check = np.full(size, -1, np.int32)
-        tbl_pay = np.zeros(size, np.int32)
-        remaining = np.arange(len(gkey))
-        offset = np.zeros(len(gkey), np.int64)
-        max_probe = 1
-        while len(remaining):
-            s = (slot0[remaining] + offset[remaining]) & (size - 1)
-            free = tbl_check[s] == -1
-            cand = remaining[free]
-            scand = s[free]
-            u, firsti = np.unique(scand, return_index=True)
-            win = cand[firsti]
-            tbl_check[u] = check[win]
-            tbl_pay[u] = payload[win]
-            if len(win):
-                max_probe = max(max_probe, int(offset[win].max()) + 1)
-            placed = np.zeros(len(gkey), bool)
-            placed[win] = True
-            keep = ~placed[remaining]
-            remaining = remaining[keep]
-            offset[remaining] += 1
-        if max_probe <= 24 or m >= 30:
-            return tbl_check, tbl_pay, m, max_probe
-        m += 1  # unlucky clustering: grow the table and rebuild
 
 
 def _pad_pow2(a: np.ndarray, fill, min_size: int = 256) -> np.ndarray:
@@ -206,8 +132,6 @@ def to_device(idx: RdBGIndex) -> DeviceIndex:
     max_bucket = int(bucket_sizes.max()) if len(bucket_sizes) else 1
     mbb = max(int(np.ceil(np.log2(max(max_bucket, 2)))) + 1, 4)
     mbb = (mbb + 3) // 4 * 4      # quantize (part of the jit cache key)
-    ht_check, ht_pay, ht_bits, ht_probe = build_kmer_hash(idx)
-    ht_probe = max(4, 1 << max(ht_probe - 1, 0).bit_length())
     ent_uid = (np.searchsorted(idx.uni_seqf, idx.off_g, side="right") - 1)
     ent_uid = np.clip(ent_uid, 0, max(idx.n_unitigs - 1, 0))
     ent_off_l = idx.off_g - idx.uni_seqf[ent_uid]
@@ -257,10 +181,6 @@ def to_device(idx: RdBGIndex) -> DeviceIndex:
     posp = idx.uni_posp.astype(np.int32)
     posp_last = posp[-1] if len(posp) else np.int32(0)
     return DeviceIndex(
-        ht_check=jnp.asarray(ht_check),
-        ht_payload=jnp.asarray(ht_pay),
-        ht_bits=ht_bits,
-        ht_probe=ht_probe,
         ent_uid=jnp.asarray(_pad_pow2(ent_uid.astype(np.int32), 0)),
         ent_off_l=jnp.asarray(_pad_pow2(ent_off_l.astype(np.int32), 0)),
         ent_off_r=jnp.asarray(_pad_pow2(ent_off_r.astype(np.int32), 0)),
@@ -269,7 +189,6 @@ def to_device(idx: RdBGIndex) -> DeviceIndex:
         ent_bucket=jnp.asarray(_pad_pow2(ent_bucket, i32max)),
         ent_res=jnp.asarray(_pad_pow2(ent_res, i32max)),
         ent_pack=jnp.asarray(ent_pack),
-        ht_pack=jnp.asarray(np.stack([ht_check, ht_pay], axis=1)),
         uni_words_pad=jnp.asarray(uni_words_pad),
         max_bucket_bits=mbb,
         k=idx.k,

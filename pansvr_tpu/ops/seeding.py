@@ -560,31 +560,6 @@ def seed_reads_flat(
         left = left_u[N:].reshape(B, S0)
         count = count_u[N:].reshape(B, S0)
         found = seed_ok & (count > 0) & (count <= UNI_POS_N_MAX)
-    elif probe == "hash":
-        # exact open-addressing probe over the packed (check, payload)
-        # row table: ht_probe INDEPENDENT 8-byte row gathers per seed
-        # (they pipeline; the bisect's max_bucket_bits gathers are
-        # address-dependent and serialize), payload rides for free
-        lb = 2 * resid_bases
-        bucket_u = win_a >> jnp.uint32(32 - 2 * fl)
-        residue_u = win_b >> jnp.uint32(32 - lb)
-        slot0, check = _mix40(bucket_u, residue_u, lb, didx.ht_bits)
-        size_mask = (1 << didx.ht_bits) - 1
-        found_h = jnp.zeros((B, S0), bool)
-        done = jnp.zeros((B, S0), bool)
-        payload = jnp.zeros((B, S0), jnp.int32)
-        for pstep in range(didx.ht_probe):
-            sl = (slot0 + pstep) & size_mask
-            rec2 = didx.ht_pack[sl]                  # (B, S0, 2)
-            c = rec2[:, :, 0]
-            hit = (c == check) & ~done
-            payload = jnp.where(hit, rec2[:, :, 1], payload)
-            found_h = found_h | hit
-            done = done | hit | (c == -1)
-        payload = jnp.where(found_h, payload, 0)
-        left = payload & ((1 << 27) - 1)
-        count = jnp.where(found_h, (payload >> 27) + 1, 0)
-        found = seed_ok & found_h & (count <= UNI_POS_N_MAX)
     else:
         bucket = (win_a >> jnp.uint32(32 - 2 * fl)).astype(jnp.int32)
         residue = (win_b >> jnp.uint32(32 - 2 * resid_bases)).astype(jnp.int32)
@@ -1280,146 +1255,9 @@ def _seg_last(v: jnp.ndarray, run_id: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("S",))
-def merge_expand_device2(sb: SeedBatch, didx: DeviceIndex, S: int,
-                         sample_seed: jnp.ndarray | int = 0) -> DeviceSeeds:
-    """merge_expand_device with the run-attribute gathers restructured
-    for the TPU gather wall: instead of computing first/last columns per
-    run and gathering 8 attribute arrays at them (each (B, M)
-    take_along_axis is a ~5 ms HBM gather on this chip), last-of-run
-    values are propagated to the run's first lane by a segmented
-    doubling scan (shifts + selects), attributes are computed in-lane,
-    and ONE payload-carrying compaction sort moves run firsts into run
-    slots. Bit-identical outputs (tested)."""
-    uid, rp, uo, ln, pn, valid = (
-        sb.uid, sb.read_pos, sb.uni_pos_off, sb.length, sb.pos_n, sb.valid
-    )
-    B, M = uid.shape
-
-    # ---- sort MEMs by (uid, read_pos), invalid last (as v1) -------------
-    key1 = jnp.where(valid, uid, jnp.int32(0x7FFFFFFF))
-    pk = (
-        jnp.clip(rp, 0, 4095)
-        | (jnp.clip(ln, 0, 4095) << 12)
-        | (valid.astype(jnp.int32) << 24)
-    )
-    pn_c = jnp.minimum(pn, 16383)
-    key1, rp, uo, pk, pn = jax.lax.sort(
-        (key1, rp, uo, pk, pn_c), dimension=1, num_keys=2, is_stable=True)
-    valid = (pk >> 24) != 0
-    uid = jnp.where(valid, key1, 0)
-    ln = (pk >> 12) & 4095
-
-    # ---- adjacent-linked runs (as v1) -----------------------------------
-    linked = jnp.zeros((B, M), dtype=bool)
-    same = (uid[:, 1:] == uid[:, :-1]) & (uo[:, 1:] > uo[:, :-1]) \
-        & valid[:, 1:] & valid[:, :-1]
-    diff = rp[:, 1:] - rp[:, :-1] - ln[:, :-1]
-    drift = (uo[:, 1:] - uo[:, :-1]) - (rp[:, 1:] - rp[:, :-1])
-    linked = linked.at[:, 1:].set(
-        same & (diff <= WAITING_LEN) & (drift == 0)
-    )
-    is_first = ~linked
-    run_id = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # (B, M)
-
-    contrib = jnp.where(
-        linked & (jnp.pad(diff, ((0, 0), (1, 0))) <= 0),
-        jnp.pad(diff, ((0, 0), (1, 0))) + ln, ln
-    )
-    contrib = jnp.where(valid, contrib, 0)
-    csum = jnp.cumsum(contrib, axis=1)
-
-    # ---- per-lane run attributes via segmented propagation --------------
-    # last-of-run pk / uo / csum arrive at the run's first lane by the
-    # doubling scan; csum_before is just the left neighbour — all local.
-    pk_l = _seg_last(pk, run_id)
-    uo_l = _seg_last(uo, run_id)
-    csum_l = _seg_last(csum, run_id)
-    csum_before = jnp.concatenate(
-        [jnp.zeros((B, 1), csum.dtype), csum[:, :-1]], axis=1)
-    cov_all = csum_l - csum_before
-    rp_l = pk_l & 4095
-    ln_l = (pk_l >> 12) & 4095
-    # a first lane that is also a last lane = single-MEM run
-    is_last = jnp.concatenate(
-        [is_first[:, 1:], jnp.ones((B, 1), bool)], axis=1)
-    len1 = jnp.where(is_last, ln, rp_l + ln_l - rp)
-    len2 = jnp.where(is_last, ln, uo_l + ln_l - uo)
-
-    # ---- compact run firsts into run slots: ONE payload sort ------------
-    flag = is_first & valid
-    n_runs = jnp.sum(flag, axis=1)  # (B,)
-    m_cols = jnp.arange(M, dtype=jnp.int32)[None, :]
-    ckey = jnp.where(flag, m_cols, jnp.int32(M))
-    mp_a = (rp & 4095) | ((len1 & 4095) << 12)
-    mp_b = (len2 & 4095) | (pn << 12)   # pn already clamped to 14 bits
-    _, m_uid, m_uo, m_a, m_b, m_cov = jax.lax.sort(
-        (jnp.broadcast_to(ckey, (B, M)), uid, uo, mp_a, mp_b, cov_all),
-        dimension=1, num_keys=1, is_stable=True)
-    m_pn = m_b >> 12
-
-    # ---- expand (as v1) -------------------------------------------------
-    run_slot = jnp.arange(M)[None, :]
-    run_ok = run_slot < n_runs[:, None]
-    over2 = run_ok & (m_pn > POS_N_MAX_LEVEL2)
-    aborted = jnp.cumsum(over2.astype(jnp.int32), axis=1) > 0
-    keep = run_ok & ~aborted
-    occ = jnp.where(
-        keep, jnp.where(m_pn > POS_N_MAX, RANDOM_NUM, m_pn), 0
-    )
-    cum = jnp.cumsum(occ, axis=1)
-    start = cum - occ
-    total = cum[:, -1]
-
-    slot = jnp.arange(S, dtype=jnp.int32)[None, :]
-    src_run = jnp.sum(
-        (cum[:, None, :] <= slot[:, :, None]).astype(jnp.int32), axis=2
-    )
-    src_run = jnp.clip(src_run, 0, M - 1)
-    within = slot - jnp.take_along_axis(start, src_run, axis=1)
-    slot_ok = slot < jnp.minimum(total[:, None], S)
-
-    r_uid = jnp.take_along_axis(m_uid, src_run, axis=1)
-    r_a = jnp.take_along_axis(m_a, src_run, axis=1)
-    r_b = jnp.take_along_axis(m_b, src_run, axis=1)
-    r_pn = r_b >> 12
-    sampled = r_pn > POS_N_MAX
-    h = (
-        (slot.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-        ^ (jnp.uint32(sample_seed) if isinstance(sample_seed, int)
-           else sample_seed.astype(jnp.uint32))
-        ^ (r_uid.astype(jnp.uint32) * jnp.uint32(2654435761))
-    )
-    pick_within = jnp.where(
-        sampled,
-        (h % jnp.maximum(r_pn, 1).astype(jnp.uint32)).astype(jnp.int32),
-        within,
-    )
-    base = didx.uni_posp[jnp.clip(r_uid, 0, max(didx.n_uni - 1, 0))]
-    occ_idx = jnp.clip(base + pick_within, 0, didx.uni_pos.shape[0] - 1)
-    r_uo = jnp.take_along_axis(m_uo, src_run, axis=1)
-    ref_begin = didx.uni_pos[occ_idx] + r_uo
-    read_begin = r_a & 4095
-    len1_r = (r_a >> 12) & 4095
-    len2_r = r_b & 4095
-    covv = jnp.take_along_axis(m_cov, src_run, axis=1)
-
-    z = jnp.int32(0)
-    return DeviceSeeds(
-        read_begin=jnp.where(slot_ok, read_begin, z),
-        read_end=jnp.where(slot_ok, read_begin + len1_r - 1, z),
-        ref_begin=jnp.where(slot_ok, ref_begin, z),
-        ref_end=jnp.where(slot_ok, ref_begin + len2_r - 1, z),
-        cov=jnp.where(slot_ok, covv, z),
-        seed_id=jnp.where(slot_ok, src_run, z),
-        valid=slot_ok,
-        n_dropped=jnp.maximum(total - S, 0),
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("S",))
 def merge_expand_device3(sb: SeedBatch, didx: DeviceIndex, S: int,
                          sample_seed: jnp.ndarray | int = 0) -> DeviceSeeds:
-    """merge_expand_device2 with the expand-side run-attribute gathers
+    """Device merge/expand with the expand-side run-attribute gathers
     replaced by one-hot masked sums over the tiny M axis: src_run is
     non-decreasing per row, so its one-hot factors out of the (B, S, M)
     compare the v2 variant already pays, and each attribute select is a
@@ -1554,167 +1392,4 @@ def merge_expand_device3(sb: SeedBatch, didx: DeviceIndex, S: int,
         seed_id=jnp.where(slot_ok, src_run, z),
         valid=slot_ok,
         n_dropped=jnp.maximum(total - S, 0),
-    )
-
-
-# -------------------------------------------------------------------------
-# v2 device front: open-addressing hash + slab MEM extension
-# -------------------------------------------------------------------------
-#
-# Identical results to seed_reads, restructured for TPU gather economics:
-#   - the two-level binary search (~max_bucket_bits dependent gathers per
-#     seed) becomes an exact open-addressing probe (~2 gathers): the
-#     40-bit 20-mer key is mixed by a bijective odd multiply mod 2^40
-#     (emulated in 16-bit limbs; no int64 on this backend), the top bits
-#     select a slot and the low bits are an exact-equality check;
-#   - per-entry unitig attributes (uid, intra-unitig offsets, occurrence
-#     count) are precomputed at index upload, replacing a searchsorted
-#     (~20 gathers) and posp chains with single-gather lookups;
-#   - MEM extension reads ONE contiguous word slab per hit
-#     (uni_words_pad[woff-n_ext .. woff+n_ext+2]) and one read-window
-#     table slice, then compares entirely in registers with static slab
-#     indices — instead of 2 random HBM gathers per lane per step.
-
-def _mix40(bucket_u32, residue_u32, lb: int, ht_bits: int):
-    """Fibonacci-hash a 40-bit k-mer key held as (bucket, residue):
-    returns (slot, check) per the build_kmer_hash layout."""
-    from ..index.device import MIX_C
-    key_lo = ((bucket_u32 << jnp.uint32(lb)) | residue_u32)
-    key_hi = (bucket_u32 >> jnp.uint32(32 - lb)) & jnp.uint32(0xFF)
-    a0 = key_lo & jnp.uint32(0xFFFF)
-    a1 = key_lo >> jnp.uint32(16)
-    a2 = key_hi
-    c0 = jnp.uint32(MIX_C & 0xFFFF)
-    c1 = jnp.uint32((MIX_C >> 16) & 0xFFFF)
-    c2 = jnp.uint32((MIX_C >> 32) & 0xFF)
-    p0 = a0 * c0
-    limb0 = p0 & jnp.uint32(0xFFFF)
-    carry0 = p0 >> jnp.uint32(16)
-    m1 = a0 * c1
-    m2 = a1 * c0
-    s1 = (m1 & jnp.uint32(0xFFFF)) + (m2 & jnp.uint32(0xFFFF)) + carry0
-    limb1 = s1 & jnp.uint32(0xFFFF)
-    carry1 = (s1 >> jnp.uint32(16)) + (m1 >> jnp.uint32(16)) \
-        + (m2 >> jnp.uint32(16))
-    limb2 = (a0 * c2 + a1 * c1 + a2 * c0 + carry1) & jnp.uint32(0xFF)
-    mixed_lo = limb0 | (limb1 << jnp.uint32(16))
-    mixed_hi = limb2
-    slot = ((mixed_hi << jnp.uint32(ht_bits - 8))
-            | (mixed_lo >> jnp.uint32(32 - (ht_bits - 8)))).astype(jnp.int32)
-    check = (mixed_lo & jnp.uint32((1 << (40 - ht_bits)) - 1)).astype(jnp.int32)
-    return slot, check
-
-
-@functools.partial(
-    jax.jit, static_argnames=("S0", "n_ext_steps", "M", "ext_mode"))
-def seed_reads2(
-    didx: DeviceIndex,
-    read_words: jnp.ndarray,   # (B, Wr) int32 packed
-    read_lens: jnp.ndarray,    # (B,) int32
-    seed_mask: jnp.ndarray,    # (B, S0) bool
-    S0: int,
-    n_ext_steps: int = 10,
-    M: int = 64,
-    ext_mode: str = "slab",
-) -> SeedBatch:
-    B, Wr = read_words.shape
-    fl = didx.first_level_bases
-    sk = didx.search_k
-    lb = 2 * (sk - fl)
-    NE = n_ext_steps
-
-    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
-    rw_u = bc(read_words)
-    ht_check = didx.ht_check
-    ht_payload = didx.ht_payload
-    size_mask = (1 << didx.ht_bits) - 1
-
-    offs = jnp.arange(S0, dtype=jnp.int32) * SEED_STEP
-    o = jnp.broadcast_to(offs[None, :], (B, S0))
-    n_kmer = read_lens[:, None] - sk + 1
-    seed_ok = (o < n_kmer) & seed_mask
-
-    # --- k-mer keys -------------------------------------------------------
-    win_a = _window32_rows(rw_u, o)
-    win_b = _window32_rows(rw_u, o + fl)
-    bucket = win_a >> jnp.uint32(32 - 2 * fl)
-    residue = win_b >> jnp.uint32(32 - lb)
-    slot0, check = _mix40(bucket, residue, lb, didx.ht_bits)
-
-    # --- open-addressing probe -------------------------------------------
-    found = jnp.zeros((B, S0), bool)
-    done = jnp.zeros((B, S0), bool)
-    fslot = jnp.zeros((B, S0), jnp.int32)
-    for pstep in range(didx.ht_probe):
-        sl = (slot0 + pstep) & size_mask
-        c = ht_check[sl]
-        hit = (c == check) & ~done
-        fslot = jnp.where(hit, sl, fslot)
-        found = found | hit
-        done = done | hit | (c == -1)
-    payload = jnp.where(found, ht_payload[fslot], 0)
-    left = payload & ((1 << 27) - 1)
-    count = jnp.where(found, (payload >> 27) + 1, 0)
-    found = seed_ok & found & (count <= UNI_POS_N_MAX)
-
-    # --- compact hits to (B, M) lanes (same as v1) ------------------------
-    eff = jnp.where(found, count, 0)
-    cum = jnp.cumsum(eff, axis=1)
-    start = cum - eff
-    n_hits = cum[:, -1]
-    overflow0 = jnp.maximum(n_hits - M, 0).astype(jnp.int32)
-
-    m_slot = jnp.arange(M, dtype=jnp.int32)[None, :]
-    hit_seed = jax.vmap(
-        lambda c_, s_: jnp.searchsorted(c_, s_, side="right")
-    )(cum, m_slot + jnp.zeros((B, 1), jnp.int32)).astype(jnp.int32)
-    hit_seed = jnp.clip(hit_seed, 0, S0 - 1)
-    hit_h = m_slot - jnp.take_along_axis(start, hit_seed, axis=1)
-    hit_ok = m_slot < jnp.minimum(n_hits, M)[:, None]
-
-    gb = lambda a: jnp.take_along_axis(a, hit_seed, axis=1)
-    entry = gb(left) + hit_h
-    o2 = gb(o)
-    entry_c = jnp.clip(entry, 0, max(didx.n_kmer - 1, 0))
-    valid_entry = hit_ok
-    off = jnp.where(valid_entry, didx.off_g[entry_c], 0)
-    uid = jnp.where(valid_entry, didx.ent_uid[entry_c], 0)
-    off_l = jnp.where(valid_entry, didx.ent_off_l[entry_c], 0)
-    off_r = jnp.where(valid_entry, didx.ent_off_r[entry_c], 0)
-    pos_n = jnp.where(valid_entry, didx.ent_pos_n[entry_c], 0)
-
-    max_left = jnp.minimum(off_l, o2)
-    max_right = jnp.minimum(off_r, read_lens[:, None] - o2 - sk)
-
-    if ext_mode == "slab":
-        left_m, right_m = _ext_slab(
-            didx, rw_u, off, o, o2, hit_seed, max_left, max_right,
-            sk, NE, S0, Wr)
-    else:
-        left_m, right_m = _ext_steps(
-            didx, rw_u, off, hit_seed, max_left, max_right,
-            sk, NE, S0, Wr)
-
-    read_pos = o2 - left_m
-    uni_pos_off = off_l - left_m
-    length = sk + left_m + right_m
-
-    # --- sequential coverage skip (same as v1) ----------------------------
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    per_seed_max_right = (
-        jnp.full((B, S0), -1, jnp.int32)
-        .at[rows + jnp.zeros_like(hit_seed), hit_seed]
-        .max(jnp.where(hit_ok, right_m, -1))
-    )
-    seed_used = _coverage_skip(found, per_seed_max_right, offs, sk, S0, B)
-
-    valid = hit_ok & jnp.take_along_axis(seed_used, hit_seed, axis=1)
-    return SeedBatch(
-        uid=jnp.where(valid, uid, 0),
-        read_pos=jnp.where(valid, read_pos, 0),
-        uni_pos_off=jnp.where(valid, uni_pos_off, 0),
-        length=jnp.where(valid, length, 0),
-        pos_n=jnp.where(valid, pos_n, 0),
-        valid=valid,
-        n_overflow=overflow0,
     )

@@ -49,11 +49,11 @@ def sharded_realign_front(mesh, didx, S0: int, S: int):
     except AttributeError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    from ..ops.seeding import merge_expand_device, seed_reads
+    from ..ops.seeding import merge_expand_device3, seed_reads
 
     def step(words, lens, mask):
         sb = seed_reads(didx, words, lens, mask, S0=S0)
-        es = merge_expand_device(sb, didx, S=S)
+        es = merge_expand_device3(sb, didx, S=S)
         stats3 = jnp.stack([
             sb.n_overflow,
             es.n_dropped.astype(jnp.int32),

@@ -6,7 +6,7 @@ import pytest
 from pansvr_tpu.align.host_align import SEED_STEP
 from pansvr_tpu.index.builder import build_index
 from pansvr_tpu.index.device import to_device
-from pansvr_tpu.ops.seeding import merge_expand_device, pack_reads, seed_reads
+from pansvr_tpu.ops.seeding import merge_expand_device3, pack_reads, seed_reads
 from pansvr_tpu.parallel.mesh import (
     make_data_mesh,
     merge_vcf_parts,
@@ -42,7 +42,7 @@ def test_sharded_front_matches_single_device(tmp_path):
     es_sh, stats_sh, total = fn(words, lens, mask)
 
     sb = seed_reads(didx, words, lens, mask, S0=S0)
-    es = merge_expand_device(sb, didx, S=64)
+    es = merge_expand_device3(sb, didx, S=64)
 
     np.testing.assert_array_equal(np.asarray(es_sh.valid), np.asarray(es.valid))
     np.testing.assert_array_equal(

@@ -120,40 +120,6 @@ def test_seed_mask_respected(world):
     assert not bool(np.asarray(sb.valid).any())
 
 
-def test_seed_reads2_matches_v1(world):
-    """The hash+slab front (seed_reads2) must produce the exact same
-    SeedBatch as the binary-search front on identical inputs."""
-    from pansvr_tpu.ops.seeding import seed_reads2
-
-    idx, didx, contigs = world
-    rng = np.random.default_rng(33)
-    reads = _reads_from(contigs, rng, 24, err=0.03)
-    L = 150
-    B = len(reads)
-    codes = np.stack(reads)
-    words = pack_reads(codes)
-    lens = np.full(B, L, np.int32)
-    # exercise variable lengths too
-    lens[::5] = 120
-    S0 = (L - idx.search_k) // SEED_STEP + 1
-    mask = np.ones((B, S0), bool)
-    mask[3, ::3] = False  # STR-style seed whitelist holes
-
-    v1 = seed_reads(didx, words, lens, mask, S0=S0, M=64)
-    v2 = seed_reads2(didx, words, lens, mask, S0=S0, M=64)
-    v3 = seed_reads(didx, words, lens, mask, S0=S0, M=64, ext_mode="slab")
-    v4 = seed_reads2(didx, words, lens, mask, S0=S0, M=64,
-                     ext_mode="steps")
-    for f in ("uid", "read_pos", "uni_pos_off", "length", "pos_n",
-              "valid", "n_overflow"):
-        a, b = np.asarray(getattr(v1, f)), np.asarray(getattr(v2, f))
-        c = np.asarray(getattr(v3, f))
-        d = np.asarray(getattr(v4, f))
-        assert np.array_equal(a, b), f"field {f} differs (v2)"
-        assert np.array_equal(a, c), f"field {f} differs (v3 slab ext)"
-        assert np.array_equal(a, d), f"field {f} differs (v4 hash+steps)"
-
-
 def test_seed_reads_flat_matches_v1(world):
     """The flat globally-compacted front (seed_reads_flat) must produce
     the exact same SeedBatch as v1, and flag (not corrupt) rows cut by
@@ -175,17 +141,15 @@ def test_seed_reads_flat_matches_v1(world):
 
     v1 = seed_reads(didx, words, lens, mask, S0=S0, M=32)
     v5 = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32, nf_mult=32)
-    v5h = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32, nf_mult=32,
-                          probe="hash")
     # round-3 gather variants must be bit-identical to the legacy lanes
     v5_legacy = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32,
                                 nf_mult=32, ent="split", ext="steps",
                                 wb="gather")
     v5_rg = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32,
-                            nf_mult=32, probe="hash", wb="rowgather")
+                            nf_mult=32, wb="rowgather")
     v6 = seed_reads_flat(didx, words, lens, mask, S0=S0, M=32,
                          nf_mult=32, probe="sortjoin")
-    for variant, name in ((v5h, "hash probe"), (v5_legacy, "legacy lanes"),
+    for variant, name in ((v5_legacy, "legacy lanes"),
                           (v5_rg, "rowgather writeback"),
                           (v6, "sortjoin probe")):
         for f in ("uid", "read_pos", "uni_pos_off", "length", "pos_n",
@@ -213,14 +177,13 @@ def test_seed_reads_flat_matches_v1(world):
         assert np.array_equal(a[ok], b[ok]), f"unflagged rows differ in {f}"
 
 
-def test_merge_expand_device2_matches_v1(world):
+def test_merge_expand_device3_matches_v1(world):
     """The gather-restructured device merge/expand (segmented-scan run
     attributes + one compaction sort) must be bit-identical to v1 — on
     real seed batches and on adversarial random ones (mixed validity,
     sampled and aborted pos_n tiers)."""
     from pansvr_tpu.ops.seeding import (
-        SeedBatch, merge_expand_device, merge_expand_device2,
-        merge_expand_device3)
+        SeedBatch, merge_expand_device, merge_expand_device3)
 
     idx, didx, contigs = world
     rng = np.random.default_rng(36)
@@ -246,8 +209,7 @@ def test_merge_expand_device2_matches_v1(world):
     for batch in (sb, sb_rand):
         for S in (32, 64):
             e1 = merge_expand_device(batch, didx, S=S)
-            for name, me in (("v2", merge_expand_device2),
-                             ("v3", merge_expand_device3)):
+            for name, me in (("v3", merge_expand_device3),):
                 e2 = me(batch, didx, S=S)
                 for f in e1._fields:
                     assert np.array_equal(
@@ -256,32 +218,3 @@ def test_merge_expand_device2_matches_v1(world):
                     ), f"{name} S={S} field {f} differs"
 
 
-def test_seed_reads2_matches_oracle(world):
-    from pansvr_tpu.ops.seeding import seed_reads2
-
-    idx, didx, contigs = world
-    rng = np.random.default_rng(34)
-    reads = _reads_from(contigs, rng, 16)
-    L = 150
-    B = len(reads)
-    codes = np.stack(reads)
-    words = pack_reads(codes)
-    lens = np.full(B, L, np.int32)
-    S0 = (L - idx.search_k) // SEED_STEP + 1
-    mask = np.ones((B, S0), bool)
-
-    sb = seed_reads2(didx, words, lens, mask, S0=S0, M=64)
-    assert not np.asarray(sb.n_overflow).any()
-    for b in range(B):
-        expect = _host_mems(idx, reads[b])
-        got = []
-        valid = np.asarray(sb.valid[b])
-        for m in np.nonzero(valid)[0]:
-            got.append(
-                (int(sb.uid[b, m]), int(sb.read_pos[b, m]),
-                 int(sb.uni_pos_off[b, m]), int(sb.length[b, m]),
-                 int(sb.pos_n[b, m]))
-            )
-        exp = [(m.uid, m.read_pos, m.uni_pos_off, m.length, m.pos_n)
-               for m in expect]
-        assert sorted(got) == sorted(exp), f"read {b}: {got} != {exp}"

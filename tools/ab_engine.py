@@ -6,7 +6,7 @@ equally) and prints reads/s + the engine phase profile per variant.
 
 Usage: python tools/ab_engine.py key=val [key=val ...] -- key=val ...
 Each "--"-separated group is one variant; keys are EngineConfig fields.
-Example: python tools/ab_engine.py merge=1 -- merge=2
+Example: python tools/ab_engine.py front=v5 -- front=v6
 """
 
 import os

@@ -26,6 +26,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+PY = sys.executable
 W = "/tmp/pansvr_chrom_scale"
 REPORT = f"{W}/report.json"
 REF = "/tmp/refbuild/Release/panSVR"
@@ -50,23 +51,30 @@ def _save_report(rep):
         fh.write("\n")
 
 
+_RSS_WRAPPER = (
+    "import subprocess,resource,sys;"
+    "p=subprocess.run(sys.argv[2:]);"
+    "r=resource.getrusage(resource.RUSAGE_CHILDREN);"
+    "open(sys.argv[1],'w').write(str(r.ru_maxrss));"
+    "sys.exit(p.returncode)"
+)
+
+
 def run_timed(name, argv, rep, env=None, check=True):
-    """Run argv under /usr/bin/time -v; record wall + the child's own
-    peak RSS (per-stage, unlike getrusage(RUSAGE_CHILDREN)'s global
-    high-water mark)."""
+    """Run argv under a tiny wrapper process whose RUSAGE_CHILDREN
+    covers exactly this stage (no /usr/bin/time in this image): wall +
+    the child's own peak RSS, per-stage."""
     print(f"[chrom] {name}: {' '.join(argv[:4])}...", flush=True)
     t0 = time.perf_counter()
     e = dict(os.environ)
     if env:
         e.update(env)
-    tf = f"{W}/.time_{name}.txt"
-    p = subprocess.run(["/usr/bin/time", "-v", "-o", tf] + argv, env=e)
+    tf = f"{W}/.rss_{name}.txt"
+    p = subprocess.run([PY, "-c", _RSS_WRAPPER, tf] + argv, env=e)
     wall = time.perf_counter() - t0
     rss_gb = 0.0
     try:
-        for ln in open(tf):
-            if "Maximum resident set size" in ln:
-                rss_gb = int(ln.rsplit(" ", 1)[1]) / 1e6
+        rss_gb = int(open(tf).read().strip()) / 1e6  # KB -> GB (linux)
     except Exception:
         pass
     rep[name] = {"wall_s": round(wall, 1), "peak_rss_gb": round(rss_gb, 2),
@@ -77,8 +85,6 @@ def run_timed(name, argv, rep, env=None, check=True):
     if check and p.returncode != 0:
         raise RuntimeError(f"{name} failed rc={p.returncode}")
 
-
-PY = sys.executable
 
 GEN_SRC = f"""
 import sys, os

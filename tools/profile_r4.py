@@ -104,7 +104,7 @@ def main():
     def fused(w, l, m, s):
         es, stats3, rid, buf = E._device_front_chain(
             didx, w, l, m, s, S0=S0, S=cfg.max_seeds, M=M, front=cfg.front,
-            n_ext=n_ext, merge=cfg.merge, nf_mult=cfg.nf_mult, K=K,
+            n_ext=n_ext, nf_mult=cfg.nf_mult, K=K,
             compact=compact)
         return buf
     t_full = dev_time(fused, (wd, ld, md, i2), reps)
@@ -144,7 +144,7 @@ def main():
     def front_merge(w, l, m):
         es, stats3, rid = E._device_front(
             didx, w, l, m, S0=S0, S=cfg.max_seeds, M=M, front=cfg.front,
-            n_ext=n_ext, merge=cfg.merge, nf_mult=cfg.nf_mult,
+            n_ext=n_ext, nf_mult=cfg.nf_mult,
             compact=compact)
         return es.ref_begin, stats3
     t_fm = dev_time(jax.jit(front_merge), (wd, ld, md), reps)
