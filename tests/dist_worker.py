@@ -74,7 +74,7 @@ def main():
     mask_g = to_global(mask, P("data"))
 
     S, M = 32, 32
-    fr = E._sharded_front(mesh, S0, S, M, "v5", 9, 3, 32)
+    fr = E._sharded_front(mesh, S0, S, M, "v5", 9, 32)
     es, stats3 = fr(didx_g, words_g, lens_g, mask_g)
 
     # single-device reference (local, no mesh)
