@@ -171,7 +171,15 @@ def _run_fc_aln(work: str, out_bam: str, batch: int = 8192):
         idx = pickle.load(fh)
     header = BamHeader.from_sam_text(open(f"{work}/header.sam").read())
     stats = SignalStats.parse_status_text(open(f"{work}/status.sam").read())
-    eng = AlignEngine(idx, ori_chrom_names=header.ref_names)
+    cfg_kw = {}
+    if os.environ.get("PANSVR_STREAM_DEPTH"):
+        cfg_kw["stream_depth"] = int(os.environ["PANSVR_STREAM_DEPTH"])
+    if os.environ.get("PANSVR_CHAIN_COPY"):
+        cfg_kw["chain_copy"] = os.environ["PANSVR_CHAIN_COPY"]
+    from pansvr_tpu.align.engine import EngineConfig
+
+    eng = AlignEngine(idx, ori_chrom_names=header.ref_names,
+                      config=EngineConfig(**cfg_kw) if cfg_kw else None)
     pe = PEScorer(eng.host, stats.max_isize or 600, stats.min_isize or 200,
                   stats.read_len or 150)
     filt = min_filter_score(stats.read_len or 150)

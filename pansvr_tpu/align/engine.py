@@ -554,6 +554,16 @@ class EngineConfig:
                                  # runs d2h copies concurrently with
                                  # compute — tools/tunnel_probe.py);
                                  # 1 = round-2 single-batch pipeline
+    chain_copy: str = "finish"   # when the fused chain buffer's d2h
+                                 # copy is issued: "finish" = in
+                                 # _finish_front after the previous
+                                 # batch's DP fetches (round-3 winner),
+                                 # "dispatch" = right at front dispatch
+                                 # (copy queues behind the program; can
+                                 # hide the whole transfer behind the
+                                 # NEXT front's compute, at the risk of
+                                 # delaying DP fetches in the tunnel's
+                                 # copy queue)
     pipe_order: str = "late"     # align_stream next-front dispatch point:
                                  # "late" = after this batch's DP,
                                  # "early" = right after its chain program.
@@ -1065,6 +1075,11 @@ class AlignEngine:
                     nf_mult=cfg.nf_mult, K=K,
                     compact=comp,
                 )
+                if getattr(cfg, "chain_copy", "finish") == "dispatch":
+                    try:
+                        buf_dev.copy_to_host_async()
+                    except (AttributeError, TypeError):
+                        pass
                 chain_spec = ("fused", buf_dev, K, comp, rid_dev)
             else:
                 es, stats3_dev = _device_front(
