@@ -537,15 +537,15 @@ class EngineConfig:
                                  # program dispatched at submit time
                                  # (host-only args), removing the
                                  # per-batch blocked chain dispatch RTT
-    compact_div: int = 4         # active-row compaction: post-probe front
-                                 # stages + chain run at (2*n_pad)/div rows
-                                 # holding only the rows with k-mer hits
-                                 # (~10% on anchor-realignment workloads —
-                                 # most signal reads match no anchor).
-                                 # Active rows over the budget fall back
-                                 # to host and the engine halves the
-                                 # divisor (recompile). 1 = off. Only the
-                                 # fused single-device path compacts.
+    compact_div: int = 4         # active-row compaction switch (>1 =
+                                 # enabled): post-probe front stages +
+                                 # chain (and the fused result buffer)
+                                 # run at a peak-active-rows*1.4 budget
+                                 # instead of 2*n_pad, tracked with
+                                 # hysteresis. Over-budget rows fall
+                                 # back to host and the cap drops.
+                                 # Only the fused single-device path
+                                 # compacts.
     stream_depth: int = 2        # in-flight batches in align_stream:
                                  # 2 = two device fronts queued + the DP
                                  # phase (fetch/replay/emit) deferred one
@@ -638,22 +638,15 @@ class AlignEngine:
         # the warmup batch compiles the shape the stream will reuse
         self._k_spec = 8
         self._k_shrink_run = 0
-        # active-row compaction divisor (front rows / compact rows):
-        # starts UNCOMPACTED and adapts to the measured active-row
-        # fraction — grows only after _COMPACT_STABLE consecutive
-        # batches whose active rows fit half the would-be budget,
-        # shrinks immediately on budget overflow. cfg.compact_div is
-        # the ceiling (1 disables).
-        self._compact_div = 1
-        self._compact_grow_run = 0
-        # recent active-row counts: once full, the dispatch caps the
-        # compaction budget at peak*1.5 (512-quantized) instead of the
-        # coarse power-of-two divisor — on ~10%-active realignment
-        # workloads the divisor alone leaves the post-probe stages 2-3x
-        # wider than the rows they actually carry
+        # active-row compaction: starts UNCOMPACTED; once the recent
+        # window is full, the budget is recent-peak-active-rows + 40%
+        # headroom (512-quantized, hysteresis before each recompile),
+        # engaged only when it saves >= 12.5% of the rows. Budget
+        # overflow drops the cap and clears the window.
+        # cfg.compact_div <= 1 disables.
         self._act_window = deque(maxlen=8)
-        self._comp_cap = 0       # applied fine cap (0 = none)
-        self._comp_want = 0      # candidate cap awaiting stability
+        self._comp_cap = 0       # applied budget (0 = uncompacted)
+        self._comp_want = 0      # candidate awaiting stability
         self._comp_want_run = 0
         self._packed_ref = np.ascontiguousarray(self.host.ksw.packed_ref)
         # true (unpadded) reference length for the device DP fill's
@@ -1045,20 +1038,19 @@ class AlignEngine:
             if cfg.fuse_chain:
                 K = self._k_spec
                 comp = 0
-                if self._compact_div > 1 and cfg.front in ("v5", "v6"):
-                    comp = max(256, words.shape[0] // self._compact_div)
+                if cfg.compact_div > 1 and cfg.front in ("v5", "v6"):
+                    # peak-based compaction budget: recent peak active
+                    # rows + 40% headroom, 512-quantized (the round-3
+                    # power-of-two divisor could not engage at all on
+                    # ~45%-active worlds — its grow rule demanded 2x
+                    # headroom at the next halving). Hysteresis: a new
+                    # cap must repeat _COMPACT_STABLE times before it
+                    # applies — each change recompiles the fused front.
+                    # Budget overflow clears the window (8 batches of
+                    # natural cooldown before re-engaging).
                     aw = self._act_window
-                    if len(aw) == aw.maxlen:
-                        # fine cap: recent peak active rows + 50%
-                        # headroom, 512-quantized; the coarse divisor
-                        # alone leaves the post-probe stages far wider
-                        # than the active rows. Hysteresis: a new cap
-                        # value must repeat _COMPACT_STABLE times
-                        # before it applies — each change recompiles
-                        # the fused front, and a cap flapping across a
-                        # quantization boundary costs more in
-                        # recompiles than it saves in rows
-                        tight = -(-(max(aw) * 3 // 2 + 64) // 512) * 512
+                    if len(aw) >= 4:
+                        tight = -(-(max(aw) * 7 // 5 + 64) // 512) * 512
                         if tight == self._comp_want:
                             self._comp_want_run += 1
                         else:
@@ -1067,8 +1059,11 @@ class AlignEngine:
                         if (self._comp_want_run >= _COMPACT_STABLE
                                 and self._comp_cap != tight):
                             self._comp_cap = tight
-                    if self._comp_cap:
-                        comp = max(256, min(comp, self._comp_cap))
+                    rows = words.shape[0]
+                    if self._comp_cap and self._comp_cap <= rows * 7 // 8:
+                        # engage only when it saves at least 12.5% of
+                        # the rows (each distinct comp is a compile)
+                        comp = max(256, min(self._comp_cap, rows))
                 es, stats3_dev, rid_dev, buf_dev = _device_front_chain(
                     self.didx, words_dev, lens2, mask2, is_str2, S0=S0,
                     S=cfg.max_seeds, M=M, front=cfg.front, n_ext=n_ext,
@@ -1233,31 +1228,19 @@ class AlignEngine:
                         np.nonzero(stats3[0] & BUDGET_OVERFLOW)[0]}) \
             if nb else 0
         self.prof["n_budget_fallback"] += nb_reads
-        div_max = getattr(cfg, "compact_div", 4)
-        if div_max > 1 and cs is not None and cfg.fuse_chain:
-            B2f = stats3.shape[1]
+        if getattr(cfg, "compact_div", 4) > 1 and cs is not None \
+                and cfg.fuse_chain:
             act = int(((stats3[2] > 0) | (stats3[0] > 0)).sum())
-            self._act_window.append(act)
-            want = self._compact_div
             if nb > 0:
-                want = max(1, self._compact_div // 2)
-                self._act_window.clear()  # loosen the fine cap too
+                # budget overflow: drop the cap and clear the window —
+                # re-engaging needs 8 fresh batches (natural cooldown
+                # against compile thrash)
+                self._act_window.clear()
                 self._comp_cap = 0
                 self._comp_want = 0
                 self._comp_want_run = 0
             else:
-                grow = self._compact_div * 2
-                if (grow <= div_max
-                        and act * grow * 2 <= B2f
-                        and B2f // grow >= 256):
-                    self._compact_grow_run += 1
-                    if self._compact_grow_run >= _COMPACT_STABLE:
-                        want = grow
-                else:
-                    self._compact_grow_run = 0
-            if want != self._compact_div:
-                self._compact_div = want
-                self._compact_grow_run = 0
+                self._act_window.append(act)
         self._tier_window.append((max(len(fallback) - nb_reads, 0), n))
         self._maybe_retier()
         # telemetry threshold: a high fallback rate means the static

@@ -222,7 +222,7 @@ def test_compact_front_parity():
     (sv_region_reads=False) so most rows hit no anchor k-mer — the
     regime compaction exists for (fc_aln signal reads away from any
     anchor window); SV-region-focused reads keep >25% of rows active
-    and the divisor correctly never grows."""
+    and the budget correctly never engages."""
     import numpy as np
 
     from pansvr_tpu.align.engine import AlignEngine, EngineConfig
@@ -259,6 +259,6 @@ def test_compact_front_parity():
                    r.direction, r.sv_id, r.mapq, r.cigar)
                   for r in b.results]
             assert ra == rb
-    # the divisor must have grown (i.e., compaction actually ran)
-    assert eng_on._compact_div > 1, "compaction never engaged"
-    assert eng_off._compact_div == 1
+    # the peak-based budget must have engaged (compaction actually ran)
+    assert eng_on._comp_cap > 0, "compaction never engaged"
+    assert eng_off._comp_cap == 0
