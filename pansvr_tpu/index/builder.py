@@ -66,7 +66,7 @@ class RdBGIndex:
     uni_posp: np.ndarray       # int64 [n_uni+1] per-unitig slice into uni_pos
 
     # two-level k-mer search table (entries sorted by full k-mer value)
-    hash_g: np.ndarray         # int64 [4^FL+1] bucket start per FL-base prefix
+    hash_g: np.ndarray         # int32 [4^FL+1] bucket start per FL-base prefix
     kmer_g: np.ndarray         # uint32 [n_kmer] low 2*(k-FL) bits of k-mer
     off_g: np.ndarray          # int64 [n_kmer] k-mer offset in unitig space
 
@@ -262,12 +262,16 @@ def build_index(
     for st in range(0, max(n_uniq, 1), _CHUNK):
         np.copyto(kmer_g[st : st + _CHUNK], uniq[st : st + _CHUNK] & mask,
                   casting="unsafe")
-    # uniq is sorted, so bucket starts come from one searchsorted sweep
-    # (against the shifted bucket FLOORS, avoiding a full >> temp)
-    hash_g = np.searchsorted(
-        uniq,
-        np.arange((1 << (2 * fl)) + 1, dtype=np.uint64) << low_bits
-    ).astype(np.int64)
+    # uniq is sorted, so bucket starts come from a searchsorted sweep
+    # against the shifted bucket FLOORS — chunked, and int32: at fl=14
+    # the 4^14+1 table is 1.07 GB as int32 vs 2.15 as int64 (plus an
+    # equal-size arange temp); entry counts always fit int32
+    nb = (1 << (2 * fl)) + 1
+    hash_g = np.empty(nb, np.int32)
+    for st in range(0, nb, _CHUNK):
+        en = min(st + _CHUNK, nb)
+        qs = np.arange(st, en, dtype=np.uint64) << low_bits
+        hash_g[st:en] = np.searchsorted(uniq, qs)
 
     return RdBGIndex(
         k=k, search_k=search_k, first_level_bases=fl,
@@ -494,7 +498,7 @@ def _empty_index(names, chr_starts, ref_codes, ref_words, k, search_k, fl):
         uni_seqf=np.zeros(1, dtype=np.int64),
         uni_pos=np.empty(0, dtype=np.int64),
         uni_posp=np.zeros(1, dtype=np.int64),
-        hash_g=np.zeros((1 << (2 * fl)) + 1, dtype=np.int64),
+        hash_g=np.zeros((1 << (2 * fl)) + 1, dtype=np.int32),
         kmer_g=np.empty(0, dtype=np.uint32),
         off_g=np.empty(0, dtype=np.int64),
     )

@@ -612,7 +612,11 @@ def seed_reads_flat(
         rw_u = rw_u[ridc]
         read_lens = read_lens[ridc]
         B = R
-        NF = nf_mult * B
+        # NF stays nf_mult * ORIGINAL rows: compaction removes only
+        # hit-free rows, so the batch's total flat-lane demand is
+        # unchanged — shrinking the pool to nf_mult*R made active rows
+        # trip FLAT_OVERFLOW under compaction (measured 2026-08-20:
+        # ~144 spurious host-fallback rows/batch on the bench world)
 
     # --- per-row hit layout (same packing order as seed_reads) -------------
     eff = jnp.where(found, count, 0)                    # (B, S0)

@@ -128,7 +128,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 from pansvr_tpu.index.builder import build_index
 from pansvr_tpu.io.fasta import read_fasta
 W = {W!r}
-contigs = list(read_fasta(f"{{W}}/anchors.fa"))
+contigs = list(read_fasta(f"{{W}}/anchors.fa").items())
 idx = build_index(contigs, first_level_bases=14)
 with open(f"{{W}}/rdbg.pkl", "wb") as fh:
     pickle.dump(idx, fh)
