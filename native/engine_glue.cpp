@@ -965,29 +965,48 @@ int32_t glue_extd2(const uint8_t* query, int32_t qlen, const uint8_t* target,
 void glue_str_dup(const uint8_t* codes, const int32_t* lens,
                   int32_t n_rows, int32_t L, int32_t kmer_len,
                   int32_t* n_dup_out) {
-  std::vector<uint64_t> buf;
+  // rows are independent: split across a small thread pool (this is
+  // ~50 ms/batch single-threaded and sits on the host-prep critical
+  // path of align_stream)
   const uint64_t mask =
       (2 * kmer_len >= 64) ? ~0ull : ((1ull << (2 * kmer_len)) - 1);
-  for (int32_t i = 0; i < n_rows; i++) {
-    int32_t rl = lens[i];
-    int32_t nk = rl - kmer_len + 1;
-    if (nk <= 0) {
-      n_dup_out[i] = 0;
-      continue;
+  auto worker = [&](int32_t lo, int32_t hi) {
+    std::vector<uint64_t> buf;
+    for (int32_t i = lo; i < hi; i++) {
+      int32_t rl = lens[i];
+      int32_t nk = rl - kmer_len + 1;
+      if (nk <= 0) {
+        n_dup_out[i] = 0;
+        continue;
+      }
+      buf.clear();
+      buf.reserve(nk);
+      const uint8_t* c = codes + (int64_t)i * L;
+      uint64_t v = 0;
+      for (int32_t j = 0; j < rl; j++) {
+        v = ((v << 2) | (uint64_t)(c[j] & 3)) & mask;
+        if (j >= kmer_len - 1) buf.push_back(v);
+      }
+      std::sort(buf.begin(), buf.end());
+      int32_t d = 0;
+      for (size_t j = 1; j < buf.size(); j++) d += (buf[j] == buf[j - 1]);
+      n_dup_out[i] = d;
     }
-    buf.clear();
-    buf.reserve(nk);
-    const uint8_t* c = codes + (int64_t)i * L;
-    uint64_t v = 0;
-    for (int32_t j = 0; j < rl; j++) {
-      v = ((v << 2) | (uint64_t)(c[j] & 3)) & mask;
-      if (j >= kmer_len - 1) buf.push_back(v);
-    }
-    std::sort(buf.begin(), buf.end());
-    int32_t d = 0;
-    for (size_t j = 1; j < buf.size(); j++) d += (buf[j] == buf[j - 1]);
-    n_dup_out[i] = d;
+  };
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt > 4) nt = 4;
+  if (nt < 1 || n_rows < 1024) nt = 1;
+  if (nt == 1) {
+    worker(0, n_rows);
+    return;
   }
+  std::vector<std::thread> ts;
+  int32_t step = (n_rows + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int32_t lo = t * step, hi = std::min(n_rows, lo + step);
+    if (lo < hi) ts.emplace_back(worker, lo, hi);
+  }
+  for (auto& th : ts) th.join();
 }
 
 // ---------------------------------------------------------------------

@@ -546,24 +546,23 @@ class EngineConfig:
                                  # back to host and the cap drops.
                                  # Only the fused single-device path
                                  # compacts.
-    stream_depth: int = 2        # in-flight batches in align_stream:
-                                 # 2 = two device fronts queued + the DP
-                                 # phase (fetch/replay/emit) deferred one
-                                 # iteration so every result copy overlaps
-                                 # the newer front's execution (the tunnel
-                                 # runs d2h copies concurrently with
-                                 # compute — tools/tunnel_probe.py);
-                                 # 1 = round-2 single-batch pipeline
-    chain_copy: str = "finish"   # when the fused chain buffer's d2h
-                                 # copy is issued: "finish" = in
-                                 # _finish_front after the previous
-                                 # batch's DP fetches (round-3 winner),
-                                 # "dispatch" = right at front dispatch
-                                 # (copy queues behind the program; can
-                                 # hide the whole transfer behind the
-                                 # NEXT front's compute, at the risk of
-                                 # delaying DP fetches in the tunnel's
-                                 # copy queue)
+    stream_depth: int = 3        # in-flight batches in align_stream:
+                                 # 3 = three device fronts in flight and
+                                 # the DP phase deferred, so each chain
+                                 # buffer's d2h copy hides behind TWO
+                                 # newer fronts (A/B 2026-08-20: 46.6k
+                                 # vs 43.5k at depth 2); 1 = round-2
+                                 # single-batch pipeline
+    chain_copy: str = "dispatch" # when the fused chain buffer's d2h
+                                 # copy is issued: "dispatch" = right
+                                 # at front dispatch (queues behind the
+                                 # program; with stream_depth=3 the
+                                 # whole ~1-2 MB transfer hides behind
+                                 # the two newer fronts — sync_chain
+                                 # measured 4.8 s -> 0.004 s/run);
+                                 # "finish" = in _finish_front (the
+                                 # round-3 winner at depth 2, where the
+                                 # early copy delayed DP fetches)
     pipe_order: str = "late"     # align_stream next-front dispatch point:
                                  # "late" = after this batch's DP,
                                  # "early" = right after its chain program.
@@ -844,8 +843,6 @@ class AlignEngine:
         L = cfg.read_class(max(fit_lens)) if fit_lens \
             else min(cfg.read_classes)
         states: list[SingleEndState] = []
-        active: list[int] = []
-        oversize: list[int] = []
 
         codes_f = np.zeros((n_pad, L), np.uint8)
         codes_r = np.zeros((n_pad, L), np.uint8)
@@ -903,42 +900,48 @@ class AlignEngine:
             unm_arr = (ori_mat[:, 6] == 1) | (ori_mat[:, 0] > 24)
             ori_score_arr = ori_mat[:, 3]
 
-        maybe_str: list[int] = []
-        for i, seq in enumerate(seqs):
-            rl = int(all_lens[i])
-            if fit[i]:
-                r = fit_row[i]
+        # ---- vectorized refusal / activity masks ---------------------
+        # (the per-read Python loop here cost ~100 ms/batch — with the
+        # round-4 transfer fixes, host prep IS the pipeline wall)
+        if ori_mat is not None:
+            unm_all = unm_arr.astype(bool)
+            score_all = ori_score_arr.astype(np.int64)
+            ori_objs = [None] * n
+        else:
+            unm_all = np.fromiter(
+                (o.unmapped or o.chr_id > 24 for o in oris), bool, count=n)
+            score_all = np.fromiter(
+                (o.align_score for o in oris), np.int64, count=n)
+            ori_objs = oris
+        refuse = (~unm_all) & (
+            score_all == all_lens.astype(np.int64) * self.p.match)
+        act_mask = fit & ~refuse
+        lens[:n][act_mask] = all_lens[act_mask]
+        active = np.nonzero(act_mask)[0].tolist()
+        # out-of-class reads: exact host path, deferred to _finish_batch
+        # (prep may run in a worker thread; HostAligner is not
+        # thread-safe)
+        oversize = np.nonzero(~fit)[0].tolist()
+        maybe_str = np.nonzero(
+            act_mask & (all_lens - LEN_KMER + 1 > 0))[0].tolist()
+        unm_l = unm_all.tolist()
+        fit_l = fit.tolist()
+        row_l = fit_row.tolist()
+        len_l = all_lens.tolist()
+        ap = states.append
+        for i in range(n):
+            if fit_l[i]:
+                r = row_l[i]
+                rl = len_l[i]
                 cf = cf_rows[r, :rl]
                 cr = cr_rows[r, :rl]
             else:
-                cf = dna.fill_n(dna.encode(seq), seed=0)
+                cf = dna.fill_n(dna.encode(seqs[i]), seed=0)
                 cr = (cf[::-1] ^ 3).astype(np.uint8)
-            if ori_mat is not None:
-                ori = None
-                ori_unm = bool(unm_arr[i])
-                ori_score = int(ori_score_arr[i])
-            else:
-                ori = oris[i]
-                ori_unm = ori.unmapped or ori.chr_id > 24
-                ori_score = ori.align_score
-            st = SingleEndState(
-                results=[], ori=ori,
-                ori_unmapped=ori_unm,
+            ap(SingleEndState(
+                results=[], ori=ori_objs[i], ori_unmapped=unm_l[i],
                 read_codes_fwd=cf, read_codes_rev=cr,
-            )
-            states.append(st)
-            if not fit[i]:
-                # out-of-class read: exact host path, deferred to
-                # _finish_batch (prep may run in a worker thread and
-                # HostAligner state is not thread-safe)
-                oversize.append(i)
-                continue
-            if not st.ori_unmapped and ori_score == rl * self.p.match:
-                continue  # refuse full-score reads
-            lens[i] = rl
-            if rl - LEN_KMER + 1 > 0:
-                maybe_str.append(i)
-            active.append(i)
+            ))
 
         # STR detection: cheap pre-screen (duplicate-20-mer count) narrows
         # the reads that need the full per-read seed-list construction.
