@@ -190,3 +190,30 @@ def test_pallas_small_class_96_128():
             continue
         pairs.append((np.array(q, np.uint8), t))
     _run_and_compare(pairs, ALN, Q=96, T=128, W=128)
+
+
+def test_pallas_tiny_class_48_64():
+    """The engine's tiny DP size class (48, 64, W=64) — chain-gap
+    repair segments are mostly this small (median 14x29 on the bench
+    world); same oracle-exact criterion as the other classes."""
+    rng = np.random.default_rng(17)
+    pairs = []
+    for _ in range(24):
+        n = int(rng.integers(4, 64))
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        q = list(t[: min(n, 48)])
+        for _ in range(int(rng.integers(0, 4))):
+            i = int(rng.integers(0, len(q)))
+            q[i] = (q[i] + int(rng.integers(1, 4))) % 4
+        for _ in range(int(rng.integers(0, 2))):
+            g = int(rng.integers(-8, 9))
+            i = int(rng.integers(1, max(2, len(q) - abs(g) - 1)))
+            if g > 0:
+                q[i:i] = [int(rng.integers(0, 4)) for _ in range(g)]
+            else:
+                del q[i : i - g]
+        q = np.array(q[:48], np.uint8)
+        if len(q) < 2:
+            q = np.array([0, 1], np.uint8)
+        pairs.append((q, t))
+    _run_and_compare(pairs, Extd2Params(), Q=48, T=64, W=64)
