@@ -753,9 +753,14 @@ class AlignEngine:
         b = pull()
         if b is None:
             return
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        # two prep workers, two prep futures in flight: prep is ~68 ms
+        # of mixed NumPy/native (GIL-releasing) and Python work — with
+        # one worker the main loop measurably stalls on prep_fut.result
+        # (host_submit was the top phase after the round-4 device cuts)
+        with ThreadPoolExecutor(max_workers=2) as pool:
             q_front: deque = deque()   # front dispatched, chain pending
             q_dp: deque = deque()      # DP dispatched, results pending
+            q_prep: deque = deque()    # prep futures in flight
             q_front.append(self._submit_batch(*b))
             for _ in range(depth - 1):
                 b = pull()
@@ -763,11 +768,12 @@ class AlignEngine:
                     break
                 # further fronts in flight before any result is waited on
                 q_front.append(self._submit_batch(*b))
-            prep_fut = None
             if b is not None:
-                b = pull()
-                if b is not None:
-                    prep_fut = pool.submit(self._prep_batch, *b)
+                while len(q_prep) < 2:
+                    b = pull()
+                    if b is None:
+                        break
+                    q_prep.append(pool.submit(self._prep_batch, *b))
             while q_front or q_dp:
                 if q_front:
                     pend = q_front.popleft()
@@ -775,15 +781,15 @@ class AlignEngine:
                     # overlaps the next front's execution on device)
                     self._finish_front(pend)
                     q_dp.append(pend)
-                    if prep_fut is not None:
+                    if q_prep:
                         t = time.perf_counter()
                         q_front.append(
-                            self._dispatch_front(prep_fut.result()))
+                            self._dispatch_front(q_prep.popleft().result()))
                         self.prof["host_submit"] += time.perf_counter() - t
-                        prep_fut = None
                         b = pull()
                         if b is not None:
-                            prep_fut = pool.submit(self._prep_batch, *b)
+                            q_prep.append(
+                                pool.submit(self._prep_batch, *b))
                 # defer the DP phase one iteration while fronts remain:
                 # its result copies land while the newer front executes
                 if q_dp and (not q_front or len(q_dp) > 1):
