@@ -753,11 +753,11 @@ class AlignEngine:
         b = pull()
         if b is None:
             return
-        # two prep workers, two prep futures in flight: prep is ~68 ms
-        # of mixed NumPy/native (GIL-releasing) and Python work — with
-        # one worker the main loop measurably stalls on prep_fut.result
-        # (host_submit was the top phase after the round-4 device cuts)
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        # ONE prep worker, TWO prep futures in flight: prep is ~68 ms
+        # and the main loop stalls on prep_fut.result without a queue;
+        # a second WORKER was measured counterproductive (GIL contention
+        # slowed the main thread's replay phase by more than it saved)
+        with ThreadPoolExecutor(max_workers=1) as pool:
             q_front: deque = deque()   # front dispatched, chain pending
             q_dp: deque = deque()      # DP dispatched, results pending
             q_prep: deque = deque()    # prep futures in flight
