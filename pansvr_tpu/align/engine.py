@@ -1452,14 +1452,13 @@ class AlignEngine:
         # repairs, mostly tiny (measured on the bench world: 84.5% fit
         # 48x64, median 14x29) — the 64-wide 112-diagonal kernel does
         # ~4x less work per problem than the 96x128 class
-        # chunk quanta scale down with class cost: kernel time is
-        # (lanes/128) * n_diag * W, and the mid/big classes usually
-        # hold a small residue of requests (the tiny class takes ~84%)
-        # — a 2048-lane mid chunk for ~400 requests would be 80% padded
-        # work
+        # NB: shrinking the mid/big chunk quanta to their residue
+        # request counts was A/B'd 2026-08-20 and LOST (~65.5k -> 60.5k
+        # reads/s): sync_dp drops but the extra dispatches cost more on
+        # the saturated link than the padded lanes did
         classes = [(48, 64, 64, cfg.dp_chunk),
-                   (96, 128, 128, max(cfg.dp_chunk // 4, 256)),
-                   (dp_q, dp_t, 256, max(cfg.dp_chunk // 16, 128))]
+                   (96, 128, 128, cfg.dp_chunk),
+                   (dp_q, dp_t, 256, max(cfg.dp_chunk // 4, 128))]
         classes = [c for c in classes[:-1]
                    if c[0] < dp_q and c[1] < dp_t] + [classes[-1]]
         ql_all, tl_all = gb.req_sizes()
@@ -1747,14 +1746,13 @@ class AlignEngine:
                        chunks=[], big=[])
         if not reqs:
             return handles
-        # chunk quanta scale down with class cost: kernel time is
-        # (lanes/128) * n_diag * W, and the mid/big classes usually
-        # hold a small residue of requests (the tiny class takes ~84%)
-        # — a 2048-lane mid chunk for ~400 requests would be 80% padded
-        # work
+        # NB: shrinking the mid/big chunk quanta to their residue
+        # request counts was A/B'd 2026-08-20 and LOST (~65.5k -> 60.5k
+        # reads/s): sync_dp drops but the extra dispatches cost more on
+        # the saturated link than the padded lanes did
         classes = [(48, 64, 64, cfg.dp_chunk),
-                   (96, 128, 128, max(cfg.dp_chunk // 4, 256)),
-                   (dp_q, dp_t, 256, max(cfg.dp_chunk // 16, 128))]
+                   (96, 128, 128, cfg.dp_chunk),
+                   (dp_q, dp_t, 256, max(cfg.dp_chunk // 4, 128))]
         classes = [c for c in classes[:-1]
                    if c[0] < dp_q and c[1] < dp_t] + [classes[-1]]
         by_class: list[list[int]] = [[] for _ in classes]
