@@ -1184,8 +1184,12 @@ class AlignEngine:
                 self._k_shrink_run = 0
             if kmax > K:
                 # speculation missed (a row has more seeds than the
-                # chained width): re-chain at full width
-                K = cfg.max_seeds
+                # chained width): re-chain at full width. Clamp to the
+                # es the FRONT actually produced — a retier may have
+                # widened cfg.max_seeds after this batch was dispatched
+                # (jnp slicing would silently clamp and the buffer
+                # would unpack at the wrong K)
+                K = min(cfg.max_seeds, int(es.read_begin.shape[1]))
                 t = time.perf_counter()
                 buf_dev = _chain_body_fused(
                     stats3_dev, es, pend["is_str2"], K=K, rid=rid_dev)
