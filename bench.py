@@ -313,7 +313,13 @@ def main():
     if not rates:
         print("[bench] no pass survived the link", file=sys.stderr)
         _emit_stale_and_exit()
-    reads_per_s = sorted(rates)[len(rates) // 2]
+    rates.sort()
+    if len(rates) % 2:
+        reads_per_s = rates[len(rates) // 2]
+    else:
+        # even pass count (a pass lost to the link): lower-middle, so a
+        # dropped pass can't bias the published number upward
+        reads_per_s = rates[len(rates) // 2 - 1]
 
     # device-only rate from the engine phase profile of the last pass
     # (sync_* rows are device execution + result transfer waits)
@@ -346,6 +352,7 @@ def main():
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs_baseline, 3),
+        "n_passes": len(rates),
     }
     try:
         import datetime

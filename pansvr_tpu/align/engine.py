@@ -517,10 +517,10 @@ class EngineConfig:
     front: str = "auto"          # seeding front: "auto" = "v6" (flat
                                  # lanes + sort-merge-join probe) when
                                  # the entry table is sort-sized, else
-                                 # "v5" (flat + bisect probe; on-chip
-                                 # A/B at M=32: 0.34 s/call vs v1 bisect
-                                 # 0.59, v2 hash+slab 0.80); v1-v4 kept
-                                 # for A/B and CPU deployments
+                                 # "v5" (flat + bisect probe). Valid:
+                                 # {"auto", "v5", "v6"} — the retired
+                                 # v1-v4/v5h fronts are deleted (PERF.md
+                                 # epitaphs); unknown values raise
     native_glue: bool = True     # use native/engine_glue.cpp for the
                                  # collect/replay walks when built
     nf_mult: int = 10            # flat-front global lane budget (avg
@@ -613,6 +613,10 @@ class AlignEngine:
         if self.cfg.front == "auto":
             self.cfg.front = "v6" if idx.n_kmers <= SORTJOIN_MAX_KMER \
                 else "v5"
+        elif self.cfg.front not in ("v5", "v6"):
+            raise ValueError(
+                f"unknown EngineConfig.front {self.cfg.front!r} "
+                "(valid: 'auto', 'v5', 'v6')")
         # jax.sharding.Mesh with a 'data' axis: the front/chain/DP device
         # programs run shard_mapped (reads data-parallel, index replicated
         # per chip); None = single-device jit

@@ -39,7 +39,14 @@ def load_debga_index(index_dir: str) -> RdBGIndex:
     uni_seqf = _read(p("unipath.seqfb"), np.uint64).astype(np.int64)
     uni_pos = _read(p("unipath.pos"), np.uint64).astype(np.int64) - 1
     uni_posp = _read(p("unipath.posp"), np.uint64).astype(np.int64)
-    hash_g = _read(p("unipath_g.hash"), np.uint64).astype(np.int32)
+    hash_g_raw = _read(p("unipath_g.hash"), np.uint64)
+    # the last entry is n_kmers; int32 device tables silently wrap past
+    # 2^31 entries (plausible for whole-pangenome indexes) — fail loudly
+    if len(hash_g_raw) and int(hash_g_raw[-1]) > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"deBGA index has {int(hash_g_raw[-1])} k-mer entries, "
+            "over the int32 device-table limit")
+    hash_g = hash_g_raw.astype(np.int32)
     kmer_g = _read(p("unipath_g.kmer"), np.uint32)
     # NB buffer_off_g is uint64* (deBGA_index.hpp:163) though the loader's
     # size bookkeeping divides by 4; the data is 8-byte entries.

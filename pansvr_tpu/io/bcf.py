@@ -38,6 +38,7 @@ _SIZE = {1: 1, 2: 2, 3: 4, 5: 4, 7: 1}
 _FMT = {1: "b", 2: "h", 3: "i", 5: "f"}
 
 _QUAL_MISSING = 0x7F800001  # bcf_float_missing bit pattern
+_QUAL_EOV = 0x7F800002      # bcf_float_vector_end bit pattern
 
 
 def _fmt_float(v: float) -> str:
@@ -82,7 +83,13 @@ class _Cursor:
             s = self.buf[self.o : self.o + n].decode("latin-1")
             self.o += n
             return t, s
-        vals = list(struct.unpack_from(f"<{n}{_FMT[t]}", self.buf, self.o))
+        if t == 5:
+            # floats decode as uint32 BIT PATTERNS: bcf_float_missing
+            # (0x7F800001) and bcf_float_vector_end (0x7F800002) are both
+            # NaN as Python floats and would be indistinguishable
+            vals = list(struct.unpack_from(f"<{n}I", self.buf, self.o))
+        else:
+            vals = list(struct.unpack_from(f"<{n}{_FMT[t]}", self.buf, self.o))
         self.o += n * _SIZE[t]
         return t, vals
 
@@ -93,7 +100,18 @@ def _render_info_value(t: int, vals) -> str | bool:
     if t == 7:
         return vals                      # char string, verbatim
     if t == 5:
-        out = [("." if v != v else _fmt_float(v)) for v in vals]
+        # vals are uint32 bit patterns (see typed_value): terminate on
+        # vector-end, render '.' only for missing — the integer EOV/
+        # missing split (htslib vcf.c bcf_fmt_array float leg)
+        out = []
+        for bits in vals:
+            if bits == _QUAL_EOV:
+                break
+            if bits == _QUAL_MISSING:
+                out.append(".")
+            else:
+                out.append(_fmt_float(
+                    struct.unpack("<f", struct.pack("<I", bits))[0]))
     else:
         miss, eov = _MISSING[t], _EOV[t]
         out = []
@@ -218,8 +236,10 @@ class BCFReader:
                     c.o += per
                     cols[s].append(raw.rstrip("\0") or ".")
                     continue
+                # floats as uint32 bit patterns (as typed_value): the
+                # missing/EOV NaNs must stay distinguishable
                 vals = list(struct.unpack_from(
-                    f"<{per}{_FMT[t]}", c.buf, c.o))
+                    f"<{per}{'I' if t == 5 else _FMT[t]}", c.buf, c.o))
                 c.o += per * _SIZE[t]
                 if key == "GT":
                     cols[s].append(_render_gt(t, vals))

@@ -89,3 +89,39 @@ def test_anchor_builder_accepts_bcf(tmp_path, vcf2bcf):
     b = list(build_anchor_contigs(
         list(VCFReader(bcf_path)), ref, AnchorConfig()))
     assert [(c.name, c.seq) for c in a] == [(c.name, c.seq) for c in b]
+
+
+def test_float_vector_eov_terminates(tmp_path, vcf2bcf):
+    """Number=A/G float INFO+FORMAT vectors: htslib pads shorter
+    vectors with bcf_float_vector_end (0x7F800002, a NaN). The decoder
+    must TERMINATE on EOV (not render trailing ',.'), and render '.'
+    only for bcf_float_missing (0x7F800001) — the float leg of the
+    integer EOV/missing split (htslib vcf.c bcf_fmt_array)."""
+    from pansvr_tpu.io.vcf import VCFReader
+
+    vcf_path = str(tmp_path / "f.vcf")
+    with open(vcf_path, "w") as fh:
+        fh.write("\n".join([
+            "##fileformat=VCFv4.2",
+            "##contig=<ID=chr1,length=100000>",
+            '##INFO=<ID=AF,Number=A,Type=Float,Description="af">',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">',
+            '##FORMAT=<ID=GL,Number=G,Type=Float,Description="gl">',
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2",
+            # 2 ALTs on rec1 vs 1 on rec2: the shared INFO/FORMAT width
+            # is the max, so rec2's vectors carry EOV padding in BCF
+            "chr1\t100\t.\tA\tC,G\t30\tPASS\tAF=0.5,0.25\tGT:GL\t"
+            "0/1:-1.5,0,-2.5,-3,-3.5,-4\t1/2:-2,0,-1,.,-5,-6",
+            "chr1\t200\t.\tT\tG\t40\tPASS\tAF=0.125\tGT:GL\t"
+            "0/1:-0.5,0,-9\t1/1:-7,0,.",
+        ]) + "\n")
+    bcf_path = str(tmp_path / "f.bcf")
+    r = subprocess.run([vcf2bcf, vcf_path, bcf_path], capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()
+    text = list(VCFReader(vcf_path))
+    binary = list(VCFReader(bcf_path))
+    assert len(binary) == 2
+    for a, b in zip(text, binary):
+        assert a.info.get("AF") == b.info.get("AF"), (
+            a.info.get("AF"), b.info.get("AF"))
+        assert a.samples == b.samples, (a.samples, b.samples)

@@ -2,6 +2,7 @@
 # Build the reference panSVR + deBGA binaries into /tmp/refbuild for
 # golden-parity testing (never writes to /root/reference).
 set -e
+SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
 if [ ! -d /tmp/refbuild ]; then
     cp -r /root/reference /tmp/refbuild
 fi
@@ -17,6 +18,6 @@ H=/tmp/refbuild/Release/src/htslib
 if [ -f "$H/vcf.o" ] && [ ! -x /tmp/refbuild/vcf2bcf ]; then
     OBJS="$(ls $H/*.o | grep -v -E 'bgzip|htsfile|tabix|hfile_gcs') $(ls $H/cram/*.o)"
     gcc -O2 -I/root/reference/src -I/root/reference/src/htslib \
-        "$(dirname "$0")/vcf2bcf.c" $OBJS -o /tmp/refbuild/vcf2bcf \
+        "$SCRIPT_DIR/vcf2bcf.c" $OBJS -o /tmp/refbuild/vcf2bcf \
         -lz -lpthread -lm && echo "vcf2bcf: /tmp/refbuild/vcf2bcf"
 fi
