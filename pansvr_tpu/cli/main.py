@@ -14,6 +14,12 @@ import os
 import sys
 
 
+def _fl_arg(v: str):
+    """--first-level: an int, or 'auto' (size the 4^fl bucket table to
+    the k-mer population; see index.builder.resolve_first_level)."""
+    return v if v == "auto" else int(v)
+
+
 def _cmd_fc_anchor_ref(args):
     from ..anchor.builder import AnchorConfig, run_anchor_ref
     from ..io.fasta import Faidx
@@ -26,18 +32,15 @@ def _cmd_fc_anchor_ref(args):
 
 
 def _cmd_fc_index(args):
-    import pickle
-
     from ..index.builder import build_index
+    from ..index.store import save_index
     from ..io.fasta import read_fasta
 
     idx = build_index(
         list(read_fasta(args.anchors_fa).items()),
         first_level_bases=args.first_level,
     )
-    os.makedirs(args.index_dir, exist_ok=True)
-    with open(os.path.join(args.index_dir, "rdbg.pkl"), "wb") as fh:
-        pickle.dump(idx, fh)
+    save_index(idx, args.index_dir)
     print(
         f"index: {len(idx.chr_names)} contigs, {idx.n_kmers} kmers, "
         f"{idx.n_unitigs} unitigs -> {args.index_dir}", file=sys.stderr,
@@ -63,8 +66,6 @@ def _cmd_fc_signal(args):
 
 
 def _cmd_fc_aln(args):
-    import pickle
-
     from ..align.bam_out import emit_ori_pair, emit_pair, min_filter_score
     from ..align.engine import AlignEngine
     from ..align.host_align import PEScorer
@@ -72,8 +73,11 @@ def _cmd_fc_aln(args):
     from ..pipeline import parse_signal_comment, read_signal_fastq
     from ..signal.extract import SignalStats
 
-    with open(os.path.join(args.index_dir, "rdbg.pkl"), "rb") as fh:
-        idx = pickle.load(fh)
+    from ..index.store import load_any
+
+    # store dir (mmap'd flat arrays), legacy rdbg.pkl, or a deBGA dir —
+    # the mmap load keeps host RSS ~O(touched pages), not O(index)
+    idx = load_any(args.index_dir)
     header = BamHeader.from_sam_text(open(args.header_sam).read())
     stats = SignalStats.parse_status_text(open(args.status_file).read()) \
         if args.status_file else SignalStats(read_len=150, min_isize=200, max_isize=600)
@@ -317,7 +321,7 @@ def main(argv=None):
     s = sub.add_parser("fc_index", help="anchor FASTA -> RdBG index dir")
     s.add_argument("anchors_fa")
     s.add_argument("index_dir")
-    s.add_argument("--first-level", type=int, default=12)
+    s.add_argument("--first-level", type=_fl_arg, default="auto")
     s.set_defaults(fn=_cmd_fc_index)
 
     s = sub.add_parser("fc_signal", help="BAM/CRAM -> signal FASTQ")
@@ -366,7 +370,7 @@ def main(argv=None):
     s.add_argument("vcf")
     s.add_argument("bam")
     s.add_argument("workdir")
-    s.add_argument("--first-level", type=int, default=12)
+    s.add_argument("--first-level", type=_fl_arg, default="auto")
     s.add_argument("--sv-shards", type=int, default=1,
                    help="fan fc_sv out over N worker processes "
                         "(panSVR_run.sh per-chromosome fan-out analog)")

@@ -91,11 +91,26 @@ class RdBGIndex:
         return self.ref_codes[self.chr_starts[cid] : self.chr_starts[cid + 1]]
 
 
+def resolve_first_level(first_level_bases, n_kmers: int) -> int:
+    """'auto' -> smallest first level whose 4^fl bucket table matches the
+    k-mer population (bounded to [8, 14]). The reference hard-codes 14
+    (KMER_LEN_FIRST_LEVEL, deBGA_index.cpp:7) and pays a dense 4^14
+    table (1+ GB) even for megabase anchor sets; sizing the level to the
+    population keeps the table ~O(n_kmers) with the same two-level
+    probe semantics."""
+    if isinstance(first_level_bases, int):
+        return first_level_bases
+    fl = 8
+    while fl < 14 and (1 << (2 * fl)) < n_kmers:
+        fl += 1
+    return fl
+
+
 def build_index(
     contigs: list[tuple[str, str]],
     k: int = K_T,
     search_k: int = LEN_KMER,
-    first_level_bases: int = 14,
+    first_level_bases: int | str = "auto",
     spill_threshold: int = 32_000_000,
     spill_dir: str | None = None,
 ) -> RdBGIndex:
@@ -255,7 +270,7 @@ def build_index(
     del occ_pos, km_start, occ_first
 
     # --- two-level search table ------------------------------------------
-    fl = first_level_bases
+    fl = resolve_first_level(first_level_bases, n_uniq)
     low_bits = np.uint64(2 * (k - fl))
     mask = (np.uint64(1) << low_bits) - np.uint64(1)
     kmer_g = np.empty(n_uniq, dtype=np.uint32)
@@ -489,6 +504,7 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
 
 
 def _empty_index(names, chr_starts, ref_codes, ref_words, k, search_k, fl):
+    fl = resolve_first_level(fl, 0)
     return RdBGIndex(
         k=k, search_k=search_k, first_level_bases=fl,
         ref_codes=ref_codes, ref_words=ref_words,

@@ -30,7 +30,7 @@ from .signal.extract import SignalOptions, SignalStats, extract_signal
 class PipelineConfig:
     anchor: AnchorConfig = None
     signal: SignalOptions = None
-    first_level_bases: int = 12
+    first_level_bases: int | str = "auto"
     batch_size: int = 2048
     genome_size: float | None = None
     # >1: S5 runs as N fc_sv worker subprocesses over contiguous

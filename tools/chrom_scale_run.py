@@ -122,16 +122,17 @@ run_anchor_ref(f"{{W}}/svs.vcf", Faidx(f"{{W}}/genome.fa"),
 """
 
 INDEX_SRC = f"""
-import sys, os, pickle
+import sys, os
 sys.path.insert(0, {REPO!r})
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 from pansvr_tpu.index.builder import build_index
+from pansvr_tpu.index.store import save_index
 from pansvr_tpu.io.fasta import read_fasta
 W = {W!r}
 contigs = list(read_fasta(f"{{W}}/anchors.fa").items())
-idx = build_index(contigs, first_level_bases=14)
-with open(f"{{W}}/rdbg.pkl", "wb") as fh:
-    pickle.dump(idx, fh)
+idx = build_index(contigs, first_level_bases="auto")
+print(f"[index] fl={{idx.first_level_bases}} n_kmers={{idx.n_kmers}}")
+save_index(idx, f"{{W}}/rdbg")
 """
 
 SIGNAL_SRC = f"""
