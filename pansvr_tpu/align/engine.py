@@ -93,8 +93,30 @@ SORTJOIN_MAX_KMER = 1 << 22
 # ---- fused device programs (one dispatch each; per-op dispatch latency
 # over a remote-chip link otherwise dominates the batch time) -------------
 
+def _pack_mask_host(m: np.ndarray) -> np.ndarray:
+    """(rows, S0) bool -> (rows, ceil(S0/32)) int32 bitmask (little bit
+    order): the seed whitelist crosses the link as ~S0/8 bytes per row
+    instead of S0 bool bytes (~460 kB/batch saved at B=8192, S0=29)."""
+    rows, S0 = m.shape
+    W = (S0 + 31) // 32
+    b = np.packbits(m, axis=1, bitorder="little")
+    out = np.zeros((rows, W * 4), np.uint8)
+    out[:, : b.shape[1]] = b
+    return out.view(np.int32)
+
+
+def _unpack_mask(mask_words: jnp.ndarray, S0: int) -> jnp.ndarray:
+    """Device-side inverse of _pack_mask_host -> (rows, S0) bool."""
+    cols = np.arange(S0, dtype=np.int32)
+    w = mask_words[:, cols >> 5]
+    sh = jnp.asarray((cols & 31).astype(np.int32))[None, :]
+    return ((w >> sh) & 1) != 0
+
+
 def _front_body(didx, words, lens, mask, S0, S, M, front, n_ext,
                 nf_mult=10, compact=0):
+    if mask.dtype != jnp.bool_:
+        mask = _unpack_mask(mask, S0)
     if compact:
         # active-row compaction: rows with NO k-mer hit are common on
         # anchor-realignment workloads, so every post-probe stage
@@ -1008,7 +1030,8 @@ class AlignEngine:
         codes2 = np.concatenate([codes_f, codes_r], axis=0)
         words = pack_reads(codes2)
         lens2 = np.concatenate([lens, lens])
-        mask2 = np.concatenate([seed_mask_f, seed_mask_r], axis=0)
+        mask2 = _pack_mask_host(
+            np.concatenate([seed_mask_f, seed_mask_r], axis=0))
         return dict(states=states, active=active, n=n, n_pad=n_pad,
                     seqs=seqs, oris=oris, oversize=oversize, aux=aux,
                     words=words, lens2=lens2, mask2=mask2, S0=S0, L=L,
