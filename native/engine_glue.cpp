@@ -88,6 +88,10 @@ struct Chain {
   int32_t read_bg;
   int32_t chr_id;
   int64_t ref_bg;    // ref_begin0 - chr_starts[chr_id]
+  // path mode (glue_collect_paths): the walk's node sequence comes
+  // pre-gathered from the device instead of pre-pointer chasing
+  int32_t path_off = -1;
+  int32_t plen = 0;
   // collect pass records the DP requests this chain creates, in walk
   // order; the replay pass re-executes the identical control flow
   // (segment boundaries and the simple/DP decision never depend on a DP
@@ -112,6 +116,10 @@ struct Ctx {
   const int16_t *s_rb, *s_re, *s_dfe;
   const int32_t *s_fb;
   const int8_t *pre;
+  // path mode: device-compacted node arrays (ops/collect.py layout)
+  const int32_t *path_a = nullptr;   // rb | re<<16
+  const int32_t *path_b = nullptr;   // fb
+  const int16_t *path_dfe = nullptr; // fe - fb
   const uint8_t *codes_f, *codes_r;
   const int32_t *lens;
   const uint8_t *packed_ref;
@@ -277,14 +285,15 @@ struct Walk {
 // requests + tokens, replay pass rebuilds cigar + score from responses
 static void score_chain(Ctx* ctx, Chain* ch, bool collect) {
   const Params& p = ctx->p;
+  const bool path_mode = ch->path_off >= 0;
   const int32_t K = ctx->K;
   const int32_t row =
       ch->dir == 0 ? ch->read : ch->read + ctx->n_pad;
-  const int16_t* rb = ctx->s_rb + (int64_t)row * K;
-  const int16_t* re = ctx->s_re + (int64_t)row * K;
-  const int32_t* fb = ctx->s_fb + (int64_t)row * K;
-  const int16_t* dfe = ctx->s_dfe + (int64_t)row * K;
-  const int8_t* pre = ctx->pre + (int64_t)row * K;
+  const int16_t* rb = path_mode ? nullptr : ctx->s_rb + (int64_t)row * K;
+  const int16_t* re = path_mode ? nullptr : ctx->s_re + (int64_t)row * K;
+  const int32_t* fb = path_mode ? nullptr : ctx->s_fb + (int64_t)row * K;
+  const int16_t* dfe = path_mode ? nullptr : ctx->s_dfe + (int64_t)row * K;
+  const int8_t* pre = path_mode ? nullptr : ctx->pre + (int64_t)row * K;
 
   Walk w;
   w.ctx = ctx;
@@ -309,11 +318,22 @@ static void score_chain(Ctx* ctx, Chain* ch, bool collect) {
   int unitig_mis = 0;
 
   int32_t node = ch->node;
+  int32_t step = 0;
   while (true) {
-    int32_t mem_read_beg = rb[node];
-    int32_t mem_read_end = re[node];
-    int64_t mem_ref_beg = fb[node];
-    int64_t mem_ref_end = (int64_t)fb[node] + dfe[node];
+    int32_t mem_read_beg, mem_read_end;
+    int64_t mem_ref_beg, mem_ref_end;
+    if (path_mode) {
+      int32_t a = ctx->path_a[ch->path_off + step];
+      mem_read_beg = a & 0xFFFF;
+      mem_read_end = a >> 16;
+      mem_ref_beg = ctx->path_b[ch->path_off + step];
+      mem_ref_end = mem_ref_beg + ctx->path_dfe[ch->path_off + step];
+    } else {
+      mem_read_beg = rb[node];
+      mem_read_end = re[node];
+      mem_ref_beg = fb[node];
+      mem_ref_end = (int64_t)fb[node] + dfe[node];
+    }
 
     aln_read_begin = std::min(aln_read_begin, mem_read_end);
     aln_ref_begin = std::min(aln_ref_begin, mem_ref_end);
@@ -350,9 +370,13 @@ static void score_chain(Ctx* ctx, Chain* ch, bool collect) {
     aln_read_end = mem_read_beg;
     last_ref_begin = mem_ref_beg;
     aln_ref_end = mem_ref_beg;
-    int32_t nxt = pre[node];
-    if (nxt == -1) break;
-    node = nxt;
+    if (path_mode) {
+      if (++step >= ch->plen) break;
+    } else {
+      int32_t nxt = pre[node];
+      if (nxt == -1) break;
+      node = nxt;
+    }
   }
 
   if (aln_read_end < last_aln_begin) {
@@ -506,6 +530,90 @@ void* glue_collect(
     }
     if (!ro.chain_ids.empty()) ctx->reads.push_back(std::move(ro));
   }
+  *n_req_out = (int32_t)ctx->reqs.size();
+  return ctx;
+}
+
+// Path-mode collect: the per-read chain selection and the pre-pointer
+// path gather already ran ON DEVICE (pansvr_tpu/ops/collect.py
+// select_and_paths, same break/sort semantics as the loop above); this
+// entry consumes the compacted chain/path lanes — the full (rows, K)
+// chain tensors never cross the link. chain_meta lanes are read-major;
+// bit 24 of meta0 marks a host-fallback read's chain (skip the walk but
+// advance the path cursor by its plen).
+void* glue_collect_paths(
+    int32_t n_pad, int32_t L, const int32_t* chain_meta, int32_t n_lanes,
+    const int32_t* path_a, const int32_t* path_b, const int16_t* path_dfe,
+    const uint8_t* codes_f, const uint8_t* codes_r, const int32_t* lens,
+    const uint8_t* packed_ref, int64_t ref_len, const int64_t* chr_starts,
+    int32_t n_chr, const int32_t* sv_st_pos, int32_t match,
+    int32_t mismatch, int32_t gap_open, int32_t gap_ex, int32_t gap_open2,
+    int32_t gap_ex2, int32_t* n_req_out) {
+  Ctx* ctx = new Ctx();
+  ctx->p = {match, mismatch, gap_open, gap_ex, gap_open2, gap_ex2};
+  ctx->n_pad = n_pad;
+  ctx->L = L;
+  ctx->K = 0;
+  ctx->s_rb = nullptr;
+  ctx->s_re = nullptr;
+  ctx->s_fb = nullptr;
+  ctx->s_dfe = nullptr;
+  ctx->pre = nullptr;
+  ctx->path_a = path_a;
+  ctx->path_b = path_b;
+  ctx->path_dfe = path_dfe;
+  ctx->codes_f = codes_f;
+  ctx->codes_r = codes_r;
+  ctx->lens = lens;
+  ctx->packed_ref = packed_ref;
+  ctx->ref_len = ref_len;
+  ctx->chr_starts = chr_starts;
+  ctx->n_chr = n_chr;
+  ctx->sv_st_pos = sv_st_pos;
+
+  int64_t cursor = 0;
+  int32_t cur_read = -1;
+  ReadOut ro;
+  ro.read = -1;
+  for (int32_t lane = 0; lane < n_lanes; lane++) {
+    int32_t m0 = chain_meta[(int64_t)lane * 3];
+    if (m0 < 0) continue;  // unused lane (plen 0, no cursor advance)
+    int32_t plen = (m0 >> 16) & 0xFF;
+    int64_t off = cursor;
+    cursor += plen;
+    if (m0 & (1 << 24)) continue;  // over-budget read: host fallback
+    if (plen == 0) continue;       // defensive: no nodes, no walk
+    int32_t read = m0 & 0x7FFF;
+    int32_t m1 = chain_meta[(int64_t)lane * 3 + 1];
+    int64_t ref_begin0 = chain_meta[(int64_t)lane * 3 + 2];
+    int32_t cid =
+        (int32_t)(std::upper_bound(chr_starts, chr_starts + n_chr + 1,
+                                   ref_begin0) -
+                  chr_starts) -
+        1;
+    Chain c;
+    c.read = read;
+    c.dir = (uint8_t)((m0 >> 15) & 1);
+    c.chain_score = m1 & 0xFFFF;
+    c.node = 0;
+    c.read_bg = m1 >> 16;
+    c.chr_id = cid;
+    c.ref_bg = ref_begin0 - chr_starts[cid];
+    c.path_off = (int32_t)off;
+    c.plen = plen;
+    if (read != cur_read) {
+      if (!ro.chain_ids.empty()) ctx->reads.push_back(std::move(ro));
+      ro = ReadOut();
+      ro.read = read;
+      ro.max_chain_score = 0;  // filter already applied on device
+      cur_read = read;
+    }
+    ctx->chains.push_back(std::move(c));
+    int32_t cid2 = (int32_t)ctx->chains.size() - 1;
+    ro.chain_ids.push_back(cid2);
+    score_chain(ctx, &ctx->chains[cid2], /*collect=*/true);
+  }
+  if (!ro.chain_ids.empty()) ctx->reads.push_back(std::move(ro));
   *n_req_out = (int32_t)ctx->reqs.size();
   return ctx;
 }

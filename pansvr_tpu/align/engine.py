@@ -261,6 +261,90 @@ def _chain_fuse(stats3, es, is_str, K, rid=None):
 _chain_body_fused = jax.jit(_chain_fuse, static_argnames=("K",))
 
 
+def _collect_fuse(stats3, es, is_str, K, rid, active_words, n_pad, NC, NP):
+    """Fused chain + DEVICE COLLECT buffer: the chain program runs at
+    width K, then ops/collect.select_and_paths performs the per-read
+    chain selection and pre-pointer path gather on device — only the
+    compacted chain/path lanes cross the link (vs the (rows, K) chain
+    tensors of _chain_fuse). Layout:
+    [stats3 (3,B2) i32][rid (R) i32 if compacted][over (n_pad) i32]
+    [scal (4,) i32 = n_chains,total_chains,n_nodes,total_nodes][chain_meta (NC,3) i32]
+    [path_a (NP) i32][path_b (NP) i32][path_dfe (NP) i16]"""
+    from ..ops.collect import select_and_paths
+
+    if rid is not None:
+        B_full = is_str.shape[0]
+        is_str = is_str[jnp.clip(rid, 0, B_full - 1)] & (rid < B_full)
+    cr = chain_batch(
+        es.read_begin[:, :K], es.read_end[:, :K], es.ref_begin[:, :K],
+        es.ref_end[:, :K], es.cov[:, :K], es.seed_id[:, :K],
+        es.valid[:, :K], is_str)
+    hit_idx, hit_score, hit_final = chain_extract_batch(
+        cr.dist, cr.pre, cr.valid)
+    co = select_and_paths(
+        cr.read_begin, cr.read_end, cr.ref_begin, cr.ref_end, cr.pre,
+        hit_idx, hit_score, hit_final, active_words, rid,
+        n_pad=n_pad, NC=NC, NP=NP)
+    parts = [_b8(stats3)]
+    if rid is not None:
+        parts.append(_b8(rid))
+    parts += [
+        _b8(co.over),
+        _b8(jnp.concatenate([co.n_chains, co.n_nodes])),
+        _b8(co.chain_meta),
+        _b8(co.path_a), _b8(co.path_b),
+        _b8(co.path_dfe.astype(jnp.int16)),
+    ]
+    return jnp.concatenate(parts)
+
+
+_collect_fused = jax.jit(
+    _collect_fuse, static_argnames=("K", "n_pad", "NC", "NP"))
+
+
+def _collect_unpack(buf: np.ndarray, B: int, K: int, n_pad: int,
+                    NC: int, NP: int, R: int = 0):
+    """Host views into the fused collect buffer (layout: _collect_fuse)."""
+    o = 0
+
+    def take(n, dt, shape):
+        nonlocal o
+        v = buf[o : o + n].view(dt).reshape(shape)
+        o += n
+        return v
+
+    stats3 = take(12 * B, np.int32, (3, B))
+    if R:
+        take(4 * R, np.int32, (R,))  # rid (host already knows it)
+    over = take(4 * n_pad, np.int32, (n_pad,))
+    scal = take(16, np.int32, (4,))
+    chain_meta = take(12 * NC, np.int32, (NC, 3))
+    path_a = take(4 * NP, np.int32, (NP,))
+    path_b = take(4 * NP, np.int32, (NP,))
+    path_dfe = take(2 * NP, np.int16, (NP,))
+    return stats3, over, scal, chain_meta, path_a, path_b, path_dfe
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S0", "S", "M", "front", "n_ext", "nf_mult",
+                     "K", "compact", "n_pad", "NC", "NP"))
+def _device_front_chain_collect(didx, words, lens, mask, is_str2,
+                                active_words, S0, S, M, front, n_ext,
+                                nf_mult, K, compact, n_pad, NC, NP):
+    """Front + chain + device collect in ONE submit-time program."""
+    if compact:
+        es, stats3, rid = _front_body(didx, words, lens, mask, S0, S, M,
+                                      front, n_ext, nf_mult, compact)
+    else:
+        es, stats3 = _front_body(didx, words, lens, mask, S0, S, M, front,
+                                 n_ext, nf_mult)
+        rid = None
+    buf = _collect_fuse(stats3, es, is_str2, K, rid, active_words,
+                        n_pad, NC, NP)
+    return es, stats3, rid, buf
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("S0", "S", "M", "front", "n_ext", "nf_mult",
@@ -585,6 +669,22 @@ class EngineConfig:
                                  # "finish" = in _finish_front (the
                                  # round-3 winner at depth 2, where the
                                  # early copy delayed DP fetches)
+    collect: str = "auto"        # where the chain selection + walk-path
+                                 # gather run: "device" (ops/collect in
+                                 # the fused front program; only the
+                                 # compacted chain/path lanes cross the
+                                 # link — ~0.6 MB/batch less d2h) or
+                                 # "host" (round-4 path: ship (rows, K)
+                                 # chain tensors, C++ chases pre
+                                 # pointers). "auto" = device on the
+                                 # fused single-chip path when the built
+                                 # glue has glue_collect_paths.
+    collect_mult: int = 1        # device-collect lane budgets:
+                                 # NC = mult*n_pad chains,
+                                 # NP = 2*mult*n_pad path nodes; reads
+                                 # over budget take the host path and
+                                 # the engine doubles the mult (one
+                                 # recompile per step, <= 8)
     pipe_order: str = "late"     # align_stream next-front dispatch point:
                                  # "late" = after this batch's DP,
                                  # "early" = right after its chain program.
@@ -1032,9 +1132,13 @@ class AlignEngine:
         lens2 = np.concatenate([lens, lens])
         mask2 = _pack_mask_host(
             np.concatenate([seed_mask_f, seed_mask_r], axis=0))
+        act_pad = np.zeros(n_pad, bool)
+        act_pad[:n] = act_mask
+        active_words = _pack_mask_host(act_pad[None, :]).ravel()
         return dict(states=states, active=active, n=n, n_pad=n_pad,
                     seqs=seqs, oris=oris, oversize=oversize, aux=aux,
-                    words=words, lens2=lens2, mask2=mask2, S0=S0, L=L,
+                    words=words, lens2=lens2, mask2=mask2,
+                    active_words=active_words, S0=S0, L=L,
                     is_str=is_str, codes_f=codes_f, codes_r=codes_r,
                     lens=lens)
 
@@ -1100,18 +1204,33 @@ class AlignEngine:
                         # engage only when it saves at least 12.5% of
                         # the rows (each distinct comp is a compile)
                         comp = max(256, min(self._comp_cap, rows))
-                es, stats3_dev, rid_dev, buf_dev = _device_front_chain(
-                    self.didx, words_dev, lens2, mask2, is_str2, S0=S0,
-                    S=cfg.max_seeds, M=M, front=cfg.front, n_ext=n_ext,
-                    nf_mult=cfg.nf_mult, K=K,
-                    compact=comp,
-                )
+                if self._use_device_collect():
+                    n_pad = prep["n_pad"]
+                    NC, NP = self._collect_budgets(n_pad)
+                    aw_dev = jax.device_put(prep["active_words"])
+                    es, stats3_dev, rid_dev, buf_dev = \
+                        _device_front_chain_collect(
+                            self.didx, words_dev, lens2, mask2, is_str2,
+                            aw_dev, S0=S0, S=cfg.max_seeds, M=M,
+                            front=cfg.front, n_ext=n_ext,
+                            nf_mult=cfg.nf_mult, K=K, compact=comp,
+                            n_pad=n_pad, NC=NC, NP=NP,
+                        )
+                    chain_spec = ("collect", buf_dev, K, comp, rid_dev,
+                                  aw_dev, NC, NP)
+                else:
+                    es, stats3_dev, rid_dev, buf_dev = _device_front_chain(
+                        self.didx, words_dev, lens2, mask2, is_str2, S0=S0,
+                        S=cfg.max_seeds, M=M, front=cfg.front, n_ext=n_ext,
+                        nf_mult=cfg.nf_mult, K=K,
+                        compact=comp,
+                    )
+                    chain_spec = ("fused", buf_dev, K, comp, rid_dev)
                 if getattr(cfg, "chain_copy", "finish") == "dispatch":
                     try:
                         buf_dev.copy_to_host_async()
                     except (AttributeError, TypeError):
                         pass
-                chain_spec = ("fused", buf_dev, K, comp, rid_dev)
             else:
                 es, stats3_dev = _device_front(
                     self.didx, words_dev, lens2, mask2, S0=S0,
@@ -1132,6 +1251,24 @@ class AlignEngine:
         for k in ("words", "lens2", "mask2"):
             prep.pop(k, None)
         return prep
+
+    def _use_device_collect(self) -> bool:
+        c = getattr(self.cfg, "collect", "auto")
+        if c == "host":
+            return False
+        has = self._glue_lib is not None and hasattr(
+            self._glue_lib, "glue_collect_paths")
+        if c == "device":
+            if not has:
+                raise RuntimeError(
+                    "collect='device' needs libpansvr_glue with "
+                    "glue_collect_paths (tools/build_native.sh)")
+            return True
+        return has
+
+    def _collect_budgets(self, n_pad: int) -> tuple[int, int]:
+        m = getattr(self.cfg, "collect_mult", 1)
+        return m * n_pad, 2 * m * n_pad
 
     def _finish_batch(self, pend, on_dp_dispatched=None):
         """One-shot finish: front phase (chain fetch, collect, DP
@@ -1164,6 +1301,8 @@ class AlignEngine:
         cs = pend.get("chain_spec")
         comp = 0
         rid_dev = None
+        collect_data = None
+        kind = "pending"
         if cs is not None:
             # single-device path: chain speculated at the previous
             # batch's K; its results (+ the front stats) arrive in ONE
@@ -1172,8 +1311,13 @@ class AlignEngine:
             # otherwise dispatch the chain now (its dispatch blocks
             # until the front materializes over the remote link)
             t = time.perf_counter()
+            kind = cs[0] if isinstance(cs, tuple) else "pending"
+            aw_dev = NC = NP = None
             if isinstance(cs, tuple):
-                _, buf_dev, K, comp, rid_dev = cs
+                if kind == "collect":
+                    _, buf_dev, K, comp, rid_dev, aw_dev, NC, NP = cs
+                else:
+                    _, buf_dev, K, comp, rid_dev = cs
                 try:
                     # start the host copy before blocking (issued here,
                     # AFTER the previous batch's DP results were fetched,
@@ -1188,8 +1332,15 @@ class AlignEngine:
             buf = np.asarray(buf_dev)
             self.prof["sync_chain"] += time.perf_counter() - t
             B2 = 2 * n_pad
-            stats3, s_fb, p16, pre, hits8, hit_score = _chain_unpack(
-                buf, B2, K, comp)
+            if kind == "collect":
+                stats3, c_over, c_scal, chain_meta, path_a, path_b, \
+                    path_dfe = _collect_unpack(buf, B2, K, n_pad, NC, NP,
+                                               comp)
+                collect_data = True
+                s_fb = p16 = pre = hits8 = hit_score = None
+            else:
+                stats3, s_fb, p16, pre, hits8, hit_score = _chain_unpack(
+                    buf, B2, K, comp)
             overflow, dropped, seed_count = stats3
             kmax = int(seed_count.max()) if len(seed_count) else 0
             # adapt the speculative width with hysteresis: grow at once
@@ -1218,12 +1369,22 @@ class AlignEngine:
                 # would unpack at the wrong K)
                 K = min(cfg.max_seeds, int(es.read_begin.shape[1]))
                 t = time.perf_counter()
-                buf_dev = _chain_body_fused(
-                    stats3_dev, es, pend["is_str2"], K=K, rid=rid_dev)
-                buf = np.asarray(buf_dev)
-                self.prof["sync_chain"] += time.perf_counter() - t
-                _, s_fb, p16, pre, hits8, hit_score = _chain_unpack(
-                    buf, B2, K, comp)
+                if kind == "collect":
+                    buf_dev = _collect_fused(
+                        stats3_dev, es, pend["is_str2"], K=K, rid=rid_dev,
+                        active_words=aw_dev, n_pad=n_pad, NC=NC, NP=NP)
+                    buf = np.asarray(buf_dev)
+                    self.prof["sync_chain"] += time.perf_counter() - t
+                    _, c_over, c_scal, chain_meta, path_a, path_b, \
+                        path_dfe = _collect_unpack(buf, B2, K, n_pad, NC,
+                                                   NP, comp)
+                else:
+                    buf_dev = _chain_body_fused(
+                        stats3_dev, es, pend["is_str2"], K=K, rid=rid_dev)
+                    buf = np.asarray(buf_dev)
+                    self.prof["sync_chain"] += time.perf_counter() - t
+                    _, s_fb, p16, pre, hits8, hit_score = _chain_unpack(
+                        buf, B2, K, comp)
         else:
             t = time.perf_counter()
             stats3 = np.asarray(stats3_dev)
@@ -1250,6 +1411,31 @@ class AlignEngine:
 
         fallback = set(int(r) % n_pad for r in np.nonzero(overflow > 0)[0])
         fallback |= set(int(r) % n_pad for r in np.nonzero(dropped > 0)[0])
+        n_collect_over = 0
+        if collect_data is not None:
+            # reads whose chains/paths missed the device-collect lane
+            # budgets: exact host path now, wider budgets next compile
+            co_reads = set(int(r) for r in np.nonzero(c_over)[0])
+            n_collect_over = len(co_reads - fallback)
+            fallback |= co_reads
+            if n_collect_over and getattr(cfg, "collect_mult", 1) < 16:
+                # size the next compile's budgets from the TRUE demand
+                # the device reported (c_scal carries unclipped totals)
+                need = max(
+                    -(-int(c_scal[1]) // n_pad),
+                    -(-int(c_scal[3]) // (2 * n_pad)),
+                    cfg.collect_mult + 1,
+                )
+                new_mult = 1 << (need - 1).bit_length()
+                new_mult = min(16, max(new_mult, cfg.collect_mult * 2))
+                cfg.collect_mult = new_mult
+                import sys as _sys
+
+                print(
+                    f"[pansvr engine] device-collect budgets overflowed "
+                    f"for {n_collect_over} reads: collect_mult -> "
+                    f"{cfg.collect_mult} (one-time recompile)",
+                    file=_sys.stderr)
         pend["fallback"] = fallback
         t = time.perf_counter()
         for i in list(fallback):
@@ -1312,6 +1498,35 @@ class AlignEngine:
             # batch's DP instead.
             on_dp_dispatched()
             on_dp_dispatched = None
+        if collect_data is not None:
+            # device-collect path: selection + path gather already ran on
+            # device; mark host-fallback reads' chains with the skip bit
+            # so C++ doesn't also produce results for them, then walk the
+            # compacted lanes
+            t = time.perf_counter()
+            n_chains = int(c_scal[0])
+            n_nodes = int(c_scal[2])
+            chain_meta = chain_meta[:n_chains]
+            if fallback and n_chains:
+                chain_meta = chain_meta.copy()  # fetched buffer is RO
+                m0 = chain_meta[:, 0]
+                fb_arr = np.fromiter(fallback, np.int32, len(fallback))
+                bad = (m0 >= 0) & np.isin(m0 & 0x7FFF, fb_arr)
+                chain_meta[:, 0] = np.where(bad, m0 | (1 << 24), m0)
+            gb = native_glue.GlueBatch.from_paths(
+                self._glue_lib, n_pad=n_pad, L=pend["codes_f"].shape[1],
+                chain_meta=chain_meta,
+                path_a=path_a[:n_nodes], path_b=path_b[:n_nodes],
+                path_dfe=path_dfe[:n_nodes],
+                codes_f=pend["codes_f"], codes_r=pend["codes_r"],
+                lens=pend["lens"], packed_ref=self._packed_ref,
+                chr_starts=self._chr_starts64, sv_st_pos=self._sv_st_pos,
+                params=self.p,
+            )
+            self.prof["host_collect"] += time.perf_counter() - t
+            self.prof["n_dp_req"] += gb.n_req
+            self._dispatch_dp_from_gb(pend, gb, on_dp_dispatched)
+            return
         if self._glue_lib is not None:
             self._dispatch_native_dp(
                 pend, states, active, n_pad, s_fb, p16, pre, hits8,
@@ -1475,6 +1690,13 @@ class AlignEngine:
         )
         self.prof["host_collect"] += time.perf_counter() - t
         self.prof["n_dp_req"] += gb.n_req
+        self._dispatch_dp_from_gb(pend, gb, on_dp_dispatched)
+
+    def _dispatch_dp_from_gb(self, pend, gb, on_dp_dispatched):
+        """DP dispatch over size classes from a built GlueBatch (shared
+        by the host-collect and device-collect paths)."""
+        cfg = self.cfg
+        read_class = pend.get("read_class", 160)
 
         # ---- DP dispatch over size classes -----------------------------
         t = time.perf_counter()

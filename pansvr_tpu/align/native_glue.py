@@ -49,6 +49,18 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, _i32,
         ]
+        try:
+            lib.glue_collect_paths.restype = ctypes.c_void_p
+            lib.glue_collect_paths.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, _i32, ctypes.c_int32,
+                _i32, _i32, _i16,
+                _u8, _u8, _i32, _u8, ctypes.c_int64,
+                _i64, ctypes.c_int32, _i32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _i32,
+            ]
+        except AttributeError:
+            pass  # older built library without the device-collect path
         lib.glue_req_sizes.argtypes = [ctypes.c_void_p, _i32, _i32]
         lib.glue_fill_dp.argtypes = [
             ctypes.c_void_p, _i32, ctypes.c_int32,
@@ -453,6 +465,36 @@ def _p(a: np.ndarray, ty):
 
 class GlueBatch:
     """One batch's native collect/replay lifecycle."""
+
+    @classmethod
+    def from_paths(cls, lib, *, n_pad, L, chain_meta, path_a, path_b,
+                   path_dfe, codes_f, codes_r, lens, packed_ref,
+                   chr_starts, sv_st_pos, params):
+        """Path-mode collect: chain selection + path gather ran on
+        device (ops/collect.select_and_paths); only the compacted
+        chain/path lanes reach C++."""
+        self = cls.__new__(cls)
+        self.lib = lib
+        arrays = [chain_meta, path_a, path_b, path_dfe, codes_f, codes_r,
+                  lens, packed_ref, chr_starts, sv_st_pos]
+        dts = [np.int32, np.int32, np.int32, np.int16, np.uint8, np.uint8,
+               np.int32, np.uint8, np.int64, np.int32]
+        self._keep = [np.ascontiguousarray(a, dt)
+                      for a, dt in zip(arrays, dts)]
+        (chain_meta, path_a, path_b, path_dfe, codes_f, codes_r, lens,
+         packed_ref, chr_starts, sv_st_pos) = self._keep
+        n_req = np.zeros(1, np.int32)
+        self.ctx = lib.glue_collect_paths(
+            n_pad, L, _p(chain_meta, _i32), chain_meta.shape[0],
+            _p(path_a, _i32), _p(path_b, _i32), _p(path_dfe, _i16),
+            _p(codes_f, _u8), _p(codes_r, _u8), _p(lens, _i32),
+            _p(packed_ref, _u8), len(packed_ref),
+            _p(chr_starts, _i64), len(chr_starts) - 1, _p(sv_st_pos, _i32),
+            params.match, params.mismatch, params.gap_open, params.gap_ex,
+            params.gap_open2, params.gap_ex2, _p(n_req, _i32),
+        )
+        self.n_req = int(n_req[0])
+        return self
 
     def __init__(self, lib, *, n_pad, L, K, s_rb, s_re, s_fb, s_dfe, pre,
                  hit_idx, hit_score, hit_final, codes_f, codes_r, lens,

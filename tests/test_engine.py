@@ -262,3 +262,49 @@ def test_compact_front_parity():
     # the peak-based budget must have engaged (compaction actually ran)
     assert eng_on._comp_cap > 0, "compaction never engaged"
     assert eng_off._comp_cap == 0
+
+
+def test_device_collect_matches_host_collect(world):
+    """collect='device' (ops/collect.select_and_paths + path-mode glue)
+    produces identical results to collect='host' (C++ pre-chasing on the
+    shipped chain tensors) — the round-5 link-diet path."""
+    from pansvr_tpu.align import native_glue
+
+    if native_glue.get_lib() is None or not hasattr(
+            native_glue.get_lib(), "glue_collect_paths"):
+        pytest.skip("glue_collect_paths not built")
+    ds, idx, host, _ = world
+    seqs = [s for r in ds.reads[:48] for s in (r.seq1, r.seq2)]
+    oris = [OriResult(unmapped=True) for _ in seqs]
+    ea = AlignEngine(idx, ori_chrom_names=list(ds.genome),
+                     config=EngineConfig(collect="device"))
+    eb = AlignEngine(idx, ori_chrom_names=list(ds.genome),
+                     config=EngineConfig(collect="host"))
+    sa = ea.align_batch(seqs, oris)
+    sb = eb.align_batch(seqs, oris)
+    for k, (x, y) in enumerate(zip(sa, sb)):
+        _cmp_states(y, x, f"read {k}")
+
+
+def test_device_collect_budget_overflow_falls_back(world):
+    """Reads over the NC/NP lane budgets take the exact host path and
+    the engine widens collect_mult from the device-reported demand."""
+    ds, idx, host, _ = world
+    from pansvr_tpu.align import native_glue
+
+    if native_glue.get_lib() is None or not hasattr(
+            native_glue.get_lib(), "glue_collect_paths"):
+        pytest.skip("glue_collect_paths not built")
+    seqs = [s for r in ds.reads[:48] for s in (r.seq1, r.seq2)]
+    oris = [OriResult(unmapped=True) for _ in seqs]
+    cfg = EngineConfig(collect="device")
+    ea = AlignEngine(idx, ori_chrom_names=list(ds.genome), config=cfg)
+    # sabotage the budgets: monkeypatch tiny NC/NP so overflow fires
+    ea._collect_budgets = lambda n_pad: (8, 16)
+    sa = ea.align_batch(seqs, oris)
+    assert cfg.collect_mult > 1  # grew from the reported demand
+    eb = AlignEngine(idx, ori_chrom_names=list(ds.genome),
+                     config=EngineConfig(collect="host"))
+    sb = eb.align_batch(seqs, oris)
+    for k, (x, y) in enumerate(zip(sa, sb)):
+        _cmp_states(y, x, f"read {k}")
