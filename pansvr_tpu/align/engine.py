@@ -1704,14 +1704,17 @@ class AlignEngine:
         # (48, 64) first: the realigner's DP segments are chain-gap
         # repairs, mostly tiny (measured on the bench world: 84.5% fit
         # 48x64, median 14x29) — the 64-wide 112-diagonal kernel does
-        # ~4x less work per problem than the 96x128 class
-        # NB: shrinking the mid/big chunk quanta to their residue
-        # request counts was A/B'd 2026-08-20 and LOST (~65.5k -> 60.5k
-        # reads/s): sync_dp drops but the extra dispatches cost more on
-        # the saturated link than the padded lanes did
+        # ~4x less work per problem than the 96x128 class.
+        # Residue chunks drop to CHUNK//4 lanes (tools/probe_dp.py
+        # 2026-08-20: kernel exec scales sublinearly with lanes — a
+        # 512-lane sweep is ~11 ms vs 47 ms at 2048 — while the mid/big
+        # classes hold only ~500/~50 requests per batch; two quantized
+        # shapes per class bound the compile count). The round-4
+        # "exact-residue chunks" A/B lost to RECOMPILES, not to the
+        # quanta themselves.
         classes = [(48, 64, 64, cfg.dp_chunk),
-                   (96, 128, 128, cfg.dp_chunk),
-                   (dp_q, dp_t, 256, max(cfg.dp_chunk // 4, 128))]
+                   (96, 128, 128, max(cfg.dp_chunk // 4, 128)),
+                   (dp_q, dp_t, 256, max(cfg.dp_chunk // 16, 128))]
         classes = [c for c in classes[:-1]
                    if c[0] < dp_q and c[1] < dp_t] + [classes[-1]]
         ql_all, tl_all = gb.req_sizes()
@@ -1729,7 +1732,24 @@ class AlignEngine:
         chunks = []
         for ci, (cq, ct, W, CHUNK) in enumerate(classes):
             members = np.nonzero(assigned == ci)[0].astype(np.int32)
-            for c0 in range(0, len(members), CHUNK):
+            # size-sort within the class: the kernel's per-128-lane block
+            # sweep bound is max(ql+tl) over the block, so homogeneous
+            # blocks sweep only what their own problems need
+            members = members[np.argsort(
+                ql_all[members] + tl_all[members], kind="stable")]
+            # full-quantum chunks, then the residue at the small quantum
+            # (2 compiled shapes per class; sublinear lane scaling makes
+            # the small sweep ~4x cheaper)
+            small = max(CHUNK // 4, 128)
+            bounds = []
+            c0 = 0
+            while len(members) - c0 >= CHUNK:
+                bounds.append((c0, CHUNK))
+                c0 += CHUNK
+            while c0 < len(members):
+                bounds.append((c0, small))
+                c0 += small
+            for c0, CHUNK in bounds:
                 mem = members[c0 : c0 + CHUNK]
                 if meta5 is not None:
                     pad = CHUNK - len(mem)
@@ -1796,15 +1816,24 @@ class AlignEngine:
                 np.array([k], np.int32), int(ql_all[k]), int(tl_all[k]), 1)
             ez = self._scalar_dp(qc[0, : ql[0]], tc[0, : tl[0]])
             gb.set_dp_scalar(int(k), ez)
+        t2 = time.perf_counter()
+        self.prof["dp_big"] += t2 - t
+        self.prof["n_dp_big"] += len(big)
         skip = self.cfg.use_pallas()
+        t_dec = 0.0
         for mem, payload in chunks:
             if payload[0] == "fused":
-                ops, packed = _dp_unpack(np.asarray(payload[1]), payload[2])
+                raw = np.asarray(payload[1])
+                td = time.perf_counter()
+                ops, packed = _dp_unpack(raw, payload[2])
             else:
                 ops = np.asarray(payload[1])
                 packed = np.asarray(payload[2])
+                td = time.perf_counter()
             gb.set_dp_chunk(mem, ops[: len(mem)], packed[:, : len(mem)],
                             skip)
+            t_dec += time.perf_counter() - td
+        self.prof["dp_decode"] += t_dec
         self.prof["sync_dp"] += time.perf_counter() - t
 
         # ---- replay + result objects -----------------------------------

@@ -337,20 +337,28 @@ def _fwd_kernel(q_ref, t_ref, qlen_ref, tlen_ref, dmat_ref, out_ref,
               ni, mi, ni, mi,
               ni, jnp.zeros((BLK,), jnp.int32),
               jnp.int32(-1))
-    carry = jax.lax.fori_loop(0, n_diag_pad, step, carry0)
+    # dynamic diagonal bound: this block only sweeps to its own longest
+    # problem (rounded to the dmat DMA chunk). Lanes are dead past
+    # qlen+tlen-1 anyway (active=false), so the cut is exact; callers
+    # sort requests by size so blocks are homogeneous and the bulk of
+    # the padded class sweep disappears (probe 2026-08-20: the 48x64
+    # class ran 112 diagonals for a median 14x29 problem).
+    n_act = jnp.clip(
+        ((jnp.max(qlen + tlen) - 1 + DCHUNK - 1) // DCHUNK) * DCHUNK,
+        DCHUNK, n_diag_pad)
+    carry = jax.lax.fori_loop(0, n_act, step, carry0,
+                              unroll=False)
     (last_st, last_en, ez_max, ez_max_q, ez_max_t,
      mqe, mqe_t, mte, mte_q, score, zdropped, _o) = carry
 
     if with_dmat:
-        nchunks = n_diag_pad // DCHUNK
+        nchunks = n_act // DCHUNK
 
         @pl.when(nchunks >= 2)
         def _():
             chunk_dma(nchunks % 2, nchunks - 2).wait()
 
-        @pl.when(nchunks >= 1)
-        def _():
-            chunk_dma((nchunks - 1) % 2, nchunks - 1).wait()
+        chunk_dma((nchunks - 1) % 2, nchunks - 1).wait()
 
     out_ref[0, 0, :] = score
     out_ref[0, 1, :] = mqe
@@ -482,7 +490,6 @@ def _tb_kernel(qlen_ref, tlen_ref, i0_ref, j0_ref, dmat_ref,
     tlen = tlen_ref[0, 0, :]
     tlen_pad16 = ((tlen + 15) // 16) * 16
     kidx = jax.lax.broadcasted_iota(jnp.int32, (W, BLK), 0)
-    nchunks = n_diag_pad // DCHUNK
 
     def in_dma(slot, chunk):
         return pltpu.make_async_copy(
@@ -490,6 +497,17 @@ def _tb_kernel(qlen_ref, tlen_ref, i0_ref, j0_ref, dmat_ref,
             stage_ref.at[slot],
             dma_sem.at[slot],
         )
+
+    # dynamic top: the walk starts at this block's highest populated
+    # diagonal (max i0+j0; dead lanes carry -1/-1), mirroring the
+    # forward kernel's dynamic sweep bound — rows above start as 3s
+    i0 = i0_ref[0, 0, :]
+    j0 = j0_ref[0, 0, :]
+    n_act = jnp.clip(
+        ((jnp.max(i0 + j0) + 1 + DCHUNK - 1) // DCHUNK) * DCHUNK,
+        DCHUNK, n_diag_pad)
+    nchunks = n_act // DCHUNK
+    ops_acc_ref[:] = jnp.full((n_diag_pad, BLK), 3, jnp.int32)
 
     # prefetch the last two chunks (the walk goes backwards)
     in_dma((nchunks - 1) % 2, nchunks - 1).start()
@@ -555,11 +573,9 @@ def _tb_kernel(qlen_ref, tlen_ref, i0_ref, j0_ref, dmat_ref,
         return (jnp.where(here, i_n, i), jnp.where(here, j_n, j),
                 jnp.where(here, st4, state), alive_n)
 
-    i0 = i0_ref[0, 0, :]
-    j0 = j0_ref[0, 0, :]
     alive0 = ((i0 >= 0) & (j0 >= 0)).astype(jnp.int32)
     i_f, j_f, _, _ = jax.lax.fori_loop(
-        0, n_diag_pad, step,
+        n_diag_pad - n_act, n_diag_pad, step,
         (i0, j0, jnp.zeros((BLK,), jnp.int32), alive0),
     )
 
