@@ -49,6 +49,7 @@ from ..ops import extd2_pallas as epl
 from ..ops.ksw2_ref import NEG_INF, Ez
 from ..ops.seeding import (
     BUDGET_OVERFLOW,
+    FLAT_OVERFLOW,
     merge_expand_device3,
     pack_reads,
     seed_reads_flat,
@@ -1348,8 +1349,12 @@ class AlignEngine:
             # bucket after 8 consecutive narrower batches — with
             # fuse_chain, K is a static arg of the whole front program,
             # so an oscillating width would churn expensive retraces
+            # 32 = device chain hard cap (uint32 ancestor bitmasks in
+            # chain_extract_batch); rows with more seeds take the host
+            # path below
             bucket = min(
-                cfg.max_seeds, max(8, 1 << max(kmax - 1, 0).bit_length()))
+                cfg.max_seeds, 32,
+                max(8, 1 << max(kmax - 1, 0).bit_length()))
             if bucket > self._k_spec:
                 self._k_spec = bucket
                 self._k_shrink_run = 0
@@ -1360,14 +1365,15 @@ class AlignEngine:
                     self._k_shrink_run = 0
             else:
                 self._k_shrink_run = 0
-            if kmax > K:
+            if kmax > K and K < 32:
                 # speculation missed (a row has more seeds than the
                 # chained width): re-chain at full width. Clamp to the
                 # es the FRONT actually produced — a retier may have
                 # widened cfg.max_seeds after this batch was dispatched
                 # (jnp slicing would silently clamp and the buffer
-                # would unpack at the wrong K)
-                K = min(cfg.max_seeds, int(es.read_begin.shape[1]))
+                # would unpack at the wrong K) — and to the 32-node
+                # device chain cap
+                K = min(cfg.max_seeds, int(es.read_begin.shape[1]), 32)
                 t = time.perf_counter()
                 if kind == "collect":
                     buf_dev = _collect_fused(
@@ -1391,7 +1397,8 @@ class AlignEngine:
             self.prof["sync_front"] += time.perf_counter() - t
             overflow, dropped, seed_count = stats3
             kmax = int(seed_count.max()) if len(seed_count) else 0
-            K = min(cfg.max_seeds, max(8, 1 << max(kmax - 1, 0).bit_length()))
+            K = min(cfg.max_seeds, 32,
+                    max(8, 1 << max(kmax - 1, 0).bit_length()))
             is_str2 = np.concatenate([is_str, is_str])
             # seeds are compacted to the front of the S axis, so [:, :K]
             # keeps every valid seed
@@ -1411,12 +1418,94 @@ class AlignEngine:
 
         fallback = set(int(r) % n_pad for r in np.nonzero(overflow > 0)[0])
         fallback |= set(int(r) % n_pad for r in np.nonzero(dropped > 0)[0])
+        # rows past the 32-node device chain cap (uint32 ancestor masks):
+        # exact host path, permanently — no widening can fix them
+        seed32 = set(int(r) % n_pad for r in np.nonzero(seed_count > 32)[0])
+        n_seed32 = len(seed32 - fallback)
+        fallback |= seed32
+        # ---- batch retry on mass overflow ------------------------------
+        # A workload shift (e.g. chromosome-scale signal where ~every
+        # read is on-target with ~S0 hit lanes) can overflow the lane
+        # budgets for MOST of a batch at once. Host-aligning thousands
+        # of reads in Python is the round-4 death spiral (839 s and a
+        # 0-byte BAM at chrom scale); instead, widen the SPECIFIC budget
+        # that overflowed and re-dispatch this same batch on device —
+        # one recompile per growth step, a handful per workload.
+        if (len(fallback) - n_seed32 > max(64, len(active) // 8)
+                and pend.get("retry", 0) < 4 and cs is not None):
+            widened = False
+            flat_n = int(((overflow & FLAT_OVERFLOW) != 0).sum())
+            m_over = int(((overflow & (FLAT_OVERFLOW - 1)) > 0).sum())
+            drop_n = int((dropped > 0).sum())
+            if flat_n and cfg.nf_mult < 64:
+                cfg.nf_mult = min(64, cfg.nf_mult * 2)
+                widened = True
+            if (m_over or drop_n) and cfg.mem_slots < cfg.retier_max:
+                cfg.mem_slots = min(cfg.mem_slots * 2, cfg.retier_max)
+                cfg.max_seeds = min(cfg.max_seeds * 2, cfg.retier_max)
+                cfg.chain_bucket = min(cfg.chain_bucket * 2,
+                                       cfg.retier_max)
+                widened = True
+            budget_n = int(((overflow & BUDGET_OVERFLOW) != 0).sum())
+            if not widened and budget_n and self._comp_cap:
+                # mass compaction-budget overflow: disable compaction
+                # and retry uncompacted
+                self._act_window.clear()
+                self._comp_cap = 0
+                self._comp_want = 0
+                self._comp_want_run = 0
+                widened = True
+            if widened:
+                import sys as _sys
+
+                print(
+                    f"[pansvr engine] {len(fallback)} reads over lane "
+                    f"budgets (flat={flat_n} M/S={m_over}/{drop_n}): "
+                    f"widening to (M,S,K,nf)=({cfg.mem_slots}, "
+                    f"{cfg.max_seeds}, {cfg.chain_bucket}, {cfg.nf_mult})"
+                    " and re-dispatching the batch", file=_sys.stderr)
+                self._k_spec = min(self._k_spec, cfg.max_seeds)
+                pend2 = self._dispatch_front(self._prep_batch(
+                    pend["seqs"], pend["oris"], pend.get("aux")))
+                pend2["retry"] = pend.get("retry", 0) + 1
+                pend.clear()
+                pend.update(pend2)
+                self._finish_front(pend, on_dp_dispatched)
+                return
         n_collect_over = 0
         if collect_data is not None:
             # reads whose chains/paths missed the device-collect lane
             # budgets: exact host path now, wider budgets next compile
             co_reads = set(int(r) for r in np.nonzero(c_over)[0])
             n_collect_over = len(co_reads - fallback)
+            if (n_collect_over > max(64, len(active) // 8)
+                    and pend.get("retry", 0) < 4
+                    and getattr(cfg, "collect_mult", 1) < 16):
+                # mass collect overflow: grow the budgets from the TRUE
+                # demand and re-dispatch the batch (host-aligning
+                # thousands of reads would stall the stream)
+                need = max(
+                    -(-int(c_scal[1]) // n_pad),
+                    -(-int(c_scal[3]) // (2 * n_pad)),
+                    cfg.collect_mult + 1,
+                )
+                cfg.collect_mult = min(
+                    16, max(1 << (need - 1).bit_length(),
+                            cfg.collect_mult * 2))
+                import sys as _sys
+
+                print(
+                    f"[pansvr engine] {n_collect_over} reads over the "
+                    f"collect budgets: collect_mult -> "
+                    f"{cfg.collect_mult}, re-dispatching the batch",
+                    file=_sys.stderr)
+                pend2 = self._dispatch_front(self._prep_batch(
+                    pend["seqs"], pend["oris"], pend.get("aux")))
+                pend2["retry"] = pend.get("retry", 0) + 1
+                pend.clear()
+                pend.update(pend2)
+                self._finish_front(pend, on_dp_dispatched)
+                return
             fallback |= co_reads
             if n_collect_over and getattr(cfg, "collect_mult", 1) < 16:
                 # size the next compile's budgets from the TRUE demand
@@ -1467,7 +1556,12 @@ class AlignEngine:
                 self._comp_want_run = 0
             else:
                 self._act_window.append(act)
-        self._tier_window.append((max(len(fallback) - nb_reads, 0), n))
+        # collect-budget overflows are lane-pool sizing, not M/S/K shape
+        # pressure — keep them out of the retier signal like the
+        # compaction-budget ones
+        self._tier_window.append(
+            (max(len(fallback) - nb_reads - n_collect_over - n_seed32, 0),
+             n))
         self._maybe_retier()
         # telemetry threshold: a high fallback rate means the static
         # shape caps (M/S/K) are undersized for this workload — the

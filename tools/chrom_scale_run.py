@@ -207,7 +207,7 @@ def main():
                        f"> {W}/ref_anchors.fa"], rep, check=False)
 
     if "index" in stages:
-        run_timed("index_ours_fl14", [PY, "-c", INDEX_SRC], rep)
+        run_timed("index_ours", [PY, "-c", INDEX_SRC], rep)
         if os.path.exists(DEBGA):
             os.makedirs(f"{W}/idx", exist_ok=True)
             run_timed("index_debga",
@@ -230,7 +230,7 @@ def main():
         # ours needs the TPU chip; the reference runs 4 threads (all
         # cores of this host)
         run_timed("aln_ours_tpu", [PY, "-c", ALN_SRC], rep, check=False)
-        if os.path.exists(REF) and os.path.exists(f"{W}/idx/kmer.hash"):
+        if os.path.exists(REF) and os.path.exists(f"{W}/idx/unipath_g.hash"):
             run_timed("aln_ref_4t",
                       ["bash", "-c",
                        f"{REF} fc_aln -t 4 -o {W}/ref_aln.bam {W}/idx/ "
