@@ -180,6 +180,7 @@ def _run_fc_aln(work: str, out_bam: str, batch: int = 8192):
 
     eng = AlignEngine(idx, ori_chrom_names=header.ref_names,
                       config=EngineConfig(**cfg_kw) if cfg_kw else None)
+    eng.load_tuning(f"{work}/engine_tune.json")
     pe = PEScorer(eng.host, stats.max_isize or 600, stats.min_isize or 200,
                   stats.read_len or 150)
     filt = min_filter_score(stats.read_len or 150)
@@ -241,6 +242,7 @@ def _run_fc_aln(work: str, out_bam: str, batch: int = 8192):
     # warm-up: compile every shape on a prefix (the persistent cache
     # makes later processes cheap, but in-run timing must exclude it)
     run_once(records[: 4 * batch], out_bam + ".warmup.bam")
+    eng.save_tuning(f"{work}/engine_tune.json")
     eng.prof.clear()
     wall = run_once(records, out_bam)
     return len(records), wall, eng

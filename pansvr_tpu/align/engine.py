@@ -24,6 +24,7 @@ comes from steps 2, 4, 7 running as single batched device programs.
 
 from __future__ import annotations
 
+import os
 import time
 from collections import defaultdict, deque
 from dataclasses import dataclass
@@ -790,6 +791,44 @@ class AlignEngine:
         self._tier_window: list[tuple[int, int]] = []  # (n_fallback, n)
         self._emit_ctx = None      # set_native_emit
         self._emit_pe = None       # PEScorer for fallback pairs
+
+    # ------------------------------------------------------------------
+    def load_tuning(self, path: str) -> bool:
+        """Apply a previous run's converged lane budgets/shapes so the
+        first batch compiles the RIGHT programs immediately — the
+        adaptive widening otherwise walks several shape generations,
+        each a compile (or a multi-second cached-executable load over
+        the tunnel)."""
+        import json
+
+        try:
+            with open(path) as fh:
+                t = json.load(fh)
+        except (OSError, ValueError):
+            return False
+        cfg = self.cfg
+        for k in ("nf_mult", "mem_slots", "max_seeds", "chain_bucket",
+                  "collect_mult"):
+            if k in t:
+                setattr(cfg, k, int(t[k]))
+        if "k_spec" in t:
+            self._k_spec = min(int(t["k_spec"]), cfg.max_seeds, 32)
+        return True
+
+    def save_tuning(self, path: str) -> None:
+        import json
+
+        cfg = self.cfg
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({
+                "nf_mult": cfg.nf_mult, "mem_slots": cfg.mem_slots,
+                "max_seeds": cfg.max_seeds,
+                "chain_bucket": cfg.chain_bucket,
+                "collect_mult": getattr(cfg, "collect_mult", 1),
+                "k_spec": self._k_spec,
+            }, fh)
+        os.replace(tmp, path)
 
     # ------------------------------------------------------------------
     def set_native_emit(self, emit_ctx) -> None:

@@ -83,6 +83,12 @@ def _cmd_fc_aln(args):
         if args.status_file else SignalStats(read_len=150, min_isize=200, max_isize=600)
 
     eng = AlignEngine(idx, ori_chrom_names=header.ref_names)
+    # persisted lane-budget tuning: the converged shapes of a previous
+    # run on this index start the engine at the right compiles at once
+    tune_path = os.path.join(args.index_dir, "engine_tune.json") \
+        if os.path.isdir(args.index_dir) else None
+    if tune_path:
+        eng.load_tuning(tune_path)
     pe = PEScorer(eng.host, stats.max_isize or 600, stats.min_isize or 200,
                   stats.read_len or 150)
     writer = BamWriter(args.output, header)
@@ -152,6 +158,11 @@ def _cmd_fc_aln(args):
     with tracer:
         _run_aln_stream(chunks_a, eng, pe, writer, ori_writer, header,
                         filt, batch_stream)
+    if tune_path:
+        try:
+            eng.save_tuning(tune_path)
+        except OSError:
+            pass
     if getattr(args, "trace", None):
         phases = {k: round(v, 3) for k, v in eng.prof.items()
                   if isinstance(v, float)}

@@ -32,3 +32,17 @@ def enable_cache(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass  # older jax without these keys: env vars may still work
+    try:
+        # jax gates the persistent cache on platform in
+        # {tpu,gpu,cpu,neuron}; the axon remote-TPU platform is not in
+        # the list, so every process recompiled every program
+        # (50-470 s per mega-program variant, measured 2026-08-20).
+        # The axon client proxies a real TPU client and serializes
+        # executables fine — force the gate open.
+        from jax._src import compilation_cache as _cc
+
+        with _cc._cache_initialized_mutex:
+            _cc._cache_checked = True
+            _cc._cache_used = True
+    except Exception:
+        pass

@@ -308,3 +308,19 @@ def test_device_collect_budget_overflow_falls_back(world):
     sb = eb.align_batch(seqs, oris)
     for k, (x, y) in enumerate(zip(sa, sb)):
         _cmp_states(y, x, f"read {k}")
+
+
+def test_tuning_roundtrip(tmp_path, world):
+    ds, idx, host, _ = world
+    cfg = EngineConfig()
+    eng = AlignEngine(idx, config=cfg)
+    eng.cfg.nf_mult = 40
+    eng.cfg.collect_mult = 4
+    eng._k_spec = 16
+    p = str(tmp_path / "tune.json")
+    eng.save_tuning(p)
+    cfg2 = EngineConfig()
+    eng2 = AlignEngine(idx, config=cfg2)
+    assert eng2.load_tuning(p)
+    assert (cfg2.nf_mult, cfg2.collect_mult, eng2._k_spec) == (40, 4, 16)
+    assert not eng2.load_tuning(str(tmp_path / "missing.json"))
