@@ -154,7 +154,8 @@ def _wait_for_backend(max_wait_s: float = 1500.0) -> bool:
     return False
 
 
-def _run_fc_aln(work: str, out_bam: str, batch: int = 8192):
+def _run_fc_aln(work: str, out_bam: str,
+                batch: int = int(os.environ.get("PANSVR_BATCH", 8192))):
     """The full fc_aln stage, in-process (same path as
     `python -m pansvr_tpu fc_aln`). Returns (n_reads, wall_s, engine)."""
     import pickle
@@ -174,6 +175,10 @@ def _run_fc_aln(work: str, out_bam: str, batch: int = 8192):
     cfg_kw = {}
     if os.environ.get("PANSVR_STREAM_DEPTH"):
         cfg_kw["stream_depth"] = int(os.environ["PANSVR_STREAM_DEPTH"])
+    if os.environ.get("PANSVR_DP_CHUNK"):
+        cfg_kw["dp_chunk"] = int(os.environ["PANSVR_DP_CHUNK"])
+    if os.environ.get("PANSVR_COLLECT"):
+        cfg_kw["collect"] = os.environ["PANSVR_COLLECT"]
     if os.environ.get("PANSVR_CHAIN_COPY"):
         cfg_kw["chain_copy"] = os.environ["PANSVR_CHAIN_COPY"]
     from pansvr_tpu.align.engine import EngineConfig

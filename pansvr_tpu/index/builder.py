@@ -159,24 +159,41 @@ def build_index(
         return (rows + pos_shift[cid]).astype(pos_dt)
 
     nxt = np.empty(total, dtype=np.uint8)    # base after the k-mer (4 = edge)
+    # the grouping passes ALSO build the two-level search table and free
+    # the distinct-k-mer array before returning: at whole-genome scale
+    # uniq (8 B/distinct k-mer) must not coexist with the unitig phase +
+    # the 4^fl bucket table (the round-4 fl=14/100 Mbp build peaked at
+    # 4.58 GB exactly that way)
     if total > spill_threshold and k <= 29:  # 2k+6 packed bits must fit 64
         grouped = _group_kmers_spill(
             contigs, ref_codes, k, n_per, row_starts, chr_starts,
-            nxt, row2pos, pos_dt, spill_dir)
+            nxt, row2pos, pos_dt, spill_dir, first_level_bases)
     else:
         grouped = _group_kmers_ram(
             contigs, ref_codes, k, n_per, row_starts, chr_starts,
-            nxt, row2pos, pos_dt)
+            nxt, row2pos, pos_dt, first_level_bases)
     if grouped is None:                      # every k-mer spans an N
         return _empty_index(names, chr_starts, ref_codes, ref_words,
                             k, search_k, first_level_bases)
-    kid, uniq, grp_start, occ_pos, in_mask, out_mask, n_valid = grouped
-    n_uniq = len(uniq)
+    (kid, grp_start, occ_pos, in_mask, out_mask, n_valid,
+     n_uniq, first_base, kmer_g, hash_g, fl) = grouped
+
+    # park a BIG two-level table on disk through the unitig phase: at
+    # whole-genome scale hash_g+kmer_g are ~1.3 GB that nothing below
+    # reads until the final assembly; they come back as read-only
+    # memmaps (of unlinked temp files, so nothing leaks)
+    tab_spill = None
+    if hash_g.nbytes + kmer_g.nbytes > (256 << 20):
+        import tempfile
+
+        tab_spill = tempfile.mkdtemp(prefix="rdbg_tab_", dir=spill_dir)
+        np.save(os.path.join(tab_spill, "hash_g.npy"), hash_g)
+        np.save(os.path.join(tab_spill, "kmer_g.npy"), kmer_g)
+        hash_g = kmer_g = None
 
     single_bit = np.array([bin(m).count("1") == 1 and m < 16 for m in range(32)])
     out_single = single_bit[out_mask]
     in_single = single_bit[in_mask]
-    first_base = _shifted_u8(uniq, 2 * (k - 1))
 
     # --- link(i, i+1) over genome positions ------------------------------
     # consecutive rows are consecutive genome positions except across
@@ -237,16 +254,19 @@ def build_index(
     # cross into the next contig)
     rep_pos = row2pos(starts_idx[rep_runs]).astype(np.int64)
     uni_codes = np.empty(int(uni_seqf[-1]), dtype=np.uint8)
-    for lo, hi in _segment_blocks(uni_len, _CHUNK):
+    for lo, hi in _segment_blocks(uni_len, _CHUNK_SEG):
         rows = np.repeat(rep_pos[lo:hi], uni_len[lo:hi]) + _ranges(uni_len[lo:hi])
         uni_codes[uni_seqf[lo] : uni_seqf[hi]] = ref_codes[rows]
     uni_words = dna.pack_2bit(np.where(uni_codes >= 4, np.uint8(2), uni_codes))
 
     # --- kmer -> offset in unitig space ----------------------------------
     # kmers of representative run i at chain offsets 0..uni_nk[i]-1
-    off_g = np.empty(n_uniq, dtype=np.int64)
+    # (int32 when the unitig space fits — a whole-genome index saves
+    # 4 B per distinct k-mer; the device table is int32 regardless)
+    off_dt = np.int32 if int(uni_seqf[-1]) < 2**31 - 1 else np.int64
+    off_g = np.empty(n_uniq, dtype=off_dt)
     rep_rows = starts_idx[rep_runs]
-    for lo, hi in _segment_blocks(uni_nk, _CHUNK):
+    for lo, hi in _segment_blocks(uni_nk, _CHUNK_SEG):
         rows = np.repeat(rep_rows[lo:hi], uni_nk[lo:hi]) + _ranges(uni_nk[lo:hi])
         offs = (np.repeat(uni_seqf[lo:hi], uni_nk[lo:hi])
                 + _ranges(uni_nk[lo:hi]))
@@ -263,31 +283,21 @@ def build_index(
     np.cumsum(occ_counts, out=uni_posp[1:])
     uni_pos = np.empty(int(uni_posp[-1]), dtype=np.int64)
     occ_first = km_start[uni_first_kid].astype(np.int64)
-    for lo, hi in _segment_blocks(occ_counts, _CHUNK):
+    for lo, hi in _segment_blocks(occ_counts, _CHUNK_SEG):
         take = (np.repeat(occ_first[lo:hi], occ_counts[lo:hi])
                 + _ranges(occ_counts[lo:hi]))
         uni_pos[uni_posp[lo] : uni_posp[hi]] = occ_pos[take]
     del occ_pos, km_start, occ_first
 
-    # --- two-level search table ------------------------------------------
-    fl = resolve_first_level(first_level_bases, n_uniq)
-    low_bits = np.uint64(2 * (k - fl))
-    mask = (np.uint64(1) << low_bits) - np.uint64(1)
-    kmer_g = np.empty(n_uniq, dtype=np.uint32)
-    for st in range(0, max(n_uniq, 1), _CHUNK):
-        np.copyto(kmer_g[st : st + _CHUNK], uniq[st : st + _CHUNK] & mask,
-                  casting="unsafe")
-    # uniq is sorted, so bucket starts come from a searchsorted sweep
-    # against the shifted bucket FLOORS — chunked, and int32: at fl=14
-    # the 4^14+1 table is 1.07 GB as int32 vs 2.15 as int64 (plus an
-    # equal-size arange temp); entry counts always fit int32
-    nb = (1 << (2 * fl)) + 1
-    hash_g = np.empty(nb, np.int32)
-    for st in range(0, nb, _CHUNK):
-        en = min(st + _CHUNK, nb)
-        qs = np.arange(st, en, dtype=np.uint64) << low_bits
-        hash_g[st:en] = np.searchsorted(uniq, qs)
+    if tab_spill is not None:
+        import shutil
 
+        hash_g = np.load(os.path.join(tab_spill, "hash_g.npy"),
+                         mmap_mode="r")
+        kmer_g = np.load(os.path.join(tab_spill, "kmer_g.npy"),
+                         mmap_mode="r")
+        # unlink now; the open memmap fds keep the data reachable
+        shutil.rmtree(tab_spill, ignore_errors=True)
     return RdBGIndex(
         k=k, search_k=search_k, first_level_bases=fl,
         ref_codes=ref_codes, ref_words=ref_words,
@@ -300,6 +310,8 @@ def build_index(
 
 _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 _CHUNK = 1 << 24      # rows per downstream chunk (bounds int64 temporaries)
+_CHUNK_SEG = 1 << 22  # rows per segment-expansion block (3-4 int64
+                      # temporaries each -> ~100 MB instead of ~400)
 
 
 def _shifted_u8(arr_u64, shift_bits):
@@ -338,12 +350,35 @@ def _extract_contig(ref_codes, chr_starts, k, cid, n, nxt, r0):
     return vals, prev
 
 
+def _table_from_uniq(uniq, k, fl):
+    """(kmer_g, hash_g, first_base) from the sorted distinct k-mers."""
+    n_uniq = len(uniq)
+    low_bits = np.uint64(2 * (k - fl))
+    mask = (np.uint64(1) << low_bits) - np.uint64(1)
+    kmer_g = np.empty(n_uniq, dtype=np.uint32)
+    for st in range(0, max(n_uniq, 1), _CHUNK):
+        np.copyto(kmer_g[st : st + _CHUNK], uniq[st : st + _CHUNK] & mask,
+                  casting="unsafe")
+    nb = (1 << (2 * fl)) + 1
+    hash_g = np.empty(nb, np.int32)
+    for st in range(0, nb, _CHUNK):
+        en = min(st + _CHUNK, nb)
+        qs = np.arange(st, en, dtype=np.uint64) << low_bits
+        hash_g[st:en] = np.searchsorted(uniq, qs)
+    first_base = _shifted_u8(uniq, 2 * (k - 1))
+    return kmer_g, hash_g, first_base
+
+
 def _group_kmers_ram(contigs, ref_codes, k, n_per, row_starts, chr_starts,
-                     nxt, row2pos, pos_dt):
-    """One stable sort of all k-mer values -> (kid, uniq, grp_start,
-    occ_pos, in_mask, out_mask, n_valid). The all-ones sentinel
-    (N-containing k-mers) sorts to the tail, so the valid prefix of the
-    sorted stream is exactly vals != sentinel."""
+                     nxt, row2pos, pos_dt, first_level_bases):
+    """One stable sort of all k-mer values -> (kid, grp_start, occ_pos,
+    in_mask, out_mask, n_valid, n_uniq, first_base, kmer_g, hash_g, fl).
+    The all-ones sentinel (N-containing k-mers) sorts to the tail, so
+    the valid prefix of the sorted stream is exactly vals != sentinel.
+    The two-level search table is built here, while the distinct-k-mer
+    array exists anyway, and uniq is freed before returning — at
+    whole-genome scale it is 8 B per distinct k-mer that would
+    otherwise coexist with the 4^fl bucket table."""
     total = int(row_starts[-1])
     vals = np.empty(total, dtype=np.uint64)
     prev = np.empty(total, dtype=np.uint8)   # base before the k-mer (4 = edge)
@@ -378,11 +413,16 @@ def _group_kmers_ram(contigs, ref_codes, k, n_per, row_starts, chr_starts,
     in_mask = np.bitwise_or.reduceat(np.uint8(1) << prev[order_v], grp_start)
     out_mask = np.bitwise_or.reduceat(np.uint8(1) << nxt[order_v], grp_start)
     occ_pos = row2pos(order_v)                     # occurrences by kmer, stable
-    return kid, uniq, grp_start, occ_pos, in_mask, out_mask, n_valid
+    n_uniq = len(uniq)
+    fl = resolve_first_level(first_level_bases, n_uniq)
+    kmer_g, hash_g, first_base = _table_from_uniq(uniq, k, fl)
+    del uniq
+    return (kid, grp_start, occ_pos, in_mask, out_mask, n_valid,
+            n_uniq, first_base, kmer_g, hash_g, fl)
 
 
 def _group_kmers_spill(contigs, ref_codes, k, n_per, row_starts, chr_starts,
-                       nxt, row2pos, pos_dt, spill_dir):
+                       nxt, row2pos, pos_dt, spill_dir, first_level_bases):
     """External-memory grouping: spill each valid k-mer once as a
     12-byte (key, row) record into one of 256 files keyed by the top 8
     bits of its 2k-bit value (the reference deBGA's prefix buckets,
@@ -451,16 +491,28 @@ def _group_kmers_spill(contigs, ref_codes, k, n_per, row_starts, chr_starts,
         n_valid = sum(os.path.getsize(fh.name) for fh in files) // rec_dt.itemsize
         if n_valid == 0:
             return None
+        # the first level resolves from n_valid (an upper bound of the
+        # distinct count — the exact count is only known after the
+        # bucket sweep, but the table must allocate before it); explicit
+        # fl values pass through unchanged
+        fl = resolve_first_level(first_level_bases, n_valid)
+        low_bits = np.uint64(2 * (k - fl))
+        nb = (1 << (2 * fl)) + 1
+        hash_g = np.empty(nb, np.int32)
+        cells_per_bucket = (nb - 1) >> 8   # fl >= 4: cells nest in buckets
+        kmer_mask = (np.uint64(1) << low_bits) - np.uint64(1)
         kid = np.full(total, -1, dtype=np.int32)
         occ_pos = np.empty(n_valid, dtype=pos_dt)
-        uniq_l, grp_l, in_l, out_l = [], [], [], []
+        grp_l, in_l, out_l, kmer_l, fb_l = [], [], [], [], []
         occ_base = 0
         uid_base = np.int32(0)
         for b in range(256):
             path = os.path.join(tmpdir, f"b{b:03d}.bin")
             rec = np.fromfile(path, dtype=rec_dt)
             os.unlink(path)
+            c_lo, c_hi = b * cells_per_bucket, (b + 1) * cells_per_bucket
             if len(rec) == 0:
+                hash_g[c_lo:c_hi] = uid_base
                 continue
             val = rec["key"] & val_mask
             order = np.argsort(val, kind="stable")
@@ -472,7 +524,15 @@ def _group_kmers_spill(contigs, ref_codes, k, n_per, row_starts, chr_starts,
             ng[0] = True
             np.not_equal(sval[1:], sval[:-1], out=ng[1:])
             gs = np.flatnonzero(ng)
-            uniq_l.append(sval[ng])
+            u = sval[ng]
+            # this bucket's slice of the two-level table: top 2*fl bits
+            # of every key here fall in [c_lo, c_hi) because the spill
+            # bucket is the top 8 bits (fl >= 4)
+            kmer_l.append((u & kmer_mask).astype(np.uint32))
+            fb_l.append(_shifted_u8(u, 2 * (k - 1)))
+            qs = (np.arange(c_lo, c_hi, dtype=np.uint64) << low_bits)
+            hash_g[c_lo:c_hi] = uid_base + np.searchsorted(u, qs)
+            del u
             grp_l.append((gs + occ_base).astype(
                 np.int32 if total < 2**31 else np.int64))
             prev_bits = ((skey >> val_bits) & np.uint64(7)).astype(np.uint8)
@@ -486,11 +546,14 @@ def _group_kmers_spill(contigs, ref_codes, k, n_per, row_starts, chr_starts,
             occ_pos[occ_base : occ_base + len(srow)] = row2pos(srow)
             uid_base += np.int32(len(gs))
             occ_base += len(srow)
+        hash_g[-1] = uid_base
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
-    return (kid, np.concatenate(uniq_l), np.concatenate(grp_l),
-            occ_pos, np.concatenate(in_l), np.concatenate(out_l), n_valid)
+    return (kid, np.concatenate(grp_l), occ_pos,
+            np.concatenate(in_l), np.concatenate(out_l), n_valid,
+            int(uid_base), np.concatenate(fb_l), np.concatenate(kmer_l),
+            hash_g, fl)
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:

@@ -122,3 +122,24 @@ def test_absent_kmer():
     idx = build_index([("c", "ACGT" * 200)], first_level_bases=8)
     # poly-A 20-mer should not exist in an ACGT-repeat contig
     assert Q.search_kmer(idx, 0) is None
+
+
+def test_spill_matches_ram_path():
+    """The external-memory spill grouping and the in-RAM grouping build
+    bit-identical indexes (incl. the two-level table now built inside
+    grouping)."""
+    import numpy as np
+
+    from pansvr_tpu.utils.simulate import make_dataset, DictGenome
+    from pansvr_tpu.anchor.builder import AnchorConfig, build_anchor_contigs
+
+    ds = make_dataset(seed=11, n_sv=16, n_pairs=0, types=("DEL", "INS", "DUP"),
+                      chrom_lengths={"chr1": 400_000})
+    contigs = [(c.name, c.seq) for c in build_anchor_contigs(
+        ds.vcf_records, DictGenome(ds.genome), AnchorConfig())]
+    a = build_index(contigs, first_level_bases=10)
+    b = build_index(contigs, first_level_bases=10, spill_threshold=1)
+    for f in ("uni_codes", "uni_seqf", "uni_pos", "uni_posp",
+              "hash_g", "kmer_g", "off_g"):
+        np.testing.assert_array_equal(
+            getattr(a, f), getattr(b, f), err_msg=f)

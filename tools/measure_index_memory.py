@@ -53,7 +53,7 @@ contigs = list(read_fasta({fa!r}).items())
 base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
 t0 = time.perf_counter()
 from pansvr_tpu.index.builder import build_index
-idx = build_index(contigs, first_level_bases=12)
+idx = build_index(contigs, first_level_bases={fl})
 wall = time.perf_counter() - t0
 peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
 import json as _json
@@ -67,6 +67,8 @@ print("RESULT " + _json.dumps({{
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mbp", type=float, default=24.0)
+    ap.add_argument("--fl", default="auto",
+                    help="first_level_bases (int or 'auto')")
     ap.add_argument("--reference", action="store_true")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
@@ -79,7 +81,8 @@ def main():
         print(f"[mem] wrote {fa}: {n} contigs, {args.mbp} Mbp",
               file=sys.stderr)
 
-    child = _CHILD.format(repo=repo, fa=fa)
+    fl = args.fl if args.fl == "auto" else int(args.fl)
+    child = _CHILD.format(repo=repo, fa=fa, fl=repr(fl))
     out = subprocess.run([sys.executable, "-c", child], capture_output=True,
                          text=True)
     print(out.stderr, file=sys.stderr, end="")
@@ -88,7 +91,7 @@ def main():
         print(out.stdout, file=sys.stderr)
         sys.exit(1)
     ours = json.loads(line[0][7:])
-    print(json.dumps({"ours": ours, "mbp": args.mbp}))
+    print(json.dumps({"ours": ours, "mbp": args.mbp, "fl": args.fl}))
 
     if args.reference:
         debga = "/tmp/refbuild/deBGA_release/deBGA"
